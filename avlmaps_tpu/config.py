@@ -1,0 +1,317 @@
+"""Configuration system.
+
+The reference uses Hydra + OmegaConf with composed YAML groups
+(reference: config/map_creation_cfg.yaml:1-12, config/params/default.yaml,
+config/map_config/vlmaps.yaml).  Neither hydra nor omegaconf is a dependency
+here; instead we use plain dataclasses with the *same knob names* so configs
+are drop-in recognisable, plus a small YAML loader that supports the subset of
+composition the reference relies on (a ``defaults`` list of group/name pairs
+and ``${group.key}`` interpolation).
+
+All defaults below match the reference's shipped YAML values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+try:  # pyyaml is available in the image; gate anyway for minimal installs
+    import yaml
+except ImportError:  # pragma: no cover
+    yaml = None
+
+
+# ---------------------------------------------------------------------------
+# dataclass groups (mirroring reference config groups)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PoseInfo:
+    """Pose semantics of the recorded trajectory.
+
+    Mirrors reference config/map_config/vlmaps.yaml:2-10.
+    """
+
+    pose_type: str = "mobile_base"  # "mobile_base" | "camera"
+    camera_height: float = 1.5
+    # row-major 3x3: camera frame expressed in base frame
+    base2cam_rot: Tuple[float, ...] = (1, 0, 0, 0, -1, 0, 0, 0, -1)
+    # rows of the base_transform: maps recorded base axes onto the canonical
+    # (x forward, y left, z up) mobile-base frame
+    base_forward_axis: Tuple[float, ...] = (0, 0, -1)
+    base_left_axis: Tuple[float, ...] = (-1, 0, 0)
+    base_up_axis: Tuple[float, ...] = (0, 1, 0)
+
+
+@dataclass
+class MapConfig:
+    """Voxel-map geometry + obstacle-customization knobs.
+
+    Mirrors reference config/map_config/vlmaps.yaml.
+    """
+
+    map_type: str = "vlmap"
+    pose_info: PoseInfo = field(default_factory=PoseInfo)
+    cam_calib_mat: Tuple[float, ...] = (540, 0, 540, 0, 540, 360, 0, 0, 1)
+    grid_size: int = 1000  # gs: cells per side of the square top-down grid
+    cell_size: float = 0.05  # cs: metres per cell
+    depth_sample_rate: int = 100  # keep h*w/rate random depth pixels per frame
+    dilate_iter: int = 3
+    gaussian_sigma: float = 1.0
+    customize_obstacle_map: bool = False
+    potential_obstacle_names: Tuple[str, ...] = (
+        "chair", "wall", "wall above the door", "table", "window", "floor",
+        "stairs", "other",
+    )
+    obstacle_names: Tuple[str, ...] = (
+        "wall", "chair", "table", "window", "stairs", "other",
+    )
+    categories: str = "mp3d"
+    # --- TPU-native additions (not in reference) ---
+    max_pts_per_frame: int = 4096  # static per-frame point budget after sampling
+    capacity: int = 1_000_000  # fixed voxel-slot capacity (reference grows 2x)
+    min_depth: float = 0.1
+    max_depth: float = 6.0
+
+    @property
+    def gs(self) -> int:
+        return self.grid_size
+
+    @property
+    def cs(self) -> float:
+        return self.cell_size
+
+    @property
+    def vh(self) -> int:
+        """Number of height cells: camera_height / cs (reference vlmap_builder.py:195-209)."""
+        return int(self.pose_info.camera_height / self.cell_size)
+
+    def calib_matrix(self) -> np.ndarray:
+        return np.asarray(self.cam_calib_mat, dtype=np.float64).reshape(3, 3)
+
+
+@dataclass
+class Params:
+    """Global scalar knobs (reference config/params/default.yaml)."""
+
+    gs: int = 1000
+    cs: float = 0.05
+    camera_height: float = 1.5
+    forward_dist: float = 0.1
+    turn_angle: float = 5.0
+
+
+@dataclass
+class ControllerConfig:
+    """Discrete controller knobs (reference config/params/default.yaml:42-47)."""
+
+    gs: int = 1000
+    cs: float = 0.05
+    forward_dist: float = 0.1
+    turn_angle: float = 5.0
+    goal_dist_thres: float = 0.1
+
+
+@dataclass
+class SoundConfig:
+    """ESC-50 difficulty levels -> major categories (reference
+    config/sound_config/sound_config.yaml)."""
+
+    difficulty: Dict[str, List[str]] = field(default_factory=lambda: {
+        "level_1": ["Interior/domestic sounds"],
+        "level_2": ["Interior/domestic sounds", "Human, non-speech sounds"],
+        "level_3": ["Interior/domestic sounds", "Human, non-speech sounds",
+                    "Animals"],
+        "level_4": ["Interior/domestic sounds", "Human, non-speech sounds",
+                    "Animals", "Natural soundscapes"],
+        "level_5": ["Interior/domestic sounds", "Human, non-speech sounds",
+                    "Animals", "Natural soundscapes", "Exterior/urban noises"],
+    })
+    major_categories: Dict[str, List[str]] = field(default_factory=lambda: {
+        "Animals": ["dog", "rooster", "pig", "cow", "frog", "cat", "hen",
+                    "insects", "sheep", "crow"],
+        "Natural soundscapes": ["rain", "sea_waves", "crackling_fire",
+                                "crickets", "chirping_birds", "water_drops",
+                                "wind", "pouring_water", "toilet_flush",
+                                "thunderstorm"],
+        "Human, non-speech sounds": ["crying_baby", "sneezing", "clapping",
+                                     "breathing", "coughing", "footsteps",
+                                     "laughing", "brushing_teeth", "snoring",
+                                     "drinking_sipping"],
+        "Interior/domestic sounds": ["door_wood_knock", "mouse_click",
+                                     "keyboard_typing", "door_wood_creaks",
+                                     "can_opening", "washing_machine",
+                                     "vacuum_cleaner", "clock_alarm",
+                                     "clock_tick", "glass_breaking"],
+        "Exterior/urban noises": ["helicopter", "chainsaw", "siren",
+                                  "car_horn", "engine", "train",
+                                  "church_bells", "airplane", "fireworks",
+                                  "hand_saw"],
+    })
+
+    def level_categories(self, level: str) -> List[str]:
+        """Flattened ESC-50 categories for one difficulty level
+        (reference avlmaps/utils/audio_utils.py:230-236)."""
+        cats: List[str] = []
+        for major in self.difficulty[level]:
+            cats.extend(self.major_categories[major])
+        return cats
+
+
+@dataclass
+class SoundCollectParams:
+    """Sound data collection knobs (reference
+    config/sound_data_collect_params/sound_collect_default.yaml)."""
+
+    difficulty: str = "level_3"
+    is_ambiguous_data: bool = True
+    num_audio_video_per_scene: int = 20
+    fps: int = 25
+    sample_rate: int = 44100
+    sound_interval: float = 1.0
+    min_dist_between_sound: float = 1.0
+    considered_seq_num_per_scene: int = 20
+    silence_duration_s: float = 1.0
+    silence_threshold: float = 0.0
+    seed: int = 1
+
+
+@dataclass
+class NavConfig:
+    """Navigation eval knobs (reference config/map_creation_cfg.yaml:8-10)."""
+
+    valid_range: float = 1.0
+    vis: bool = False
+    tasks_per_scene: int = 20
+
+
+@dataclass
+class DataPaths:
+    """Dataset directories (reference config/data_paths/default.yaml)."""
+
+    habitat_scene_dir: str = ""
+    avlmaps_data_dir: str = ""
+    esc50_meta_path: str = ""
+    esc50_audio_dir: str = ""
+
+
+@dataclass
+class AVLMapsConfig:
+    """Top-level composed config (reference config/map_creation_cfg.yaml)."""
+
+    data_paths: DataPaths = field(default_factory=DataPaths)
+    map_config: MapConfig = field(default_factory=MapConfig)
+    params: Params = field(default_factory=Params)
+    sound_config: SoundConfig = field(default_factory=SoundConfig)
+    sound_data_collect_params: SoundCollectParams = field(
+        default_factory=SoundCollectParams)
+    controller_config: ControllerConfig = field(default_factory=ControllerConfig)
+    nav: NavConfig = field(default_factory=NavConfig)
+    scene_id: int = 0
+    decay_rate: float = 0.01  # reference config/map_indexing_cfg.yaml
+
+    def __post_init__(self) -> None:
+        # propagate the params interpolations the reference expresses with
+        # ${params.x} (config/params/default.yaml:42-47)
+        self.controller_config.gs = self.params.gs
+        self.controller_config.cs = self.params.cs
+        self.controller_config.forward_dist = self.params.forward_dist
+        self.controller_config.turn_angle = self.params.turn_angle
+        self.map_config.grid_size = self.params.gs
+        self.map_config.cell_size = self.params.cs
+
+
+# ---------------------------------------------------------------------------
+# YAML loading with minimal composition
+# ---------------------------------------------------------------------------
+
+_INTERP_RE = re.compile(r"\$\{([a-zA-Z0-9_.]+)\}")
+
+
+def _resolve_interp(node: Any, root: Dict[str, Any]) -> Any:
+    """Resolve ``${a.b.c}`` interpolations against the merged config dict."""
+    if isinstance(node, dict):
+        return {k: _resolve_interp(v, root) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_resolve_interp(v, root) for v in node]
+    if isinstance(node, str):
+        m = _INTERP_RE.fullmatch(node)
+        if m:
+            cur: Any = root
+            for part in m.group(1).split("."):
+                cur = cur[part]
+            return cur
+    return node
+
+
+def _dict_to_dataclass(cls, data: Dict[str, Any]):
+    """Recursively build a dataclass from a plain dict, ignoring unknown keys."""
+    if not dataclasses.is_dataclass(cls):
+        return data
+    kwargs = {}
+    field_map = {f.name: f for f in dataclasses.fields(cls)}
+    for key, value in data.items():
+        if key not in field_map:
+            continue
+        ftype = field_map[key].type
+        # nested dataclass fields
+        nested = _DATACLASS_FIELDS.get((cls.__name__, key))
+        if nested is not None and isinstance(value, dict):
+            kwargs[key] = _dict_to_dataclass(nested, value)
+        elif isinstance(value, list) and not key.startswith("difficulty"):
+            kwargs[key] = tuple(value) if "Tuple" in str(ftype) else value
+        else:
+            kwargs[key] = value
+    return cls(**kwargs)
+
+
+_DATACLASS_FIELDS = {
+    ("MapConfig", "pose_info"): PoseInfo,
+    ("AVLMapsConfig", "data_paths"): DataPaths,
+    ("AVLMapsConfig", "map_config"): MapConfig,
+    ("AVLMapsConfig", "params"): Params,
+    ("AVLMapsConfig", "sound_config"): SoundConfig,
+    ("AVLMapsConfig", "sound_data_collect_params"): SoundCollectParams,
+    ("AVLMapsConfig", "controller_config"): ControllerConfig,
+    ("AVLMapsConfig", "nav"): NavConfig,
+}
+
+
+def load_config(path: Optional[str | Path] = None,
+                overrides: Optional[Dict[str, Any]] = None) -> AVLMapsConfig:
+    """Load a composed config.
+
+    With ``path=None`` returns the defaults (equivalent to the reference's
+    shipped YAML tree).  A YAML file may contain a hydra-style ``defaults``
+    list naming sibling group dirs (``group: name`` -> ``<dir>/group/name.yaml``)
+    and ``${a.b}`` interpolations.
+    """
+    merged: Dict[str, Any] = {}
+    if path is not None:
+        if yaml is None:
+            raise RuntimeError("pyyaml is required to load YAML configs")
+        path = Path(path)
+        with open(path) as f:
+            doc = yaml.safe_load(f) or {}
+        defaults = doc.pop("defaults", [])
+        for entry in defaults:
+            if entry == "_self_" or entry == {"_self_": None}:
+                continue
+            if isinstance(entry, dict):
+                ((group, name),) = entry.items()
+                group_file = path.parent / str(group) / f"{name}.yaml"
+                if group_file.exists():
+                    with open(group_file) as gf:
+                        merged[str(group)] = yaml.safe_load(gf) or {}
+        merged.update(doc)
+        merged = _resolve_interp(merged, merged)
+    if overrides:
+        merged.update(overrides)
+    return _dict_to_dataclass(AVLMapsConfig, merged)

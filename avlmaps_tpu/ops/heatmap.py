@@ -1,0 +1,179 @@
+"""Heatmap generation kernels.
+
+The reference computes 3D heatmaps with a per-point Python loop over *all*
+non-target voxels, each doing a full distance scan over target voxels
+(avlmaps/utils/visualize_utils.py:29-49 — O(N·M) with tqdm), and 2D heatmaps
+via scipy's EDT (:97-102).  Both are reformulated as static-shaped device
+ops:
+
+* 3D: a tiled min-distance reduction — voxels stream in row chunks, target
+  chunks are reduced with a running minimum; distances via the
+  |a|² + |b|² - 2a·b expansion so the inner contraction hits the MXU.
+* 2D: an exact two-pass Euclidean distance transform (vertical sweep +
+  horizontal lower-envelope minimisation), fully vectorised.
+
+Unit quirk preserved from the reference: ``grid_pos`` is in *cells*, yet
+distances are divided by ``cell_size`` again before applying the decay
+(visualize_utils.py:40,98).  Parity beats dimensional hygiene here.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_FAR = 1.0e6
+
+
+@functools.partial(jax.jit, static_argnames=("row_chunk", "tgt_chunk"))
+def _min_dist_to_targets(points: jnp.ndarray, targets: jnp.ndarray,
+                         row_chunk: int = 8192,
+                         tgt_chunk: int = 1024) -> jnp.ndarray:
+    """Per-point min Euclidean distance to any target point.
+
+    ``points``: (N, 3) float32; ``targets``: (M, 3) float32 where masked-out
+    targets are pre-filled with a far sentinel coordinate.
+    """
+    n = points.shape[0]
+    m = targets.shape[0]
+    n_pad = (n + row_chunk - 1) // row_chunk * row_chunk
+    m_pad = (m + tgt_chunk - 1) // tgt_chunk * tgt_chunk
+    pts = jnp.full((n_pad, 3), _FAR, jnp.float32).at[:n].set(points)
+    tgt = jnp.full((m_pad, 3), _FAR, jnp.float32).at[:m].set(targets)
+    tgt_tiles = tgt.reshape(m_pad // tgt_chunk, tgt_chunk, 3)
+
+    def row_block(block):  # (row_chunk, 3)
+        bsq = jnp.sum(block * block, axis=1, keepdims=True)
+
+        def scan_tile(dmin, tile):
+            tsq = jnp.sum(tile * tile, axis=1)[None, :]
+            cross = block @ tile.T  # MXU contraction
+            d2 = jnp.maximum(bsq + tsq - 2.0 * cross, 0.0)
+            return jnp.minimum(dmin, jnp.min(d2, axis=1)), None
+
+        dmin0 = jnp.full((block.shape[0],), jnp.inf, jnp.float32)
+        dmin, _ = jax.lax.scan(scan_tile, dmin0, tgt_tiles)
+        return jnp.sqrt(dmin)
+
+    dists = jax.lax.map(row_block, pts.reshape(-1, row_chunk, 3))
+    return dists.reshape(-1)[:n]
+
+
+def heatmap_from_mask_3d(grid_pos, mask, cell_size: float = 0.05,
+                         decay_rate: float = 0.01) -> np.ndarray:
+    """3D heatmap: 1 on target voxels, decaying with min distance elsewhere.
+
+    Matches reference get_heatmap_from_mask_3d (visualize_utils.py:29-49):
+    ``heat = clip(1 - (min_dist / cell_size) * decay_rate, 0, 1)``.
+    Returns (N,) float32 (host numpy).
+    """
+    grid_pos = jnp.asarray(grid_pos, jnp.float32)
+    mask = jnp.asarray(mask, bool)
+    targets = jnp.where(mask[:, None], grid_pos, _FAR)
+    any_target = bool(jax.device_get(jnp.any(mask)))
+    if not any_target:
+        return np.ones((grid_pos.shape[0],), np.float32)
+    dists = _min_dist_to_targets(grid_pos, targets) / cell_size
+    heat = jnp.clip(1.0 - dists * decay_rate, 0.0, 1.0)
+    heat = jnp.where(mask, 1.0, heat)
+    return np.asarray(jax.device_get(heat), np.float32)
+
+
+# ---------------------------------------------------------------------------
+# exact 2D Euclidean distance transform
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("row_chunk",))
+def distance_transform_edt_jax(zero_mask: jnp.ndarray,
+                               row_chunk: int = 64) -> jnp.ndarray:
+    """Exact EDT: distance from each pixel to the nearest True pixel.
+
+    Equivalent to ``scipy.ndimage.distance_transform_edt(~zero_mask)`` —
+    i.e. True entries in ``zero_mask`` are the zero set.
+
+    Two-pass algorithm: (1) per-column nearest-zero row offset via forward +
+    backward cumulative sweeps; (2) per-row exact lower-envelope minimisation
+    ``D(i,j)² = min_k G(i,k)² + (j-k)²`` evaluated as a chunked broadcast —
+    O(gs³) scalar min-ops but fully vectorised on the VPU.
+    """
+    h, w = zero_mask.shape
+    big = jnp.float32(h + w + 1)
+
+    # pass 1: vertical distance to nearest zero in the same column
+    init = jnp.where(zero_mask, 0.0, jnp.inf)
+
+    def sweep(carry, row):
+        d = jnp.minimum(row, carry + 1.0)
+        return d, d
+
+    _, down = jax.lax.scan(sweep, jnp.full((w,), big), init)
+    _, up = jax.lax.scan(sweep, jnp.full((w,), big), init, reverse=True)
+    g = jnp.minimum(down, up)  # (h, w) vertical distances (may be inf)
+    g = jnp.minimum(g, big)
+
+    # pass 2: for each row, exact min over columns of g² + dx²
+    cols = jnp.arange(w, dtype=jnp.float32)
+    dx2 = (cols[:, None] - cols[None, :]) ** 2  # (w, w)
+    g2 = g * g
+
+    h_pad = (h + row_chunk - 1) // row_chunk * row_chunk
+    g2p = jnp.full((h_pad, w), big * big).at[:h].set(g2)
+
+    def row_block(block):  # (row_chunk, w)
+        # (rows, j, k): block[r, k] + dx2[j, k], min over k
+        return jnp.min(block[:, None, :] + dx2[None, :, :], axis=-1)
+
+    d2 = jax.lax.map(row_block, g2p.reshape(-1, row_chunk, w))
+    return jnp.sqrt(d2.reshape(h_pad, w)[:h])
+
+
+def heatmap_from_mask_2d(mask, cell_size: float = 0.05,
+                         decay_rate: float = 0.01) -> np.ndarray:
+    """2D heatmap via EDT decay (reference get_heatmap_from_mask_2d,
+    visualize_utils.py:97-102)."""
+    mask = jnp.asarray(mask)
+    dists = distance_transform_edt_jax(mask != 0) / cell_size
+    heat = jnp.clip(1.0 - dists * decay_rate, 0.0, jnp.inf)
+    heat = jnp.where(heat < 0, 0.0, heat)
+    return np.asarray(jax.device_get(heat), np.float32)
+
+
+@jax.jit
+def radial_decay_heatmap(grid_pos: jnp.ndarray, center: jnp.ndarray,
+                         decay_rate: float = 0.01,
+                         confidence: float = 1.0) -> jnp.ndarray:
+    """Planar radial decay from one map position (reference
+    AVLMap.index_image, avlmap.py:826-835): distances use only (row, col)."""
+    d = jnp.linalg.norm((grid_pos[:, :2].astype(jnp.float32)
+                         - center[:2].astype(jnp.float32)), axis=1)
+    return jnp.clip(confidence - decay_rate * d, 0.0, 1.0)
+
+
+def decayed_point_heatmap_2d(shape, points_rc, confidences,
+                             decay_rate: float, combine: str = "max"):
+    """Stack per-point EDT-decay maps (references AVLMap.index_area_2d
+    avlmap.py:750-770 / index_sound_2d :783-805).
+
+    For each source i at (row_i, col_i) with confidence c_i the per-source
+    map is ``clip(c_i - c_i-or-1 · dist · decay, 0, ·)``; sources combine by
+    elementwise max (area) or sum (sound).  Implemented in closed form as a
+    distance-to-point decay (no EDT needed: each seed map has a single
+    nonzero pixel, whose EDT is just the radial distance).
+    """
+    h, w = shape
+    rows = jnp.arange(h, dtype=jnp.float32)[:, None]
+    cols = jnp.arange(w, dtype=jnp.float32)[None, :]
+    out = jnp.zeros((h, w), jnp.float32)
+    for (r, c), conf in zip(points_rc, confidences):
+        dist = jnp.sqrt((rows - r) ** 2 + (cols - c) ** 2)
+        if combine == "max":
+            layer = jnp.clip(conf - dist * decay_rate, 0.0, 1.0)
+            out = jnp.maximum(out, layer)
+        else:  # sound: reduction scaled by confidence, then summed
+            layer = jnp.maximum(conf - conf * dist * decay_rate, 0.0)
+            out = out + layer
+    return np.asarray(jax.device_get(out), np.float32)

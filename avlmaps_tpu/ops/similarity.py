@@ -1,0 +1,116 @@
+"""Fused open-vocabulary similarity scoring.
+
+The reference scores a map against text by a CPU numpy matmul
+``map_feats @ text_feats.T`` (avlmaps/utils/clip_utils.py:196-242).  Here the
+score is a Pallas TPU kernel that fuses the per-row L2 normalisation into the
+matmul so the (N, D) map features are read from HBM exactly once: each grid
+step DMAs one (TILE_N, D) tile into VMEM, normalises on the VPU, and contracts
+against the (D, C) text matrix on the MXU.
+
+N is the number of occupied voxels (10^5-10^6), D the embedding dim (512/768),
+C the number of query categories (usually < 100) — the op is purely
+HBM-bandwidth bound, which is why the fusion matters.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from avlmaps_tpu.ops._pallas_compat import pallas_interpret_mode
+
+_TILE_N = 1024
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _score_kernel(norm_map_ref, norm_text_ref, feats_ref, text_ref, out_ref):
+    x = feats_ref[:].astype(jnp.float32)
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
+    xn = jnp.where(norm_map_ref[0] == 1, x * inv, x)
+
+    t = text_ref[:].astype(jnp.float32)
+    tsq = jnp.sum(t * t, axis=0, keepdims=True)
+    tinv = jax.lax.rsqrt(jnp.maximum(tsq, 1e-12))
+    tn = jnp.where(norm_text_ref[0] == 1, t * tinv, t)
+
+    # full f32 accumulation: category argmaxes must not flip vs the
+    # reference's f64/f32 numpy matmul (recall parity)
+    out_ref[:] = jnp.dot(xn, tn, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("normalize_map", "normalize_text"))
+def score_features(map_feats: jnp.ndarray, text_feats: jnp.ndarray,
+                   normalize_map: bool = False,
+                   normalize_text: bool = False) -> jnp.ndarray:
+    """Cosine / dot-product scores: (N, D) x (C, D) -> (N, C).
+
+    With both normalize flags False this is exactly the reference's
+    ``map_feats @ text_feats.T`` (clip_utils.py:229) — the reference arrays
+    are pre-normalised.  Flags fuse L2 normalisation of either side into the
+    kernel.
+    """
+    n, d = map_feats.shape
+    c = text_feats.shape[0]
+    n_pad = _round_up(max(n, 8), _TILE_N)
+    c_pad = _round_up(max(c, 8), _LANE)
+    d_pad = _round_up(d, _LANE)
+
+    x = jnp.zeros((n_pad, d_pad), map_feats.dtype).at[:n, :d].set(map_feats)
+    t = jnp.zeros((d_pad, c_pad), text_feats.dtype).at[:d, :c].set(text_feats.T)
+
+    grid = (n_pad // _TILE_N,)
+    out = pl.pallas_call(
+        _score_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((_TILE_N, d_pad), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d_pad, c_pad), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((_TILE_N, c_pad), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * d_pad * c_pad,
+            bytes_accessed=n_pad * d_pad * 4 + d_pad * c_pad * 4
+            + n_pad * c_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=pallas_interpret_mode(),
+    )(jnp.array([1 if normalize_map else 0], jnp.int32),
+      jnp.array([1 if normalize_text else 0], jnp.int32), x, t)
+    return out[:n, :c]
+
+
+def score_features_hbm(map_feats, text_feats, **kw):
+    """Alias kept for API clarity: the kernel already streams (N, D) from HBM
+    tile-by-tile, so arbitrary N works without materialising in VMEM."""
+    return score_features(map_feats, text_feats, **kw)
+
+
+@jax.jit
+def topk_categories(scores: jnp.ndarray) -> jnp.ndarray:
+    """Per-voxel argmax category (reference vlmap.py:608-610)."""
+    return jnp.argmax(scores, axis=-1)
+
+
+def score_and_mask(map_feats: jnp.ndarray, text_feats: jnp.ndarray,
+                   cat_id: int) -> jnp.ndarray:
+    """Fused score + argmax==cat mask (reference VLMap.index_map,
+    vlmap.py:589-610)."""
+    scores = score_features(map_feats, text_feats)
+    return jnp.argmax(scores, axis=-1) == cat_id

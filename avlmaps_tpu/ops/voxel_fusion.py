@@ -1,0 +1,195 @@
+"""Voxel scatter-accumulate fusion — the map-construction hot path on TPU.
+
+The reference builds the map with a per-point Python loop doing a sequential
+weighted running mean per voxel (avlmaps/map/vlmap_builder.py:136-178).  Here
+the update is reformulated associatively: each voxel slot stores Σ(w·feat) and
+Σw; the running mean is recovered on read as Σ(w·feat)/Σw.  In exact
+arithmetic this equals the reference's sequential mean for any point order
+(one intentional deviation: the reference's first insert stores
+``feat * alpha`` un-normalised, vlmap_builder.py:163, so its means over-weight
+a voxel's first point by a factor alpha — the associative form implements the
+weighted mean ConceptFusion actually specifies), which makes the whole frame
+batch one data-parallel scatter-add — XLA lowers
+it onto the TPU's native scatter path, and points from many frames fuse in a
+single device step.
+
+Slot allocation (the reference's ``max_id`` bump + ``occupied_ids`` bookkeeping,
+vlmap_builder.py:161-178) is done with static shapes: sort the batch's unseen
+voxel ids, flag first occurrences, and assign contiguous slot ranks via a
+cumulative sum.  Invalid / overflowing points are routed to a trash slot
+(row ``capacity`` of every per-slot array) instead of branching.
+
+All functions are pure; ``fuse_points`` is designed to be ``jit``-ed with
+donated state so the accumulators update in place in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INT32_MAX = np.iinfo(np.int32).max
+
+
+class VoxelFusionState(NamedTuple):
+    """Device-resident accumulator state (a pytree; shard-friendly).
+
+    ``occupied_flat`` is the dense voxel -> slot table, flattened to 1D for
+    cheap gathers/scatters: index = row * gs * vh + col * vh + h.
+    """
+
+    occupied_flat: jnp.ndarray  # (gs*gs*vh,) int32, -1 = empty
+    sum_wfeat: jnp.ndarray  # (capacity+1, D) float32, Σ w·feat per slot
+    sum_wrgb: jnp.ndarray  # (capacity+1, 3) float32, Σ w·rgb per slot
+    sum_w: jnp.ndarray  # (capacity+1,) float32, Σ w per slot
+    grid_pos: jnp.ndarray  # (capacity+1, 3) int32 (row, col, h) of each slot
+    n_slots: jnp.ndarray  # () int32 — the reference's max_id
+    n_dropped: jnp.ndarray  # () int32 — points lost to capacity overflow
+
+
+def init_fusion_state(gs: int, vh: int, feat_dim: int,
+                      capacity: int) -> VoxelFusionState:
+    """Fresh accumulators.  The +1 row on per-slot arrays is the trash slot."""
+    return VoxelFusionState(
+        occupied_flat=jnp.full((gs * gs * vh,), -1, jnp.int32),
+        sum_wfeat=jnp.zeros((capacity + 1, feat_dim), jnp.float32),
+        sum_wrgb=jnp.zeros((capacity + 1, 3), jnp.float32),
+        sum_w=jnp.zeros((capacity + 1,), jnp.float32),
+        grid_pos=jnp.zeros((capacity + 1, 3), jnp.int32),
+        n_slots=jnp.zeros((), jnp.int32),
+        n_dropped=jnp.zeros((), jnp.int32),
+    )
+
+
+def concept_fusion_alpha(points_local: jnp.ndarray,
+                         sigma_sq: float = 0.6) -> jnp.ndarray:
+    """ConceptFusion distance weight α = exp(-|p|² / (2σ²)), σ² = 0.6
+    (reference vlmap_builder.py:156-158)."""
+    radial_dist_sq = jnp.sum(jnp.square(points_local), axis=-1)
+    return jnp.exp(-radial_dist_sq / (2.0 * sigma_sq))
+
+
+@functools.partial(jax.jit, static_argnames=("gs", "vh"), donate_argnums=(0,))
+def fuse_points(state: VoxelFusionState,
+                vids: jnp.ndarray,  # (B,) int32 flat voxel ids
+                feats: jnp.ndarray,  # (B, D) float32
+                rgbs: jnp.ndarray,  # (B, 3) float32
+                alphas: jnp.ndarray,  # (B,) float32 confidence weights
+                valid: jnp.ndarray,  # (B,) bool
+                *, gs: int, vh: int) -> VoxelFusionState:
+    """Fuse one batch of weighted point features into the voxel accumulators.
+
+    Semantics per valid point (row, col, h) with weight α (matches the
+    reference inner loop vlmap_builder.py:161-178 in its associative form):
+      slot           = occupied[row, col, h], allocating if empty
+      sum_wfeat[slot] += α·feat ; sum_wrgb[slot] += α·rgb ; sum_w[slot] += α
+    """
+    capacity = state.sum_w.shape[0] - 1
+    b = vids.shape[0]
+
+    safe_vids = jnp.where(valid, vids, 0)
+    slot = jnp.where(valid, state.occupied_flat[safe_vids], -2)
+
+    # ---- allocate slots for first-seen voxels ----------------------------
+    is_new = valid & (slot == -1)
+    # sort unseen ids; non-new entries become a +inf sentinel so they sort last
+    new_vids = jnp.where(is_new, vids, INT32_MAX)
+    sorted_vids = jnp.sort(new_vids)
+    is_sentinel = sorted_vids == INT32_MAX
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        sorted_vids[1:] != sorted_vids[:-1],
+    ]) & ~is_sentinel
+    # contiguous rank of each unique new voxel, in voxel-id order
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_unique = jnp.sum(first.astype(jnp.int32))
+    cand_slot = state.n_slots + rank
+    fits = cand_slot < capacity
+    alloc_slot = jnp.where(first & fits, cand_slot, capacity)
+    write_vid = jnp.where(first & fits, sorted_vids, gs * gs * vh)
+    # one scatter row beyond the table absorbs sentinels/overflow
+    occ = jnp.concatenate([state.occupied_flat, jnp.zeros((1,), jnp.int32)])
+    occ = occ.at[write_vid].set(alloc_slot, mode="drop")
+    occupied_flat = occ[:-1]
+
+    # decode (row, col, h) for newly allocated slots from the voxel id;
+    # non-first rows carry the sentinel id and land on the trash slot,
+    # which is re-zeroed afterwards
+    vrow = write_vid // (gs * vh)
+    vcol = (write_vid // vh) % gs
+    vhh = write_vid % vh
+    new_pos = jnp.stack([vrow, vcol, vhh], axis=1)
+    grid_pos = state.grid_pos.at[alloc_slot].set(new_pos)
+    grid_pos = grid_pos.at[capacity].set(0)
+
+    # ---- resolve every point's slot and accumulate -----------------------
+    slot = jnp.where(valid, occupied_flat[safe_vids], capacity)
+    slot = jnp.where(slot < 0, capacity, slot)  # overflow voxels -> trash
+
+    w = jnp.where(valid, alphas, 0.0).astype(jnp.float32)
+    sum_wfeat = state.sum_wfeat.at[slot].add(w[:, None] * feats.astype(jnp.float32))
+    sum_wrgb = state.sum_wrgb.at[slot].add(w[:, None] * rgbs)
+    sum_w = state.sum_w.at[slot].add(w)
+
+    n_slots = jnp.minimum(state.n_slots + n_unique, capacity)
+    n_dropped = state.n_dropped + jnp.sum(
+        (valid & (slot == capacity)).astype(jnp.int32))
+
+    return VoxelFusionState(occupied_flat, sum_wfeat, sum_wrgb, sum_w,
+                            grid_pos, n_slots, n_dropped)
+
+
+def export_fusion_state(state: VoxelFusionState, gs: int, vh: int
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                   np.ndarray, np.ndarray]:
+    """Convert device accumulators to the reference's storage form.
+
+    Returns (grid_feat (N, D) weighted-mean, grid_pos (N, 3), weight (N,),
+    occupied_ids (gs, gs, vh), grid_rgb (N, 3) uint8), N = n_slots.
+    """
+    n = int(jax.device_get(state.n_slots))
+    sum_w = np.asarray(jax.device_get(state.sum_w))[:n]
+    denom = np.where(sum_w > 0, sum_w, 1.0)[:, None]
+    grid_feat = np.asarray(jax.device_get(state.sum_wfeat))[:n] / denom
+    grid_rgb = np.asarray(jax.device_get(state.sum_wrgb))[:n] / denom
+    grid_pos = np.asarray(jax.device_get(state.grid_pos))[:n]
+    occupied_ids = np.asarray(jax.device_get(state.occupied_flat)).reshape(
+        gs, gs, vh)
+    return (grid_feat.astype(np.float32), grid_pos.astype(np.int32),
+            sum_w.astype(np.float32), occupied_ids,
+            np.clip(grid_rgb, 0, 255).astype(np.uint8))
+
+
+def restore_fusion_state(gs: int, vh: int, capacity: int,
+                         grid_feat: np.ndarray, grid_pos: np.ndarray,
+                         weight: np.ndarray, occupied_ids: np.ndarray,
+                         grid_rgb: Optional[np.ndarray] = None
+                         ) -> VoxelFusionState:
+    """Resume fusion from a saved map (the builder's resume path; reference
+    vlmap_builder.py:211-224)."""
+    n = grid_feat.shape[0]
+    d = grid_feat.shape[1]
+    if n > capacity:
+        raise ValueError(f"saved map has {n} slots > capacity {capacity}")
+    sum_wfeat = np.zeros((capacity + 1, d), np.float32)
+    sum_wrgb = np.zeros((capacity + 1, 3), np.float32)
+    sum_w = np.zeros((capacity + 1,), np.float32)
+    pos = np.zeros((capacity + 1, 3), np.int32)
+    sum_w[:n] = weight
+    sum_wfeat[:n] = grid_feat * weight[:, None]
+    if grid_rgb is not None:
+        sum_wrgb[:n] = grid_rgb.astype(np.float32) * weight[:, None]
+    pos[:n] = grid_pos
+    return VoxelFusionState(
+        occupied_flat=jnp.asarray(occupied_ids.reshape(-1).astype(np.int32)),
+        sum_wfeat=jnp.asarray(sum_wfeat),
+        sum_wrgb=jnp.asarray(sum_wrgb),
+        sum_w=jnp.asarray(sum_w),
+        grid_pos=jnp.asarray(pos),
+        n_slots=jnp.asarray(n, jnp.int32),
+        n_dropped=jnp.zeros((), jnp.int32),
+    )

@@ -1,0 +1,58 @@
+"""Config system: defaults mirror the reference YAML tree, YAML compose works."""
+
+import textwrap
+
+from avlmaps_tpu.config import AVLMapsConfig, load_config
+
+
+def test_defaults_match_reference_yaml():
+    cfg = load_config()
+    # config/params/default.yaml
+    assert cfg.params.gs == 1000
+    assert cfg.params.cs == 0.05
+    assert cfg.params.camera_height == 1.5
+    assert cfg.params.forward_dist == 0.1
+    assert cfg.params.turn_angle == 5
+    # config/map_config/vlmaps.yaml
+    mc = cfg.map_config
+    assert mc.map_type == "vlmap"
+    assert mc.depth_sample_rate == 100
+    assert mc.dilate_iter == 3
+    assert mc.pose_info.pose_type == "mobile_base"
+    assert tuple(mc.pose_info.base_forward_axis) == (0, 0, -1)
+    assert mc.calib_matrix()[0, 0] == 540
+    assert mc.vh == 30
+    # interpolation propagation (${params.gs})
+    assert cfg.controller_config.gs == cfg.params.gs
+    assert cfg.map_config.grid_size == cfg.params.gs
+    # nav (config/map_creation_cfg.yaml)
+    assert cfg.nav.valid_range == 1
+
+
+def test_sound_level_categories():
+    cfg = AVLMapsConfig()
+    cats = cfg.sound_config.level_categories("level_1")
+    assert "glass_breaking" in cats and len(cats) == 10
+    cats3 = cfg.sound_config.level_categories("level_3")
+    assert len(cats3) == 30 and "dog" in cats3
+
+
+def test_yaml_compose(tmp_path):
+    (tmp_path / "params").mkdir()
+    (tmp_path / "params" / "small.yaml").write_text(
+        "gs: 100\ncs: 0.1\ncamera_height: 1.5\n")
+    main = tmp_path / "cfg.yaml"
+    main.write_text(textwrap.dedent("""
+        defaults:
+          - params: small
+          - _self_
+        scene_id: 3
+        map_config:
+          grid_size: ${params.gs}
+          cell_size: ${params.cs}
+    """))
+    cfg = load_config(main)
+    assert cfg.scene_id == 3
+    assert cfg.params.gs == 100
+    assert cfg.map_config.grid_size == 100
+    assert cfg.map_config.cell_size == 0.1
