@@ -1,0 +1,229 @@
+"""High-level CLIP feature APIs: prompt templates, batched text/image
+features, and map scoring.
+
+Mirrors the reference's avlmaps/utils/clip_utils.py surface (templates
+:10-74, get_text_feats :133-149, get_text_feats_multiple_templates :152-159,
+get_lseg_score :196-242) re-hosted on the flax encoders: tokenisation on the
+host, one jitted forward per (padded) batch on TPU, normalisation fused.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avlmaps_tpu.models.clip.model import (
+    Clip, ClipConfig, CLIP_VARIANTS, CLIP_FEAT_DIMS, preprocess_images,
+)
+from avlmaps_tpu.models.clip.tokenizer import ClipTokenizer, default_tokenizer
+from avlmaps_tpu.ops.similarity import score_features
+
+# The 64 prompt-ensembling templates published with OpenAI CLIP's prompt
+# engineering notebook (same set the reference embeds at clip_utils.py:10-74).
+# These are public prompt data, not code.
+MULTIPLE_TEMPLATES = [
+    "There is {} in the scene.",
+    "There is the {} in the scene.",
+    "a photo of {} in the scene.",
+    "a photo of the {} in the scene.",
+    "a photo of one {} in the scene.",
+    "I took a picture of of {}.",
+    "I took a picture of of my {}.",
+    "I took a picture of of the {}.",
+    "a photo of {}.",
+    "a photo of my {}.",
+    "a photo of the {}.",
+    "a photo of one {}.",
+    "a photo of many {}.",
+    "a good photo of {}.",
+    "a good photo of the {}.",
+    "a bad photo of {}.",
+    "a bad photo of the {}.",
+    "a photo of a nice {}.",
+    "a photo of the nice {}.",
+    "a photo of a cool {}.",
+    "a photo of the cool {}.",
+    "a photo of a weird {}.",
+    "a photo of the weird {}.",
+    "a photo of a small {}.",
+    "a photo of the small {}.",
+    "a photo of a large {}.",
+    "a photo of the large {}.",
+    "a photo of a clean {}.",
+    "a photo of the clean {}.",
+    "a photo of a dirty {}.",
+    "a photo of the dirty {}.",
+    "a bright photo of {}.",
+    "a bright photo of the {}.",
+    "a dark photo of {}.",
+    "a dark photo of the {}.",
+    "a photo of a hard to see {}.",
+    "a photo of the hard to see {}.",
+    "a low resolution photo of {}.",
+    "a low resolution photo of the {}.",
+    "a cropped photo of {}.",
+    "a cropped photo of the {}.",
+    "a close-up photo of {}.",
+    "a close-up photo of the {}.",
+    "a jpeg corrupted photo of {}.",
+    "a jpeg corrupted photo of the {}.",
+    "a blurry photo of {}.",
+    "a blurry photo of the {}.",
+    "a pixelated photo of {}.",
+    "a pixelated photo of the {}.",
+    "a black and white photo of the {}.",
+    "a black and white photo of {}.",
+    "a plastic {}.",
+    "the plastic {}.",
+    "a toy {}.",
+    "the toy {}.",
+    "a plushie {}.",
+    "the plushie {}.",
+    "a cartoon {}.",
+    "the cartoon {}.",
+    "an embroidered {}.",
+    "the embroidered {}.",
+    "a painting of the {}.",
+    "a painting of a {}.",
+]
+
+
+class ClipEncoder:
+    """Stateful convenience wrapper: config + params + jitted forwards.
+
+    ``params=None`` initialises random weights (architecture-correct; used
+    for benchmarking and tests where no checkpoint is available).
+    """
+
+    def __init__(self, variant: str = "ViT-B/32",
+                 params: Optional[Any] = None,
+                 tokenizer: Optional[ClipTokenizer] = None,
+                 dtype: Any = jnp.float32, seed: int = 0):
+        cfg = CLIP_VARIANTS[variant]
+        self.cfg = ClipConfig(**{**cfg.__dict__, "dtype": dtype})
+        self.variant = variant
+        self.feat_dim = self.cfg.embed_dim
+        self.model = Clip(self.cfg)
+        self.tokenizer = tokenizer or default_tokenizer()
+        if params is None:
+            k = jax.random.PRNGKey(seed)
+            dummy_tokens = jnp.zeros((1, self.cfg.context_length), jnp.int32)
+            dummy_img = jnp.zeros(
+                (1, self.cfg.image_size, self.cfg.image_size, 3), jnp.float32)
+            params = jax.jit(self.model.init)(k, dummy_tokens, dummy_img)
+        self.params = params
+
+        self._encode_text = jax.jit(
+            lambda p, t: self.model.apply(p, t, method=Clip.encode_text))
+        self._encode_image = jax.jit(
+            lambda p, x: self.model.apply(p, x, method=Clip.encode_image))
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kw) -> "ClipEncoder":
+        from avlmaps_tpu.models.clip.port import load_clip_checkpoint
+
+        cfg, variables = load_clip_checkpoint(path)
+        enc = cls.__new__(cls)
+        enc.cfg = cfg
+        enc.variant = "checkpoint"
+        enc.feat_dim = cfg.embed_dim
+        enc.model = Clip(cfg)
+        enc.tokenizer = kw.get("tokenizer") or default_tokenizer()
+        enc.params = variables
+        enc._encode_text = jax.jit(
+            lambda p, t: enc.model.apply(p, t, method=Clip.encode_text))
+        enc._encode_image = jax.jit(
+            lambda p, x: enc.model.apply(p, x, method=Clip.encode_image))
+        return enc
+
+    # -- text --------------------------------------------------------------
+
+    def get_text_feats(self, texts: Sequence[str],
+                       batch_size: int = 64) -> np.ndarray:
+        """L2-normalised text features, (len(texts), embed_dim) float32
+        (reference get_text_feats, clip_utils.py:133-149).  Batches are
+        padded to ``batch_size`` so only one program is compiled."""
+        tokens = self.tokenizer(list(texts), self.cfg.context_length)
+        out = np.zeros((len(texts), self.feat_dim), np.float32)
+        for start in range(0, len(texts), batch_size):
+            chunk = tokens[start:start + batch_size]
+            pad = batch_size - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.tile(chunk[-1:], (pad, 1))], axis=0)
+            feats = np.asarray(
+                jax.device_get(self._encode_text(self.params,
+                                                 jnp.asarray(chunk))),
+                np.float32)
+            feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+            out[start:start + batch_size] = feats[:batch_size - pad]
+        return out
+
+    def get_text_feats_multiple_templates(self, texts: Sequence[str]
+                                          ) -> np.ndarray:
+        """Template-ensembled text features: encode every (template, text)
+        pair and average per text (reference clip_utils.py:152-159)."""
+        prompts = [t.format(x) for x in texts for t in MULTIPLE_TEMPLATES]
+        feats = self.get_text_feats(prompts)
+        feats = feats.reshape(len(texts), len(MULTIPLE_TEMPLATES), -1)
+        return feats.mean(axis=1)
+
+    # -- image -------------------------------------------------------------
+
+    def get_img_feats(self, img: np.ndarray) -> np.ndarray:
+        """L2-normalised image features for one HWC uint8 image
+        (reference get_img_feats, clip_utils.py:96-103)."""
+        return self.get_imgs_feats_batch([img], batch_size=1)
+
+    def get_imgs_feats_batch(self, imgs: Sequence[np.ndarray],
+                             batch_size: int = 64) -> np.ndarray:
+        """Batched image features (reference clip_utils.py:113-130)."""
+        out = np.zeros((len(imgs), self.feat_dim), np.float32)
+        for start in range(0, len(imgs), batch_size):
+            chunk = imgs[start:start + batch_size]
+            batch = preprocess_images(chunk, self.cfg.image_size)
+            pad = batch_size - batch.shape[0]
+            if pad:
+                batch = np.concatenate(
+                    [batch, np.tile(batch[-1:], (pad, 1, 1, 1))], axis=0)
+            feats = np.asarray(
+                jax.device_get(self._encode_image(self.params,
+                                                  jnp.asarray(batch))),
+                np.float32)
+            feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+            out[start:start + batch_size] = feats[:batch_size - pad]
+        return out
+
+    # -- scoring -----------------------------------------------------------
+
+    def get_lseg_score(self, landmarks: List[str], map_feats: np.ndarray,
+                       use_multiple_templates: bool = False,
+                       avg_mode: int = 0, add_other: bool = True
+                       ) -> np.ndarray:
+        """Score map features against landmark texts (reference
+        get_lseg_score, clip_utils.py:196-242) with the matmul on TPU."""
+        landmarks_other = list(landmarks)
+        if add_other and landmarks_other[-1] != "other":
+            landmarks_other = landmarks_other + ["other"]
+
+        if use_multiple_templates and avg_mode == 0:
+            text_feats = self.get_text_feats_multiple_templates(
+                landmarks_other)
+        elif use_multiple_templates:
+            prompts = [t.format(x) for x in landmarks_other
+                       for t in MULTIPLE_TEMPLATES]
+            text_feats = self.get_text_feats(prompts)
+        else:
+            text_feats = self.get_text_feats(landmarks_other)
+
+        flat = map_feats.reshape(-1, map_feats.shape[-1])
+        scores = np.asarray(jax.device_get(score_features(
+            jnp.asarray(flat), jnp.asarray(text_feats))))
+        if use_multiple_templates and avg_mode == 1:
+            scores = scores.reshape(-1, len(landmarks_other),
+                                    len(MULTIPLE_TEMPLATES)).mean(axis=2)
+        return scores

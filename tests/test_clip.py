@@ -1,0 +1,258 @@
+"""CLIP model tests: tokenizer invariants, forward shapes, torch weight-port
+golden parity (a tiny torch re-implementation generates the goldens)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from avlmaps_tpu.models.clip import (
+    Clip, ClipConfig, ClipTokenizer, ClipEncoder, MULTIPLE_TEMPLATES,
+)
+from avlmaps_tpu.models.clip.tokenizer import SOT_ID, EOT_ID
+from avlmaps_tpu.models.clip.port import port_clip_state_dict
+
+
+TINY = ClipConfig(embed_dim=16, image_size=32, patch_size=8, vision_width=32,
+                  vision_layers=2, text_width=32, text_layers=2, text_heads=2,
+                  context_length=16, vocab_size=49408)
+
+
+class TestTokenizer:
+    def test_framing(self):
+        tok = ClipTokenizer()
+        ids = tok(["chair"])
+        assert ids.shape == (1, 77)
+        assert ids[0, 0] == SOT_ID
+        row = ids[0]
+        eot_pos = int(np.argmax(row))  # EOT is the max id in the sequence
+        assert row[eot_pos] == EOT_ID
+        assert (row[eot_pos + 1:] == 0).all()
+
+    def test_byte_fallback_ids_are_valid(self):
+        tok = ClipTokenizer()
+        ids = tok.encode("sofa table")
+        assert all(0 <= i < 49408 for i in ids)
+        # word-final characters use the </w> byte range [256, 512)
+        assert any(256 <= i < 512 for i in ids)
+
+    def test_deterministic_and_case_insensitive(self):
+        tok = ClipTokenizer()
+        np.testing.assert_array_equal(tok(["Chair"]), tok(["chair"]))
+
+    def test_truncation(self):
+        tok = ClipTokenizer()
+        ids = tok(["word " * 200], context_length=77)
+        assert ids.shape == (1, 77)
+        assert ids[0, -1] == EOT_ID
+
+    def test_merges_file(self, tmp_path):
+        # a micro merges file: merge 'ch' then 'air</w>' pieces
+        merges = tmp_path / "merges.txt"
+        merges.write_text("#version\nc h\na i\nai r</w>\n")
+        tok = ClipTokenizer(str(merges))
+        assert tok.has_merges
+        ids = tok.encode("chair")
+        # 'chair' -> 'ch' 'ai' 'r</w>' is wrong: 'air</w>' merge applies after
+        # 'ai'; either way the encoding shrinks below the 5 byte tokens
+        assert len(ids) < 5
+        untok = ClipTokenizer()
+        assert len(untok.encode("chair")) == 5
+
+
+class TestForward:
+    @pytest.fixture(scope="class")
+    def model_and_params(self):
+        model = Clip(TINY)
+        k = jax.random.PRNGKey(0)
+        tokens = jnp.zeros((2, TINY.context_length), jnp.int32)
+        imgs = jnp.zeros((2, 32, 32, 3), jnp.float32)
+        params = model.init(k, tokens, imgs)
+        return model, params
+
+    def test_text_shapes(self, model_and_params):
+        model, params = model_and_params
+        tokens = jnp.asarray(
+            np.random.default_rng(0).integers(1, 1000, (3, 16)), jnp.int32)
+        out = model.apply(params, tokens, method=Clip.encode_text)
+        assert out.shape == (3, 16)
+
+    def test_image_shapes(self, model_and_params):
+        model, params = model_and_params
+        imgs = jnp.asarray(
+            np.random.default_rng(0).normal(size=(3, 32, 32, 3)), jnp.float32)
+        out = model.apply(params, imgs, method=Clip.encode_image)
+        assert out.shape == (3, 16)
+
+    def test_joint_logits(self, model_and_params):
+        model, params = model_and_params
+        tokens = jnp.asarray(
+            np.random.default_rng(0).integers(1, 1000, (2, 16)), jnp.int32)
+        imgs = jnp.asarray(
+            np.random.default_rng(1).normal(size=(2, 32, 32, 3)), jnp.float32)
+        logits = model.apply(params, tokens, imgs)
+        assert logits.shape == (2, 2)
+
+    def test_eot_position_selection(self, model_and_params):
+        """Padding after EOT must not change the text embedding."""
+        model, params = model_and_params
+        row = np.zeros((1, 16), np.int32)
+        row[0, :4] = [SOT_ID, 10, 20, EOT_ID]
+        a = model.apply(params, jnp.asarray(row), method=Clip.encode_text)
+        row2 = row.copy()
+        # causal masking + EOT argmax selection => ids after EOT are inert
+        row2[0, 5] = 0
+        b = model.apply(params, jnp.asarray(row2), method=Clip.encode_text)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestTorchPort:
+    """Golden parity: build the same tiny CLIP in torch, port weights, and
+    compare activations (SURVEY.md §4: golden-value tests per encoder)."""
+
+    @pytest.fixture(scope="class")
+    def torch_ref(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn as tnn
+
+        W, H, L, E, CTX, V = 32, 1, 2, 16, 16, 49408  # 1 head: matches width//64 -> max(1, .) rule
+
+        class Block(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.ln_1 = tnn.LayerNorm(W, eps=1e-5)
+                self.attn = tnn.MultiheadAttention(W, H, batch_first=False)
+                self.ln_2 = tnn.LayerNorm(W, eps=1e-5)
+                self.mlp = tnn.Sequential()
+                self.mlp.add_module("c_fc", tnn.Linear(W, 4 * W))
+                self.mlp.add_module("c_proj", tnn.Linear(4 * W, W))
+
+            def forward(self, x, mask=None):
+                h = self.ln_1(x)
+                a, _ = self.attn(h, h, h, need_weights=False, attn_mask=mask)
+                x = x + a
+                h = self.ln_2(x)
+                h = self.mlp.c_fc(h)
+                h = h * torch.sigmoid(1.702 * h)
+                return x + self.mlp.c_proj(h)
+
+        class TorchClipText(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.token_embedding = tnn.Embedding(V, W)
+                self.positional_embedding = tnn.Parameter(
+                    torch.randn(CTX, W) * 0.01)
+                self.resblocks = tnn.ModuleList([Block() for _ in range(L)])
+                self.ln_final = tnn.LayerNorm(W, eps=1e-5)
+                self.text_projection = tnn.Parameter(torch.randn(W, E) * 0.02)
+
+            def forward(self, tokens):
+                x = self.token_embedding(tokens) + self.positional_embedding
+                t = tokens.shape[1]
+                mask = torch.full((t, t), float("-inf")).triu(1)
+                x = x.permute(1, 0, 2)
+                for blk in self.resblocks:
+                    x = blk(x, mask)
+                x = x.permute(1, 0, 2)
+                x = self.ln_final(x)
+                x = x[torch.arange(x.shape[0]), tokens.argmax(dim=-1)]
+                return x @ self.text_projection
+
+        torch.manual_seed(0)
+        return TorchClipText().eval()
+
+    def test_text_tower_parity(self, torch_ref):
+        import torch
+
+        # assemble an OpenAI-style state dict from the torch reference
+        sd = {}
+        sd["token_embedding.weight"] = torch_ref.token_embedding.weight
+        sd["positional_embedding"] = torch_ref.positional_embedding
+        sd["ln_final.weight"] = torch_ref.ln_final.weight
+        sd["ln_final.bias"] = torch_ref.ln_final.bias
+        sd["text_projection"] = torch_ref.text_projection
+        for i, blk in enumerate(torch_ref.resblocks):
+            p = f"transformer.resblocks.{i}"
+            sd[f"{p}.ln_1.weight"] = blk.ln_1.weight
+            sd[f"{p}.ln_1.bias"] = blk.ln_1.bias
+            sd[f"{p}.ln_2.weight"] = blk.ln_2.weight
+            sd[f"{p}.ln_2.bias"] = blk.ln_2.bias
+            sd[f"{p}.attn.in_proj_weight"] = blk.attn.in_proj_weight
+            sd[f"{p}.attn.in_proj_bias"] = blk.attn.in_proj_bias
+            sd[f"{p}.attn.out_proj.weight"] = blk.attn.out_proj.weight
+            sd[f"{p}.attn.out_proj.bias"] = blk.attn.out_proj.bias
+            sd[f"{p}.mlp.c_fc.weight"] = blk.mlp.c_fc.weight
+            sd[f"{p}.mlp.c_fc.bias"] = blk.mlp.c_fc.bias
+            sd[f"{p}.mlp.c_proj.weight"] = blk.mlp.c_proj.weight
+            sd[f"{p}.mlp.c_proj.bias"] = blk.mlp.c_proj.bias
+        # vision keys required by the porter: give it a consistent 2-block ViT
+        torch.manual_seed(1)
+        W, E = 32, 16
+        sd["visual.conv1.weight"] = torch.randn(W, 3, 8, 8) * 0.02
+        sd["visual.class_embedding"] = torch.randn(W) * 0.02
+        sd["visual.positional_embedding"] = torch.randn(17, W) * 0.01
+        sd["visual.ln_pre.weight"] = torch.ones(W)
+        sd["visual.ln_pre.bias"] = torch.zeros(W)
+        sd["visual.ln_post.weight"] = torch.ones(W)
+        sd["visual.ln_post.bias"] = torch.zeros(W)
+        sd["visual.proj"] = torch.randn(W, E) * 0.02
+        for i in range(2):
+            p = f"visual.transformer.resblocks.{i}"
+            sd[f"{p}.ln_1.weight"] = torch.ones(W)
+            sd[f"{p}.ln_1.bias"] = torch.zeros(W)
+            sd[f"{p}.ln_2.weight"] = torch.ones(W)
+            sd[f"{p}.ln_2.bias"] = torch.zeros(W)
+            sd[f"{p}.attn.in_proj_weight"] = torch.randn(3 * W, W) * 0.02
+            sd[f"{p}.attn.in_proj_bias"] = torch.zeros(3 * W)
+            sd[f"{p}.attn.out_proj.weight"] = torch.randn(W, W) * 0.02
+            sd[f"{p}.attn.out_proj.bias"] = torch.zeros(W)
+            sd[f"{p}.mlp.c_fc.weight"] = torch.randn(4 * W, W) * 0.02
+            sd[f"{p}.mlp.c_fc.bias"] = torch.zeros(4 * W)
+            sd[f"{p}.mlp.c_proj.weight"] = torch.randn(W, 4 * W) * 0.02
+            sd[f"{p}.mlp.c_proj.bias"] = torch.zeros(4 * W)
+        sd["logit_scale"] = torch.tensor(2.0)
+
+        variables = port_clip_state_dict(sd)
+        from avlmaps_tpu.models.clip.port import config_from_state_dict
+        cfg = config_from_state_dict(sd)
+        assert cfg.text_width == 32 and cfg.text_layers == 2
+        model = Clip(cfg)
+
+        tokens = np.zeros((2, 16), np.int32)
+        tokens[0, :4] = [SOT_ID, 100, 200, EOT_ID]
+        tokens[1, :6] = [SOT_ID, 5, 6, 7, 8, EOT_ID]
+
+        with torch.no_grad():
+            expected = torch_ref(torch.from_numpy(tokens.astype(np.int64)))
+        got = model.apply(variables, jnp.asarray(tokens),
+                          method=Clip.encode_text)
+        np.testing.assert_allclose(np.asarray(got), expected.numpy(),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_encoder_wrapper_text_feats():
+    enc = ClipEncoder.__new__(ClipEncoder)  # avoid big default init
+    cfg = TINY
+    enc.cfg = cfg
+    enc.variant = "tiny"
+    enc.feat_dim = cfg.embed_dim
+    enc.model = Clip(cfg)
+    enc.tokenizer = ClipTokenizer()
+    k = jax.random.PRNGKey(0)
+    enc.params = enc.model.init(
+        k, jnp.zeros((1, cfg.context_length), jnp.int32),
+        jnp.zeros((1, 32, 32, 3), jnp.float32))
+    enc._encode_text = jax.jit(
+        lambda p, t: enc.model.apply(p, t, method=Clip.encode_text))
+    enc._encode_image = jax.jit(
+        lambda p, x: enc.model.apply(p, x, method=Clip.encode_image))
+
+    feats = enc.get_text_feats(["chair", "table", "sofa"], batch_size=2)
+    assert feats.shape == (3, 16)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, rtol=1e-5)
+
+    scores = enc.get_lseg_score(
+        ["chair", "table"],
+        np.random.default_rng(0).normal(size=(50, 16)).astype(np.float32),
+        add_other=True)
+    assert scores.shape == (50, 3)  # + "other"
