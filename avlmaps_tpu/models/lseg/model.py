@@ -1,0 +1,94 @@
+"""LSeg: pixel-aligned CLIP features for open-vocabulary segmentation.
+
+The mapping pipeline's flagship encoder (reference LSegEncNet,
+avlmaps/lseg/modules/models/lseg_net.py:287-356): a dense ViT-L/16 backbone,
+DPT decoder, and a 1x1 head projecting to the 512-d CLIP embedding space with
+L2 normalisation and a fixed logit scale (exp(log(1/0.07)), a constant in the
+reference since the Parameter is .exp()'d at construction).
+
+Output is the pixel-encoding map at full input resolution (decoder at 1/2,
+followed by the head's 2x align_corners upsample — lseg_net.py:333-335).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+
+from avlmaps_tpu.models.lseg.vit import DenseViT, DenseViTConfig
+from avlmaps_tpu.models.lseg.dpt import DPTDecoder
+from avlmaps_tpu.ops.resize import resize_bilinear_align_corners
+
+LOGIT_SCALE = float(np.exp(np.log(1.0 / 0.07)))  # = 1/0.07, fixed
+
+
+@dataclasses.dataclass(frozen=True)
+class LSegConfig:
+    vit: DenseViTConfig = DenseViTConfig()
+    features: int = 256
+    reassemble_ch: Tuple[int, ...] = (256, 512, 1024, 1024)
+    out_dim: int = 512
+    dtype: Any = jnp.float32
+
+    @staticmethod
+    def vitl16(dtype=jnp.float32) -> "LSegConfig":
+        """The reference's clip_vitl16_384 backbone (hooks 5/11/17/23)."""
+        return LSegConfig(vit=DenseViTConfig(dtype=dtype), dtype=dtype)
+
+    @staticmethod
+    def tiny(dtype=jnp.float32) -> "LSegConfig":
+        """Small config for tests."""
+        return LSegConfig(
+            vit=DenseViTConfig(patch_size=8, width=32, layers=4, heads=2,
+                               hooks=(0, 1, 2, 3), pretrain_grid=4,
+                               dtype=dtype),
+            features=16, reassemble_ch=(8, 16, 32, 32), out_dim=24,
+            dtype=dtype)
+
+
+class LSegNet(nn.Module):
+    """Dense pixel-embedding network.
+
+    ``__call__(images)`` -> (B, H, W, out_dim) L2-normalised pixel features
+    scaled by the logit scale — the reference's ``pixel_encoding`` output
+    (lseg_net.py:312-335) in NHWC.  Text scoring (the reference's second
+    output) lives outside the network: score with
+    avlmaps_tpu.ops.similarity.score_features against CLIP text features.
+    """
+
+    cfg: LSegConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        b, h, w, _ = images.shape
+        gh, gw = h // cfg.vit.patch_size, w // cfg.vit.patch_size
+
+        taps = DenseViT(cfg.vit, name="backbone")(images)
+        path = DPTDecoder(cfg.vit.width, cfg.reassemble_ch, cfg.features,
+                          cfg.dtype, name="decoder")(taps, gh, gw)
+        feats = nn.Conv(cfg.out_dim, (1, 1), dtype=cfg.dtype,
+                        name="head1")(path)
+
+        # L2-normalise per pixel in f32, scale by the fixed logit scale
+        feats = feats.astype(jnp.float32)
+        norm = jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        feats = feats / jnp.maximum(norm, 1e-12) * LOGIT_SCALE
+        # final 2x upsample back to input resolution (align_corners=True)
+        ph, pw = feats.shape[1], feats.shape[2]
+        return resize_bilinear_align_corners(feats, 2 * ph, 2 * pw)
+
+
+def init_lseg(cfg: Optional[LSegConfig] = None, image_size: int = 480,
+              seed: int = 0):
+    """Initialise an LSegNet and its params for a given square crop size."""
+    cfg = cfg or LSegConfig.vitl16()
+    model = LSegNet(cfg)
+    dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(seed), dummy)
+    return model, params

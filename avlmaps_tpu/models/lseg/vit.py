@@ -1,0 +1,137 @@
+"""Dense ViT backbone with multi-level feature taps.
+
+The reference achieves this by registering forward hooks on a timm ViT and
+bilinearly resizing the positional embedding at runtime
+(avlmaps/lseg/modules/models/lseg_vit.py:104-201).  Hooks are an artefact of
+wrapping a fixed third-party module; here the backbone simply *returns* the
+four tapped block outputs — a pure multi-output function that jits into one
+XLA program, with the pos-embed resize traced statically per input size.
+
+Architecture matches timm's ``vit_large_patch16_384``: patch conv with bias,
+cls token, learned pos-embed, pre-LN blocks with standard (erf) GELU,
+LayerNorm eps 1e-6.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+
+from avlmaps_tpu.ops.resize import resize_bilinear
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseViTConfig:
+    patch_size: int = 16
+    width: int = 1024
+    layers: int = 24
+    heads: int = 16
+    mlp_ratio: int = 4
+    hooks: Tuple[int, ...] = (5, 11, 17, 23)
+    pretrain_grid: int = 24  # 384 / 16: grid size the pos-embed was trained at
+    ln_eps: float = 1e-6
+    dtype: Any = jnp.float32
+
+
+class ViTBlock(nn.Module):
+    """timm-style pre-LN transformer block (GELU MLP, fused QKV)."""
+
+    width: int
+    heads: int
+    mlp_ratio: int
+    ln_eps: float
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, _ = x.shape
+        hd = self.width // self.heads
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
+                         name="norm1")(x)
+        qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(z):
+            return z.reshape(b, t, self.heads, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        logits = logits * (1.0 / np.sqrt(hd))
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, t, self.width)
+        x = x + nn.Dense(self.width, dtype=self.dtype, name="proj")(attn)
+
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
+                         name="norm2")(x)
+        h = nn.Dense(self.mlp_ratio * self.width, dtype=self.dtype,
+                     name="mlp_fc")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        x = x + nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(h)
+        return x
+
+
+class DenseViT(nn.Module):
+    """ViT backbone returning the outputs of the hooked blocks.
+
+    Input: NHWC image batch (already normalised).  Output: list of
+    (B, 1 + gh*gw, width) activations, one per hook, in hook order —
+    exactly what the reference's forward hooks capture (block outputs,
+    pre-final-norm).
+    """
+
+    cfg: DenseViTConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> List[jnp.ndarray]:
+        cfg = self.cfg
+        b, h, w, _ = images.shape
+        gh, gw = h // cfg.patch_size, w // cfg.patch_size
+
+        x = nn.Conv(cfg.width, (cfg.patch_size, cfg.patch_size),
+                    strides=(cfg.patch_size, cfg.patch_size), use_bias=True,
+                    dtype=cfg.dtype, name="patch_embed")(images)
+        x = x.reshape(b, gh * gw, cfg.width)
+
+        cls = self.param("cls_token", nn.initializers.zeros,
+                         (1, 1, cfg.width))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(x.dtype), (b, 1, cfg.width)), x],
+            axis=1)
+
+        n_pre = cfg.pretrain_grid * cfg.pretrain_grid + 1
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, n_pre, cfg.width))
+        x = x + _resize_pos_embed(pos, cfg.pretrain_grid, gh, gw).astype(
+            x.dtype)
+
+        taps: List[jnp.ndarray] = []
+        hook_set = set(cfg.hooks)
+        for i in range(cfg.layers):
+            x = ViTBlock(cfg.width, cfg.heads, cfg.mlp_ratio, cfg.ln_eps,
+                         cfg.dtype, name=f"block_{i}")(x)
+            if i in hook_set:
+                taps.append(x)
+            if len(taps) == len(cfg.hooks) and i >= max(cfg.hooks):
+                break  # blocks above the last hook never affect the output
+        return taps
+
+
+def _resize_pos_embed(pos: jnp.ndarray, grid_old: int, gh: int,
+                      gw: int) -> jnp.ndarray:
+    """Bilinearly resize the grid part of a (1, 1+g*g, D) pos-embed to
+    (gh, gw), keeping the cls part (reference _resize_pos_embed,
+    lseg_vit.py:149-163; align_corners=False)."""
+    if gh == grid_old and gw == grid_old:
+        return pos
+    tok, grid = pos[:, :1], pos[:, 1:]
+    d = grid.shape[-1]
+    grid = grid.reshape(1, grid_old, grid_old, d)
+    grid = resize_bilinear(grid, gh, gw).reshape(1, gh * gw, d)
+    return jnp.concatenate([tok, grid], axis=1)

@@ -1,0 +1,129 @@
+"""Sliding-window LSeg inference as a single batched device program.
+
+The reference evaluates overlapping 480-crops of a 520-long-side resize in a
+Python grid loop with count-normalised averaging
+(avlmaps/utils/lseg_utils.py:20-119).  The grid is static given the input
+size, so here all crops are evaluated as ONE batched forward (the window axis
+folds into the batch axis — TPU-friendly: bigger matmuls, one compile), and
+the overlap-average is a static scatter-add.
+
+Canvas accumulation runs in f32; for the map-building path use
+``lseg_features_at_points`` which gathers only the sampled pixels inside the
+same jit so the full (H, W, 512) canvas never reaches the host.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avlmaps_tpu.ops.resize import resize_bilinear_align_corners
+
+NORM_MEAN = (0.5, 0.5, 0.5)
+NORM_STD = (0.5, 0.5, 0.5)
+
+
+def normalize_image(rgb_uint8: np.ndarray) -> np.ndarray:
+    """HWC uint8 -> normalised float32 (reference lseg transform,
+    vlmap_builder.py:255-261: ToTensor + Normalize(0.5, 0.5))."""
+    img = rgb_uint8.astype(np.float32) / 255.0
+    return (img - np.asarray(NORM_MEAN)) / np.asarray(NORM_STD)
+
+
+def plan_windows(h: int, w: int, base_size: int = 520, crop_size: int = 480,
+                 stride_rate: float = 2.0 / 3.0):
+    """Static sliding-window plan for an (h, w) input.
+
+    Returns (resized_h, resized_w, padded_h, padded_w, crops) where crops is
+    a list of (h0, h1, w0, w1) in padded coords — the same grid the reference
+    computes at lseg_utils.py:42-52,69-76.
+    """
+    stride = int(crop_size * stride_rate)
+    if h > w:
+        height, width = base_size, int(1.0 * w * base_size / h + 0.5)
+    else:
+        width, height = base_size, int(1.0 * h * base_size / w + 0.5)
+    ph, pw = max(height, crop_size), max(width, crop_size)
+    crops: List[Tuple[int, int, int, int]] = []
+    h_grids = int(math.ceil(1.0 * (ph - crop_size) / stride)) + 1
+    w_grids = int(math.ceil(1.0 * (pw - crop_size) / stride)) + 1
+    for idh in range(h_grids):
+        for idw in range(w_grids):
+            h0, w0 = idh * stride, idw * stride
+            h1, w1 = min(h0 + crop_size, ph), min(w0 + crop_size, pw)
+            crops.append((h0, h1, w0, w1))
+    return height, width, ph, pw, crops
+
+
+def _pad_value() -> np.ndarray:
+    """-mean/std: the normalised zero pixel (reference pad_image,
+    additional_utils/models.py:145-157)."""
+    return -np.asarray(NORM_MEAN, np.float32) / np.asarray(NORM_STD,
+                                                           np.float32)
+
+
+def sliding_window_features(apply_fn: Callable, params, images: jnp.ndarray,
+                            base_size: int = 520, crop_size: int = 480,
+                            ) -> jnp.ndarray:
+    """Full-canvas pixel features for a batch of same-sized frames.
+
+    ``images``: (B, H, W, 3) normalised float32.  Returns
+    (B, height, width, D) where (height, width) is the base_size resize —
+    matching the reference's returned resolution (lseg_utils.py:97-98).
+    """
+    b, h, w, _ = images.shape
+    height, width, ph, pw, crops = plan_windows(h, w, base_size, crop_size)
+
+    x = resize_bilinear_align_corners(images, height, width)
+    pad = _pad_value()
+    canvas_in = jnp.broadcast_to(jnp.asarray(pad), (b, ph, pw, 3))
+    canvas_in = canvas_in.at[:, :height, :width, :].set(x)
+
+    # batch all crops: (B * n_crops, crop, crop, 3); crops shorter than the
+    # window are padded with the normalised-zero pixel (reference pad_image)
+    crop_batch = []
+    for (h0, h1, w0, w1) in crops:
+        piece = canvas_in[:, h0:h1, w0:w1, :]
+        if (h1 - h0, w1 - w0) != (crop_size, crop_size):
+            full = jnp.broadcast_to(jnp.asarray(pad),
+                                    (b, crop_size, crop_size, 3))
+            piece = full.at[:, :h1 - h0, :w1 - w0, :].set(piece)
+        crop_batch.append(piece)
+    batch = jnp.concatenate(crop_batch, axis=0)
+
+    feats = apply_fn(params, batch)  # (B * n_crops, crop, crop, D)
+    d = feats.shape[-1]
+
+    out = jnp.zeros((b, ph, pw, d), jnp.float32)
+    count = jnp.zeros((1, ph, pw, 1), jnp.float32)
+    for ci, (h0, h1, w0, w1) in enumerate(crops):
+        piece = feats[ci * b:(ci + 1) * b, :h1 - h0, :w1 - w0, :]
+        out = out.at[:, h0:h1, w0:w1, :].add(piece.astype(jnp.float32))
+        count = count.at[:, h0:h1, w0:w1, :].add(1.0)
+    out = out / count
+    return out[:, :height, :width, :]
+
+
+def features_at_points(apply_fn: Callable, params, images: jnp.ndarray,
+                       px: jnp.ndarray, py: jnp.ndarray,
+                       base_size: int = 520, crop_size: int = 480
+                       ) -> jnp.ndarray:
+    """Pixel features gathered at per-frame pixel coords, all on device.
+
+    ``px``/``py``: (B, N) pixel coords in the *feature-canvas* frame
+    (the reference projects points with the canvas intrinsics,
+    vlmap_builder.py:126,143).  Out-of-canvas coords return garbage rows —
+    mask downstream, exactly like the reference's bounds check (:160).
+    Returns (B, N, D).
+    """
+    canvas = sliding_window_features(apply_fn, params, images, base_size,
+                                     crop_size)
+    b, hh, ww, d = canvas.shape
+    px = jnp.clip(px, 0, ww - 1)
+    py = jnp.clip(py, 0, hh - 1)
+    return jax.vmap(lambda c, x, y: c[y, x])(canvas, px, py)
