@@ -1,0 +1,183 @@
+"""VLMap: the visual-language voxel map with open-vocabulary indexing.
+
+Mirrors reference avlmaps/map/vlmap.py: load the voxel artifact, score
+``grid_feat`` against prompt-ensembled CLIP text features, take the per-voxel
+argmax as the category mask; CLIP-driven dynamic obstacle customisation.
+The scoring matmul runs on TPU (ops/similarity fused kernel) instead of the
+reference's CPU numpy (vlmap.py:229 via clip_utils).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Union
+
+import numpy as np
+
+from avlmaps_tpu.config import MapConfig
+from avlmaps_tpu.map.map_base import Map, get_segment_islands_pos
+from avlmaps_tpu.map.voxel_map import load_3d_map
+from avlmaps_tpu.ops.pooling import pool_3d_label_to_2d
+from avlmaps_tpu.utils.category_matching import find_similar_category_id
+
+
+class VLMap(Map):
+    def __init__(self, map_config: MapConfig, data_dir: str = "",
+                 clip_encoder=None):
+        super().__init__(map_config, data_dir=data_dir)
+        self.scores_mat: Optional[np.ndarray] = None
+        self.categories: Optional[List[str]] = None
+        self.clip_encoder = clip_encoder
+        self._lseg = None  # (apply_fn, params) injected for map creation
+
+    # -- model wiring --------------------------------------------------------
+
+    def _init_clip(self, clip_version: str = "ViT-B/32"):
+        """Lazy CLIP init (reference vlmap.py:552-575)."""
+        if self.clip_encoder is not None:
+            return self.clip_encoder
+        from avlmaps_tpu.models.clip import ClipEncoder
+
+        self.clip_encoder = ClipEncoder(clip_version)
+        return self.clip_encoder
+
+    def set_lseg(self, apply_fn, params, feat_dim: int = 512):
+        self._lseg = (apply_fn, params, feat_dim)
+
+    def _default_lseg(self):
+        if self._lseg is None:
+            import jax
+            import jax.numpy as jnp
+            from avlmaps_tpu.models.lseg import LSegNet, LSegConfig
+
+            cfg = LSegConfig.vitl16(dtype=jnp.bfloat16)
+            model = LSegNet(cfg)
+            params = jax.jit(model.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, 480, 480, 3),
+                                                 jnp.float32))
+            self._lseg = (model.apply, params, 512)
+        return self._lseg
+
+    # -- create / load -------------------------------------------------------
+
+    def create_map(self, data_dir: Union[Path, str],
+                   batch_size: int = 4) -> None:
+        """Build the voxel map for a scene (reference vlmap.py:518-533)."""
+        from avlmaps_tpu.map.vlmap_builder import VLMapBuilder
+
+        self._setup_paths(data_dir)
+        apply_fn, params, feat_dim = self._default_lseg()
+        builder = VLMapBuilder(
+            self.data_dir, self.map_config, self.pose_path, self.rgb_paths,
+            self.depth_paths, self.base2cam_tf, self.base_transform,
+            lseg_apply=apply_fn, lseg_params=params, feat_dim=feat_dim,
+            batch_size=batch_size)
+        if self.map_config.pose_info.pose_type != "mobile_base":
+            raise NotImplementedError("camera pose_type not supported yet")
+        builder.create_mobile_base_map()
+
+    def load_map(self, data_dir: Union[Path, str]) -> bool:
+        self._setup_paths(data_dir)
+        self.map_save_path = Path(data_dir) / "vlmap" / "vlmaps.h5df"
+        if not self.map_save_path.exists():
+            print("Loading VLMap failed because the file doesn't exist.")
+            return False
+        (self.mapped_iter_list, self.grid_feat, self.grid_pos, self.weight,
+         self.occupied_ids, self.grid_rgb) = load_3d_map(self.map_save_path)
+        return True
+
+    # -- indexing ------------------------------------------------------------
+
+    def init_categories(self, categories: List[str]) -> np.ndarray:
+        """Pre-score the map against a fixed category list
+        (reference vlmap.py:577-587)."""
+        self.categories = list(categories)
+        enc = self._init_clip()
+        self.scores_mat = enc.get_lseg_score(
+            self.categories, self.grid_feat, use_multiple_templates=True,
+            add_other=True)
+        return self.scores_mat
+
+    def index_map(self, language_desc: str,
+                  with_init_cat: bool = True) -> np.ndarray:
+        """Per-voxel boolean mask for a language query
+        (reference vlmap.py:589-610)."""
+        if with_init_cat and self.scores_mat is not None and self.categories:
+            cat_id = find_similar_category_id(language_desc, self.categories)
+            scores_mat = self.scores_mat
+        else:
+            if with_init_cat:
+                raise Exception(
+                    "Categories are not preloaded. Call "
+                    "init_categories(categories: List[str]) to initialize "
+                    "categories.")
+            enc = self._init_clip()
+            scores_mat = enc.get_lseg_score(
+                [language_desc], self.grid_feat, use_multiple_templates=True,
+                add_other=True)
+            cat_id = 0
+        return np.argmax(scores_mat, axis=1) == cat_id
+
+    def customize_obstacle_map(self, potential_obstacle_names: List[str],
+                               obstacle_names: List[str],
+                               vis: bool = False) -> None:
+        """CLIP-scored dynamic obstacle mask (reference vlmap.py:612-641 +
+        index_utils.get_dynamic_obstacles_map_3d :138-184)."""
+        if self.obstacles_cropped is None and self.obstacles_map is None:
+            self.generate_obstacle_map()
+        enc = self._init_clip()
+
+        all_obstacles_mask = self.obstacles_cropped == 0
+        scores = enc.get_lseg_score(
+            list(potential_obstacle_names), self.grid_feat,
+            use_multiple_templates=True, add_other=False)
+        predict = np.argmax(scores, axis=1)
+        obs_inds = [i for i, name in enumerate(potential_obstacle_names)
+                    if name in obstacle_names]
+        pts_mask = np.isin(predict, obs_inds)
+
+        new_obstacles = np.zeros_like(self.obstacles_cropped, dtype=bool)
+        obs_pts = self.grid_pos[pts_mask]
+        rows = np.clip(obs_pts[:, 0] - self.rmin, 0,
+                       new_obstacles.shape[0] - 1)
+        cols = np.clip(obs_pts[:, 1] - self.cmin, 0,
+                       new_obstacles.shape[1] - 1)
+        new_obstacles[rows, cols] = True
+        new_obstacles &= all_obstacles_mask
+        new_obstacles = ~new_obstacles
+
+        dilated = Map._dilate_map(new_obstacles == 0,
+                                  self.map_config.dilate_iter,
+                                  self.map_config.gaussian_sigma)
+        self.obstacles_new_cropped = dilated == 0
+
+    def get_pos(self, name: str):
+        """Contours/centers/bboxes of a category's islands on the full map
+        (reference vlmap.py:643-672)."""
+        import jax.numpy as jnp
+        from avlmaps_tpu.ops.morphology import (
+            binary_closing_jax, binary_dilation_jax, gaussian_blur_jax,
+        )
+
+        assert self.categories
+        pc_mask = self.index_map(name, with_init_cat=True)
+        mask_2d = pool_3d_label_to_2d(pc_mask, self.grid_pos, self.gs)
+        mask_2d = mask_2d[self.rmin:self.rmax + 1, self.cmin:self.cmax + 1]
+
+        fg = binary_closing_jax(jnp.asarray(mask_2d), iterations=3)
+        fg = gaussian_blur_jax(jnp.asarray(fg).astype(jnp.float32),
+                               sigma=0.8, truncate=3.0)
+        fg = np.asarray(fg) > 0.5
+        fg = np.asarray(binary_dilation_jax(jnp.asarray(fg)))
+
+        contours, centers, bbox_list, _ = get_segment_islands_pos(fg, 1)
+        # shift back to whole-map coords (reference vlmap.py:660-671)
+        for i in range(len(contours)):
+            centers[i][0] += self.rmin
+            centers[i][1] += self.cmin
+            bbox_list[i][0] += self.rmin
+            bbox_list[i][1] += self.rmin
+            bbox_list[i][2] += self.cmin
+            bbox_list[i][3] += self.cmin
+            contours[i] = contours[i] + np.array([[self.rmin, self.cmin]])
+        return contours, centers, bbox_list

@@ -1,0 +1,242 @@
+"""VLMap builder: the map-construction pipeline on TPU.
+
+Reference flow (avlmaps/map/vlmap_builder.py:54-185): per frame, run LSeg,
+backproject a random subset of depth pixels, transform to the map frame, and
+update voxels one point at a time in Python.  Here the whole per-frame body —
+sliding-window LSeg forward, ray generation at the sampled pixels, pose
+transform, grid indexing, ConceptFusion weighting and the voxel
+scatter-accumulate — is ONE jitted device program over a *batch* of frames,
+fed by a host-side prefetch loader.  Random pixel subsampling happens on the
+host (numpy RNG), mirroring the reference's np.random.shuffle subsample
+(vlmap_builder.py:266-281) with a static per-frame point budget.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from pathlib import Path
+from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avlmaps_tpu.geometry.grid import (
+    base_pos_to_grid_id_jax, out_of_range_mask_jax, voxel_linear_id_jax,
+)
+from avlmaps_tpu.geometry.projection import get_sim_cam_mat
+from avlmaps_tpu.geometry.transforms import pose_vec_to_tf
+from avlmaps_tpu.map.voxel_map import SparseVoxelMap, load_3d_map
+from avlmaps_tpu.models.lseg.window import plan_windows, features_at_points
+from avlmaps_tpu.ops.voxel_fusion import (
+    VoxelFusionState, init_fusion_state, fuse_points, export_fusion_state,
+    restore_fusion_state, concept_fusion_alpha,
+)
+
+
+def make_frame_step(lseg_apply: Callable, *, gs: int, cs: float, vh: int,
+                    calib_mat: np.ndarray, image_hw: Tuple[int, int],
+                    base_size: int = 520, crop_size: int = 480,
+                    min_depth: float = 0.1, max_depth: float = 6.0,
+                    n_rows: Optional[int] = None,
+                    row_offset: int = 0) -> Callable:
+    """Build the jitted device step for one batch of frames.
+
+    ``lseg_apply(params, crops) -> (B', c, c, D)`` is the pixel-feature
+    network; pass an identity-style stub for benchmarking the fusion alone.
+    ``n_rows``/``row_offset`` support row-sharded grids (multi-chip).
+    """
+    h, w = image_hw
+    height, width, _, _, _ = plan_windows(h, w, base_size, crop_size)
+    feat_intr = jnp.asarray(get_sim_cam_mat(height, width), jnp.float32)
+    inv_calib = jnp.asarray(np.linalg.inv(calib_mat), jnp.float32)
+    rows = gs if n_rows is None else n_rows
+
+    def step(state: VoxelFusionState, lseg_params, rgb_norm: jnp.ndarray,
+             depth: jnp.ndarray, pose: jnp.ndarray, sample_idx: jnp.ndarray,
+             frame_valid: jnp.ndarray) -> VoxelFusionState:
+        b = rgb_norm.shape[0]
+        px = (sample_idx % w).astype(jnp.float32)
+        py = (sample_idx // w).astype(jnp.float32)
+        z = jnp.take_along_axis(depth.reshape(b, -1), sample_idx,
+                                axis=1)  # (B, N)
+
+        # backproject the sampled pixels (reference depth2pc at the +0.5
+        # pixel centres, mapping_utils.py:226-251)
+        uv1 = jnp.stack([px + 0.5, py + 0.5, jnp.ones_like(px)], axis=-1)
+        rays = jnp.einsum("ij,bnj->bni", inv_calib, uv1,
+                          precision=jax.lax.Precision.HIGHEST)
+        pc_local = rays * z[..., None]  # (B, N, 3)
+        zmask = (z > min_depth) & (z < max_depth)
+
+        # to map frame (reference pc_transform chain, vlmap_builder.py:131-133)
+        pc_global = jnp.einsum("bij,bnj->bni", pose[:, :3, :3], pc_local,
+                               precision=jax.lax.Precision.HIGHEST) \
+            + pose[:, None, :3, 3]
+
+        gid = jax.vmap(lambda p: base_pos_to_grid_id_jax(gs, cs, p))(pc_global)
+        in_grid = jax.vmap(lambda g: out_of_range_mask_jax(g, gs, vh))(gid)
+
+        # pixel features looked up via the canvas intrinsics projection
+        # (reference pix_feats_intr, vlmap_builder.py:126,141-143)
+        uvw = jnp.einsum("ij,bnj->bni", feat_intr, pc_local,
+                         precision=jax.lax.Precision.HIGHEST)
+        fx = jnp.trunc(uvw[..., 0] / uvw[..., 2] - 0.5).astype(jnp.int32)
+        fy = jnp.trunc(uvw[..., 1] / uvw[..., 2] - 0.5).astype(jnp.int32)
+        in_feat = (fx >= 0) & (fx < width) & (fy >= 0) & (fy < height)
+
+        feats = features_at_points(lseg_apply, lseg_params, rgb_norm, fx, fy,
+                                   base_size, crop_size)  # (B, N, D)
+
+        # colour at the sampled pixel (reference project_point(calib) lookup
+        # lands back on the source pixel)
+        rgb_u8 = (rgb_norm * 0.5 + 0.5) * 255.0
+        flat_rgb = rgb_u8.reshape(b, -1, 3)
+        rgbs = jnp.take_along_axis(flat_rgb, sample_idx[..., None], axis=1)
+
+        alpha = concept_fusion_alpha(pc_local)
+        valid = zmask & in_grid & in_feat & frame_valid[:, None]
+
+        # row sharding: keep only rows this shard owns, re-base the row
+        local_row = gid[..., 0] - row_offset
+        owned = (local_row >= 0) & (local_row < rows)
+        valid = valid & owned
+        lgid = jnp.concatenate([local_row[..., None], gid[..., 1:]], axis=-1)
+        vids = jax.vmap(lambda g: voxel_linear_id_jax(g, gs, vh))(lgid)
+        vids = jnp.clip(vids, 0, rows * gs * vh - 1)
+
+        d = feats.shape[-1]
+        return fuse_points(
+            state, vids.reshape(-1), feats.reshape(-1, d),
+            rgbs.reshape(-1, 3), alpha.reshape(-1), valid.reshape(-1),
+            gs=gs, vh=vh, n_rows=rows)
+
+    return step
+
+
+def sample_pixels(rng: np.random.Generator, h: int, w: int,
+                  depth_sample_rate: int, max_pts: int,
+                  batch: int) -> np.ndarray:
+    """Host-side random pixel subsample: ~h*w/rate unique pixels per frame
+    (reference _backproject_depth shuffle, vlmap_builder.py:266-281), padded
+    by repetition to the static ``max_pts`` budget."""
+    n_target = min(max(h * w // depth_sample_rate, 1), max_pts)
+    idx = np.empty((batch, max_pts), np.int32)
+    for b in range(batch):
+        pick = rng.choice(h * w, size=n_target, replace=False)
+        reps = int(np.ceil(max_pts / n_target))
+        idx[b] = np.tile(pick, reps)[:max_pts]
+    return idx
+
+
+class VLMapBuilder:
+    """Build the sparse voxel VLMap for one scene directory.
+
+    Directory layout and pose semantics follow the reference
+    (rgb/*.png, depth/*.npy, poses.txt; avlmaps/map/map.py:40-52,
+    vlmap_builder.py:54-108).
+    """
+
+    def __init__(self, data_dir, map_config, pose_path, rgb_paths,
+                 depth_paths, base2cam_tf: np.ndarray,
+                 base_transform: np.ndarray, lseg_apply=None,
+                 lseg_params=None, feat_dim: int = 512,
+                 batch_size: int = 4, seed: int = 0):
+        self.data_dir = Path(data_dir)
+        self.map_config = map_config
+        self.pose_path = pose_path
+        self.rgb_paths = list(rgb_paths)
+        self.depth_paths = list(depth_paths)
+        self.base2cam_tf = base2cam_tf
+        self.base_transform = base_transform
+        self.lseg_apply = lseg_apply
+        self.lseg_params = lseg_params
+        self.feat_dim = feat_dim
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.map_save_dir = self.data_dir / "vlmap"
+        self.map_save_path = self.map_save_dir / "vlmaps.h5df"
+
+    def create_mobile_base_map(self, save_every: int = 100,
+                               progress: bool = True) -> SparseVoxelMap:
+        cfg = self.map_config
+        gs, cs, vh = cfg.gs, cfg.cs, cfg.vh
+        os.makedirs(self.map_save_dir, exist_ok=True)
+
+        base_poses = np.loadtxt(self.pose_path)
+        if base_poses.ndim == 1:
+            base_poses = base_poses[None]
+        inv_bt = np.linalg.inv(self.base_transform)
+        init_base_tf = (self.base_transform @ pose_vec_to_tf(base_poses[0])
+                        @ inv_bt)
+        inv_init_base_tf = np.linalg.inv(init_base_tf)
+
+        # full cam->map transform per frame (reference vlmap_builder.py:106-133)
+        pose_tfs = []
+        for vec in base_poses:
+            base_pose = self.base_transform @ pose_vec_to_tf(vec) @ inv_bt
+            tf = inv_init_base_tf @ base_pose
+            pose_tfs.append(tf @ self.base_transform @ self.base2cam_tf)
+
+        # resume support: skip frames already in the saved map
+        state, mapped = self._init_state(gs, cs, vh)
+
+        from avlmaps_tpu.pipeline.loader import PrefetchLoader, load_depth
+
+        probe = np.asarray(load_depth(self.depth_paths[0]))
+        h, w = probe.shape[:2]
+        max_pts = min(cfg.max_pts_per_frame,
+                      max(h * w // cfg.depth_sample_rate, 1))
+
+        step = make_frame_step(
+            self.lseg_apply, gs=gs, cs=cs, vh=vh,
+            calib_mat=cfg.calib_matrix(), image_hw=(h, w),
+            min_depth=cfg.min_depth, max_depth=cfg.max_depth)
+        step = jax.jit(step, donate_argnums=(0,))
+
+        loader = PrefetchLoader(self.rgb_paths, self.depth_paths, pose_tfs,
+                                batch_size=self.batch_size, skip_ids=mapped)
+        done = 0
+        for batch in loader:
+            sample_idx = sample_pixels(self.rng, h, w, cfg.depth_sample_rate,
+                                       max_pts, self.batch_size)
+            state = step(state, self.lseg_params,
+                         jnp.asarray(batch.rgb), jnp.asarray(batch.depth),
+                         jnp.asarray(batch.pose_tf),
+                         jnp.asarray(sample_idx),
+                         jnp.asarray(batch.frame_ids >= 0))
+            mapped.update(int(i) for i in batch.frame_ids if i >= 0)
+            done += int((batch.frame_ids >= 0).sum())
+            if progress:
+                print(f"\rVLMap: {done} frames fused", end="", flush=True)
+            if save_every and done % save_every < self.batch_size:
+                self._save(state, gs, vh, mapped)
+        if progress:
+            print()
+        return self._save(state, gs, vh, mapped)
+
+    def _init_state(self, gs, cs, vh):
+        mapped: set = set()
+        if self.map_save_path.exists():
+            (mapped_list, grid_feat, grid_pos, weight, occupied_ids,
+             grid_rgb) = load_3d_map(self.map_save_path)
+            mapped = set(int(i) for i in mapped_list)
+            state = restore_fusion_state(gs, vh, self.map_config.capacity,
+                                         grid_feat, grid_pos, weight,
+                                         occupied_ids, grid_rgb)
+        else:
+            state = init_fusion_state(gs, vh, self.feat_dim,
+                                      self.map_config.capacity)
+        return state, mapped
+
+    def _save(self, state: VoxelFusionState, gs: int, vh: int,
+              mapped) -> SparseVoxelMap:
+        grid_feat, grid_pos, weight, occupied_ids, grid_rgb = \
+            export_fusion_state(state, gs, vh)
+        m = SparseVoxelMap(gs=gs, vh=vh, feat_dim=grid_feat.shape[1],
+                           grid_feat=grid_feat, grid_pos=grid_pos,
+                           weight=weight, occupied_ids=occupied_ids,
+                           grid_rgb=grid_rgb, mapped_iters=set(mapped))
+        m.save(self.map_save_path)
+        return m

@@ -42,10 +42,21 @@ class LSegConfig:
 
     @staticmethod
     def tiny(dtype=jnp.float32) -> "LSegConfig":
-        """Small config for tests."""
+        """Small config for tests (patch 8: output is 2x input size)."""
         return LSegConfig(
             vit=DenseViTConfig(patch_size=8, width=32, layers=4, heads=2,
                                hooks=(0, 1, 2, 3), pretrain_grid=4,
+                               dtype=dtype),
+            features=16, reassemble_ch=(8, 16, 32, 32), out_dim=24,
+            dtype=dtype)
+
+    @staticmethod
+    def tiny16(dtype=jnp.float32) -> "LSegConfig":
+        """Small patch-16 config: output == input size, as the real model —
+        use for pipeline/sliding-window tests."""
+        return LSegConfig(
+            vit=DenseViTConfig(patch_size=16, width=32, layers=4, heads=2,
+                               hooks=(0, 1, 2, 3), pretrain_grid=2,
                                dtype=dtype),
             features=16, reassemble_ch=(8, 16, 32, 32), out_dim=24,
             dtype=dtype)

@@ -97,6 +97,11 @@ def sliding_window_features(apply_fn: Callable, params, images: jnp.ndarray,
     batch = jnp.concatenate(crop_batch, axis=0)
 
     feats = apply_fn(params, batch)  # (B * n_crops, crop, crop, D)
+    if feats.shape[1] != crop_size or feats.shape[2] != crop_size:
+        raise ValueError(
+            f"model output {feats.shape[1:3]} != crop {crop_size}: the "
+            "overlap merge requires an output-resolution-preserving model "
+            "(patch-16 LSeg); use LSegConfig.tiny16 for small tests")
     d = feats.shape[-1]
 
     out = jnp.zeros((b, ph, pw, d), jnp.float32)

@@ -1,0 +1,207 @@
+"""Visibility-graph planning over raster obstacle maps.
+
+The reference delegates to pyvisgraph (polygon visibility graph + Dijkstra,
+avlmaps/utils/navigation_utils.py:77-197).  This is a from-scratch planner
+built for the raster maps we actually have: obstacle contours (simplified
+with approxPolyDP) provide the node set, visibility is checked directly
+against the obstacle raster (supercover line sampling — no polygon edge
+cases), and shortest paths run Dijkstra over the resulting sparse graph.
+Consecutive contour vertices are always connected so paths can hug obstacle
+boundaries.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def line_clear(obstacles: np.ndarray, a, b, step: float = 0.5) -> bool:
+    """True if the segment a->b crosses no obstacle cell.
+
+    ``obstacles``: bool (H, W), True = blocked.  Samples the segment at
+    sub-cell resolution (supercover-ish); endpoints are exempted so nodes
+    touching the boundary still connect outward.
+    """
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    dist = float(np.hypot(*(b - a)))
+    n = max(int(dist / step), 1)
+    ts = np.linspace(0.0, 1.0, n + 1)[1:-1]
+    if ts.size == 0:
+        return True
+    pts = a[None, :] + ts[:, None] * (b - a)[None, :]
+    rows = np.clip(np.round(pts[:, 0]).astype(int), 0,
+                   obstacles.shape[0] - 1)
+    cols = np.clip(np.round(pts[:, 1]).astype(int), 0,
+                   obstacles.shape[1] - 1)
+    return not obstacles[rows, cols].any()
+
+
+class VisGraph:
+    """Visibility graph over a binary obstacle map (1 free, 0 occupied)."""
+
+    def __init__(self, obs_map: np.ndarray, simplify_eps: float = 2.0,
+                 use_internal_contours: bool = False):
+        if cv2 is None:
+            raise RuntimeError("OpenCV required for contour extraction")
+        self.obs_map = np.asarray(obs_map)
+        self.obstacles = self.obs_map == 0
+        # contour nodes live one dilation ring outside the obstacles so they
+        # sit in free space
+        inflated = cv2.dilate(self.obstacles.astype(np.uint8),
+                              np.ones((3, 3), np.uint8))
+        mode = cv2.RETR_TREE if use_internal_contours else cv2.RETR_EXTERNAL
+        contours, _ = cv2.findContours(inflated, mode,
+                                       cv2.CHAIN_APPROX_SIMPLE)
+        self.polys: List[np.ndarray] = []
+        for c in contours:
+            approx = cv2.approxPolyDP(c, simplify_eps, True)
+            poly = approx.reshape(-1, 2)[:, ::-1].astype(np.float64)  # (r, c)
+            if len(poly) >= 2:
+                self.polys.append(poly)
+
+        self.nodes: List[np.ndarray] = [p for poly in self.polys
+                                        for p in poly]
+        self._adj: Dict[int, List[Tuple[int, float]]] = {
+            i: [] for i in range(len(self.nodes))}
+        self._build_edges()
+
+    # -- construction -------------------------------------------------------
+
+    def _add_edge(self, i: int, j: int):
+        d = float(np.hypot(*(self.nodes[i] - self.nodes[j])))
+        self._adj[i].append((j, d))
+        self._adj[j].append((i, d))
+
+    def _build_edges(self):
+        # boundary edges: consecutive vertices of each contour
+        offset = 0
+        for poly in self.polys:
+            n = len(poly)
+            for k in range(n):
+                self._add_edge(offset + k, offset + (k + 1) % n)
+            offset += n
+        # visibility edges between non-adjacent node pairs
+        n_nodes = len(self.nodes)
+        for i in range(n_nodes):
+            for j in range(i + 2, n_nodes):
+                if any(j == k for k, _ in self._adj[i]):
+                    continue
+                if line_clear(self.obstacles, self.nodes[i], self.nodes[j]):
+                    self._add_edge(i, j)
+
+    # -- queries ------------------------------------------------------------
+
+    def point_in_obstacle(self, p) -> bool:
+        r, c = int(p[0]), int(p[1])
+        if not (0 <= r < self.obstacles.shape[0]
+                and 0 <= c < self.obstacles.shape[1]):
+            return True
+        return bool(self.obstacles[r, c])
+
+    def nearest_free(self, p) -> Tuple[int, int]:
+        """Nearest free cell to p (the reference's in-obstacle start recovery,
+        navigation_utils.py:158-166)."""
+        rows, cols = np.where(~self.obstacles)
+        d2 = (rows - p[0]) ** 2 + (cols - p[1]) ** 2
+        k = int(np.argmin(d2))
+        return int(rows[k]), int(cols[k])
+
+    def _connect_point(self, p) -> List[Tuple[int, float]]:
+        out = []
+        p = np.asarray(p, np.float64)
+        for i, node in enumerate(self.nodes):
+            if line_clear(self.obstacles, p, node):
+                out.append((i, float(np.hypot(*(p - node)))))
+        return out
+
+    def shortest_path(self, start, goal) -> List[List[float]]:
+        """Euclidean-shortest obstacle-avoiding path start -> goal, both
+        (row, col); returns the waypoint list including both endpoints."""
+        start = tuple(map(float, start))
+        goal = tuple(map(float, goal))
+        if line_clear(self.obstacles, start, goal):
+            return [list(start), list(goal)]
+
+        n = len(self.nodes)
+        s_edges = self._connect_point(start)
+        g_edges = self._connect_point(goal)
+        if not s_edges or not g_edges:
+            return [list(start), list(goal)]  # degenerate: no visibility
+
+        dist = np.full(n + 2, np.inf)
+        prev = np.full(n + 2, -1, np.int64)
+        S, G = n, n + 1
+        dist[S] = 0.0
+        heap = [(0.0, S)]
+        adj = {i: list(v) for i, v in self._adj.items()}
+        adj[S] = list(s_edges)
+        adj[G] = []
+        for i, d in g_edges:
+            adj.setdefault(i, []).append((G, d))
+        while heap:
+            d, u = heapq.heappop(heap)
+            if d > dist[u]:
+                continue
+            if u == G:
+                break
+            for v, w in adj.get(u, []):
+                nd = d + w
+                if nd < dist[v]:
+                    dist[v] = nd
+                    prev[v] = u
+                    heapq.heappush(heap, (nd, v))
+        if not np.isfinite(dist[G]):
+            return [list(start), list(goal)]
+        path = []
+        u = G
+        while u != -1:
+            if u == S:
+                path.append(list(start))
+            elif u == G:
+                path.append(list(goal))
+            else:
+                path.append(list(self.nodes[u]))
+            u = int(prev[u])
+        return path[::-1]
+
+
+def build_visgraph_with_obs_map(obs_map: np.ndarray,
+                                use_internal_contour: bool = False,
+                                internal_point=None,
+                                vis: bool = False) -> VisGraph:
+    """Reference-named constructor (navigation_utils.py:77-119).
+
+    ``use_internal_contour``: the reference carves an escape corridor when
+    the start sits inside an internal contour; the raster planner doesn't
+    need that trick — internal contours are included directly.
+    """
+    return VisGraph(obs_map, use_internal_contours=use_internal_contour)
+
+
+def plan_to_pos_v2(start, goal, obstacles: np.ndarray,
+                   graph: Optional[VisGraph] = None,
+                   vis: bool = False) -> List[List[float]]:
+    """Plan on a cropped obstacle map (reference navigation_utils.py:130-197):
+    recover from in-obstacle start (nearest free cell prepended) and
+    in-obstacle goal (clamped to nearest free cell)."""
+    if graph is None:
+        graph = VisGraph(obstacles)
+    path_prefix: List[List[float]] = []
+    s = list(map(float, start))
+    if obstacles[int(s[0]), int(s[1])] == 0:
+        ns = graph.nearest_free(s)
+        path_prefix.append(list(map(float, ns)))
+        s = list(map(float, ns))
+    g = list(map(float, goal))
+    if obstacles[int(g[0]), int(g[1])] == 0:
+        g = list(map(float, graph.nearest_free(g)))
+    return path_prefix + graph.shortest_path(s, g)

@@ -73,23 +73,31 @@ def concept_fusion_alpha(points_local: jnp.ndarray,
     return jnp.exp(-radial_dist_sq / (2.0 * sigma_sq))
 
 
-@functools.partial(jax.jit, static_argnames=("gs", "vh"), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("gs", "vh", "n_rows"),
+                   donate_argnums=(0,))
 def fuse_points(state: VoxelFusionState,
                 vids: jnp.ndarray,  # (B,) int32 flat voxel ids
                 feats: jnp.ndarray,  # (B, D) float32
                 rgbs: jnp.ndarray,  # (B, 3) float32
                 alphas: jnp.ndarray,  # (B,) float32 confidence weights
                 valid: jnp.ndarray,  # (B,) bool
-                *, gs: int, vh: int) -> VoxelFusionState:
+                *, gs: int, vh: int,
+                n_rows: Optional[int] = None) -> VoxelFusionState:
     """Fuse one batch of weighted point features into the voxel accumulators.
 
     Semantics per valid point (row, col, h) with weight α (matches the
     reference inner loop vlmap_builder.py:161-178 in its associative form):
       slot           = occupied[row, col, h], allocating if empty
       sum_wfeat[slot] += α·feat ; sum_wrgb[slot] += α·rgb ; sum_w[slot] += α
+
+    ``n_rows`` supports row-sharded grids (multi-chip): the state's
+    occupied table covers only ``n_rows`` of the gs rows and vids are local
+    (local_row * gs * vh + col * vh + h).  Defaults to the full grid.
     """
     capacity = state.sum_w.shape[0] - 1
     b = vids.shape[0]
+    if n_rows is None:
+        n_rows = gs
 
     safe_vids = jnp.where(valid, vids, 0)
     slot = jnp.where(valid, state.occupied_flat[safe_vids], -2)
@@ -110,7 +118,7 @@ def fuse_points(state: VoxelFusionState,
     cand_slot = state.n_slots + rank
     fits = cand_slot < capacity
     alloc_slot = jnp.where(first & fits, cand_slot, capacity)
-    write_vid = jnp.where(first & fits, sorted_vids, gs * gs * vh)
+    write_vid = jnp.where(first & fits, sorted_vids, n_rows * gs * vh)
     # one scatter row beyond the table absorbs sentinels/overflow
     occ = jnp.concatenate([state.occupied_flat, jnp.zeros((1,), jnp.int32)])
     occ = occ.at[write_vid].set(alloc_slot, mode="drop")

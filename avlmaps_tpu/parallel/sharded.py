@@ -1,0 +1,209 @@
+"""Row-sharded multi-chip voxel fusion with data-parallel encoder frames.
+
+Design (see package docstring): LSeg runs data-parallel over frames; each
+device extracts a compact per-point payload (voxel row/col/h, feature, rgb,
+alpha, valid), all-gathers it across the mesh (ICI), and fuses only points
+whose top-down row falls in its shard of the grid.  Slot allocation is
+per-shard, so no cross-device ordering exists at all — the merge on export
+is pure concatenation with row/slot offsets.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from avlmaps_tpu.geometry.grid import (
+    base_pos_to_grid_id_jax, out_of_range_mask_jax, voxel_linear_id_jax,
+)
+from avlmaps_tpu.geometry.projection import get_sim_cam_mat
+from avlmaps_tpu.models.lseg.window import plan_windows, features_at_points
+from avlmaps_tpu.ops.voxel_fusion import (
+    VoxelFusionState, init_fusion_state, fuse_points, export_fusion_state,
+    concept_fusion_alpha,
+)
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis: str = "data") -> Mesh:
+    devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+class ShardedFusion:
+    """Sharded fusion state + the compiled multi-chip map-update step."""
+
+    def __init__(self, mesh: Mesh, *, gs: int, cs: float, vh: int,
+                 feat_dim: int, capacity: int, calib_mat: np.ndarray,
+                 image_hw: Tuple[int, int], lseg_apply: Callable,
+                 base_size: int = 520, crop_size: int = 480,
+                 min_depth: float = 0.1, max_depth: float = 6.0):
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.n_dev = mesh.devices.size
+        if gs % self.n_dev:
+            raise ValueError(f"gs={gs} not divisible by {self.n_dev} devices")
+        self.gs, self.cs, self.vh = gs, cs, vh
+        self.rows_per_dev = gs // self.n_dev
+        self.cap_per_dev = capacity // self.n_dev
+        self.feat_dim = feat_dim
+
+        h, w = image_hw
+        height, width, _, _, _ = plan_windows(h, w, base_size, crop_size)
+        feat_intr = jnp.asarray(get_sim_cam_mat(height, width), jnp.float32)
+        inv_calib = jnp.asarray(np.linalg.inv(calib_mat), jnp.float32)
+        rows = self.rows_per_dev
+        axis = self.axis
+
+        def shard_body(state, lseg_params, rgb_norm, depth, pose, sample_idx,
+                       frame_valid):
+            """Runs per device: local frames -> global payload -> local rows."""
+            b = rgb_norm.shape[0]
+            px = (sample_idx % w).astype(jnp.float32)
+            py = (sample_idx // w).astype(jnp.float32)
+            z = jnp.take_along_axis(depth.reshape(b, -1), sample_idx, axis=1)
+            uv1 = jnp.stack([px + 0.5, py + 0.5, jnp.ones_like(px)], axis=-1)
+            rays = jnp.einsum("ij,bnj->bni", inv_calib, uv1,
+                              precision=jax.lax.Precision.HIGHEST)
+            pc_local = rays * z[..., None]
+            zmask = (z > min_depth) & (z < max_depth)
+            pc_global = jnp.einsum("bij,bnj->bni", pose[:, :3, :3], pc_local,
+                                   precision=jax.lax.Precision.HIGHEST) \
+                + pose[:, None, :3, 3]
+            gid = jax.vmap(lambda p: base_pos_to_grid_id_jax(gs, cs, p))(
+                pc_global)
+            in_grid = jax.vmap(lambda g: out_of_range_mask_jax(g, gs, vh))(
+                gid)
+            uvw = jnp.einsum("ij,bnj->bni", feat_intr, pc_local,
+                             precision=jax.lax.Precision.HIGHEST)
+            fx = jnp.trunc(uvw[..., 0] / uvw[..., 2] - 0.5).astype(jnp.int32)
+            fy = jnp.trunc(uvw[..., 1] / uvw[..., 2] - 0.5).astype(jnp.int32)
+            in_feat = (fx >= 0) & (fx < width) & (fy >= 0) & (fy < height)
+            feats = features_at_points(lseg_apply, lseg_params, rgb_norm,
+                                       fx, fy, base_size, crop_size)
+            rgb_u8 = (rgb_norm * 0.5 + 0.5) * 255.0
+            rgbs = jnp.take_along_axis(rgb_u8.reshape(b, -1, 3),
+                                       sample_idx[..., None], axis=1)
+            alpha = concept_fusion_alpha(pc_local)
+            valid = zmask & in_grid & in_feat & frame_valid[:, None]
+
+            d = feats.shape[-1]
+            # compact payload, then gather every shard's points over ICI
+            gid_f = jax.lax.all_gather(gid.reshape(-1, 3), axis,
+                                       tiled=True)
+            feats_f = jax.lax.all_gather(feats.reshape(-1, d), axis,
+                                         tiled=True)
+            rgbs_f = jax.lax.all_gather(rgbs.reshape(-1, 3), axis,
+                                        tiled=True)
+            alpha_f = jax.lax.all_gather(alpha.reshape(-1), axis, tiled=True)
+            valid_f = jax.lax.all_gather(valid.reshape(-1), axis, tiled=True)
+
+            my = jax.lax.axis_index(axis)
+            local_row = gid_f[:, 0] - my * rows
+            owned = (local_row >= 0) & (local_row < rows)
+            lgid = jnp.concatenate([local_row[:, None], gid_f[:, 1:]],
+                                   axis=-1)
+            vids = voxel_linear_id_jax(lgid, gs, vh)
+            vids = jnp.clip(vids, 0, rows * gs * vh - 1)
+            return fuse_points(state, vids, feats_f, rgbs_f, alpha_f,
+                               valid_f & owned, gs=gs, vh=vh, n_rows=rows)
+
+        from jax.experimental.shard_map import shard_map
+
+        pspec_state = VoxelFusionState(
+            occupied_flat=P(axis), sum_wfeat=P(axis), sum_wrgb=P(axis),
+            sum_w=P(axis), grid_pos=P(axis), n_slots=P(axis),
+            n_dropped=P(axis))
+        self._state_spec = pspec_state
+        self._step = jax.jit(
+            shard_map(
+                shard_body, mesh=mesh,
+                in_specs=(pspec_state, P(), P(axis), P(axis), P(axis),
+                          P(axis), P(axis)),
+                out_specs=pspec_state,
+                check_rep=False,
+            ),
+            donate_argnums=(0,))
+
+        self.state = self._init_state()
+
+    def _init_state(self) -> VoxelFusionState:
+        """Per-shard states stacked on a leading device axis."""
+        rows, gs, vh = self.rows_per_dev, self.gs, self.vh
+        n = self.n_dev
+
+        def one(_):
+            return init_fusion_state(1, 1, self.feat_dim, self.cap_per_dev)
+
+        # build shapes manually: occupied covers rows*gs*vh per device
+        state = VoxelFusionState(
+            occupied_flat=jnp.full((n * rows * gs * vh,), -1, jnp.int32),
+            sum_wfeat=jnp.zeros((n * (self.cap_per_dev + 1), self.feat_dim),
+                                jnp.float32),
+            sum_wrgb=jnp.zeros((n * (self.cap_per_dev + 1), 3), jnp.float32),
+            sum_w=jnp.zeros((n * (self.cap_per_dev + 1),), jnp.float32),
+            grid_pos=jnp.zeros((n * (self.cap_per_dev + 1), 3), jnp.int32),
+            n_slots=jnp.zeros((n,), jnp.int32),
+            n_dropped=jnp.zeros((n,), jnp.int32),
+        )
+        shardings = jax.tree.map(
+            lambda spec: NamedSharding(self.mesh, spec), self._state_spec)
+        return jax.tree.map(jax.device_put, state, shardings)
+
+    def step(self, lseg_params, rgb, depth, pose, sample_idx, frame_valid):
+        """One multi-chip map update over a global frame batch (batch must be
+        divisible by the mesh size)."""
+        self.state = self._step(self.state, lseg_params, rgb, depth, pose,
+                                sample_idx, frame_valid)
+        return self.state
+
+    def export(self):
+        return export_sharded(self.state, n_dev=self.n_dev, gs=self.gs,
+                              vh=self.vh, rows_per_dev=self.rows_per_dev,
+                              cap_per_dev=self.cap_per_dev)
+
+
+def export_sharded(state: VoxelFusionState, *, n_dev: int, gs: int, vh: int,
+                   rows_per_dev: int, cap_per_dev: int):
+    """Merge per-device shards into the reference's storage form: concatenate
+    slots with per-shard offsets, stack occupied rows with slot re-basing."""
+    occ = np.asarray(jax.device_get(state.occupied_flat)).reshape(
+        n_dev, rows_per_dev * gs * vh)
+    wf = np.asarray(jax.device_get(state.sum_wfeat)).reshape(
+        n_dev, cap_per_dev + 1, -1)
+    wr = np.asarray(jax.device_get(state.sum_wrgb)).reshape(
+        n_dev, cap_per_dev + 1, 3)
+    wsum = np.asarray(jax.device_get(state.sum_w)).reshape(
+        n_dev, cap_per_dev + 1)
+    pos = np.asarray(jax.device_get(state.grid_pos)).reshape(
+        n_dev, cap_per_dev + 1, 3)
+    n_slots = np.asarray(jax.device_get(state.n_slots)).reshape(n_dev)
+
+    feats, rgbs, weights, poss = [], [], [], []
+    occupied = np.full((gs, gs, vh), -1, np.int32)
+    offset = 0
+    for d in range(n_dev):
+        n = int(n_slots[d])
+        w = wsum[d, :n]
+        denom = np.where(w > 0, w, 1.0)[:, None]
+        feats.append(wf[d, :n] / denom)
+        rgbs.append(np.clip(wr[d, :n] / denom, 0, 255).astype(np.uint8))
+        weights.append(w)
+        p = pos[d, :n].copy()
+        p[:, 0] += d * rows_per_dev  # re-base shard-local rows
+        poss.append(p)
+        shard_occ = occ[d].reshape(rows_per_dev, gs, vh)
+        valid = shard_occ >= 0
+        rebased = np.where(valid, shard_occ + offset, -1)
+        occupied[d * rows_per_dev:(d + 1) * rows_per_dev] = rebased
+        offset += n
+    return (np.concatenate(feats).astype(np.float32),
+            np.concatenate(poss).astype(np.int32),
+            np.concatenate(weights).astype(np.float32),
+            occupied,
+            np.concatenate(rgbs))

@@ -1,0 +1,112 @@
+"""Host-side frame pipeline: decode + normalise + batch, prefetched on a
+background thread so the TPU never waits on PNG decode.
+
+The reference loads one frame at a time inline with inference
+(cv2.imread / np.load per iteration, avlmaps/map/vlmap_builder.py:118-120);
+here decode runs ahead of the device through a bounded queue (double
+buffering: BASELINE.json north-star's async input pipeline).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+@dataclass
+class FrameBatch:
+    """One host-side batch of frames, ready for device transfer."""
+
+    frame_ids: np.ndarray  # (B,) int32, -1 for padding frames
+    rgb: np.ndarray  # (B, H, W, 3) float32, normalised to [-1, 1]
+    depth: np.ndarray  # (B, H, W) float32 metres
+    pose_tf: np.ndarray  # (B, 4, 4) float32 point-cloud transform (cam->map)
+
+
+def load_rgb(path) -> np.ndarray:
+    """BGR png -> RGB uint8 (reference vlmap_builder.py:118-119)."""
+    if cv2 is not None:
+        bgr = cv2.imread(str(path))
+        return cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def load_depth(path) -> np.ndarray:
+    """npy depth (reference mapping_utils.py load_depth_npy)."""
+    with open(path, "rb") as f:
+        return np.load(f)
+
+
+class PrefetchLoader:
+    """Bounded-queue background prefetcher yielding fixed-size FrameBatches.
+
+    The last batch is padded with repeats (frame_id = -1) so every device
+    step sees the same static shapes.
+    """
+
+    def __init__(self, rgb_paths: Sequence, depth_paths: Sequence,
+                 pose_tfs: Sequence[np.ndarray], batch_size: int = 4,
+                 depth: int = 2, normalize=None,
+                 skip_ids: Optional[set] = None):
+        from avlmaps_tpu.models.lseg.window import normalize_image
+
+        self.rgb_paths = list(rgb_paths)
+        self.depth_paths = list(depth_paths)
+        self.pose_tfs = list(pose_tfs)
+        self.batch_size = batch_size
+        self.normalize = normalize or normalize_image
+        self.skip_ids = skip_ids or set()
+        self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._thread: Optional[threading.Thread] = None
+
+    def _frame(self, i: int):
+        rgb = self.normalize(load_rgb(self.rgb_paths[i])).astype(np.float32)
+        depth = load_depth(self.depth_paths[i]).astype(np.float32)
+        if depth.ndim == 3:
+            depth = depth[..., 0]
+        return rgb, depth, np.asarray(self.pose_tfs[i], np.float32)
+
+    def _producer(self):
+        ids = [i for i in range(len(self.rgb_paths))
+               if i not in self.skip_ids]
+        bs = self.batch_size
+        for start in range(0, len(ids), bs):
+            chunk = ids[start:start + bs]
+            frames = [self._frame(i) for i in chunk]
+            while len(frames) < bs:  # pad with repeats, marked invalid
+                frames.append(frames[-1])
+            fids = np.array(chunk + [-1] * (bs - len(chunk)), np.int32)
+            batch = FrameBatch(
+                frame_ids=fids,
+                rgb=np.stack([f[0] for f in frames]),
+                depth=np.stack([f[1] for f in frames]),
+                pose_tf=np.stack([f[2] for f in frames]),
+            )
+            self._queue.put(batch)
+        self._queue.put(None)
+
+    def __iter__(self) -> Iterator[FrameBatch]:
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+        while True:
+            batch = self._queue.get()
+            if batch is None:
+                return
+            yield batch
+
+    def __len__(self) -> int:
+        n = len([i for i in range(len(self.rgb_paths))
+                 if i not in self.skip_ids])
+        return (n + self.batch_size - 1) // self.batch_size

@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Headline benchmark: map-build throughput (frames/sec).
+
+Measures the full TPU map-construction step on the reference's dataset
+geometry — 720x1080 RGB-D frames, LSeg ViT-L/16 (bf16 compute) over the
+2-crop sliding window, h*w/100 sampled points per frame, scatter-accumulate
+into a gs=1000, vh=30 voxel grid (BASELINE.json config #2).
+
+Prints ONE JSON line:
+  {"metric": "map_build_fps", "value": N, "unit": "frames/sec",
+   "vs_baseline": R}
+
+``vs_baseline`` compares against a *measured* reference-style implementation
+(the reference repo publishes no numbers — BASELINE.md): a torch-CPU LSeg
+forward (same architecture, tools/torch_reference) plus the reference's
+per-point Python voxel loop, timed on this host and cached in
+tools/baseline_measured.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+BASELINE_CACHE = REPO / "tools" / "baseline_measured.json"
+
+H, W = 720, 1080
+DEPTH_SAMPLE_RATE = 100
+MAX_PTS = (H * W) // DEPTH_SAMPLE_RATE  # 7776
+GS, CS, VH = 1000, 0.05, 30
+CAPACITY = 1_000_000
+BATCH = 4
+WARMUP_STEPS = 2
+TIMED_STEPS = 6
+
+
+def measure_tpu_fps() -> float:
+    import jax
+    import jax.numpy as jnp
+    from avlmaps_tpu.geometry.projection import get_sim_cam_mat
+    from avlmaps_tpu.map.vlmap_builder import make_frame_step, sample_pixels
+    from avlmaps_tpu.models.lseg import LSegNet, LSegConfig
+    from avlmaps_tpu.ops.voxel_fusion import init_fusion_state
+
+    cfg = LSegConfig.vitl16(dtype=jnp.bfloat16)
+    model = LSegNet(cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 480, 480, 3), jnp.float32))
+
+    calib = np.array([[540, 0, 540], [0, 540, 360], [0, 0, 1]], np.float64)
+    step = make_frame_step(model.apply, gs=GS, cs=CS, vh=VH, calib_mat=calib,
+                           image_hw=(H, W))
+    step = jax.jit(step, donate_argnums=(0,))
+
+    state = init_fusion_state(GS, VH, 512, CAPACITY)
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.normal(size=(BATCH, H, W, 3)).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(0.3, 5.0, (BATCH, H, W)).astype(
+        np.float32))
+    # a mild pose walk keeps scatter patterns realistic
+    poses = np.tile(np.eye(4, dtype=np.float32), (BATCH, 1, 1))
+    poses[:, 0, 3] = 0.1 * np.arange(BATCH)
+    pose = jnp.asarray(poses)
+    fvalid = jnp.ones((BATCH,), bool)
+
+    def one_step(state):
+        idx = jnp.asarray(sample_pixels(rng, H, W, DEPTH_SAMPLE_RATE,
+                                        MAX_PTS, BATCH))
+        return step(state, params, rgb, depth, pose, idx, fvalid)
+
+    for _ in range(WARMUP_STEPS):
+        state = one_step(state)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_STEPS):
+        state = one_step(state)
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+    return TIMED_STEPS * BATCH / elapsed
+
+
+def measure_reference_baseline() -> dict:
+    """Reference-style per-frame cost on this host (cached once).
+
+    = torch-CPU LSeg forward over the 2 sliding-window crops
+      (reference lseg_utils.py:77-96)
+    + the per-point Python voxel-update loop over h*w/100 points
+      (reference vlmap_builder.py:136-178).
+    """
+    import torch
+    from tools.torch_reference.lseg_torch import (
+        TorchLSegSpec, build_torch_lseg,
+    )
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    model = build_torch_lseg(TorchLSegSpec(), seed=0)
+    x = torch.randn(1, 3, 480, 480)
+    with torch.no_grad():
+        t0 = time.perf_counter()
+        model(x)
+        lseg_s = time.perf_counter() - t0
+
+    # reference inner loop semantics on MAX_PTS points
+    rng = np.random.default_rng(0)
+    pc_local = rng.uniform(-2, 2, (MAX_PTS, 3))
+    pc_global = pc_local + np.array([1.0, 2.0, 0.5])
+    feats = rng.normal(size=(512, 347, 520)).astype(np.float32)
+    calib = np.array([[540, 0, 540], [0, 540, 360], [0, 0, 1]], np.float64)
+    feat_intr = np.array([[260, 0, 260], [0, 260, 173.5], [0, 0, 1]])
+    grid_feat = np.zeros((CAPACITY, 512), np.float32)
+    grid_rgb = np.zeros((CAPACITY, 3), np.float32)
+    weight = np.zeros((CAPACITY,), np.float32)
+    grid_pos = np.zeros((CAPACITY, 3), np.int32)
+    occupied = -np.ones((200, 200, VH), np.int32)
+    rgbim = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+    max_id = 0
+    t0 = time.perf_counter()
+    for i in range(MAX_PTS):
+        p, pl = pc_global[i], pc_local[i]
+        row = int(200 / 2 - int(p[0] / CS))
+        col = int(200 / 2 - int(p[1] / CS))
+        hh = int(p[2] / CS)
+        if row < 0 or row >= 200 or col < 0 or col >= 200 or hh < 0 \
+                or hh >= VH:
+            continue
+        q = calib @ pl.reshape(3, 1)
+        px, py = int(q[0, 0] / q[2, 0] - 0.5), int(q[1, 0] / q[2, 0] - 0.5)
+        rgb_v = rgbim[py % H, px % W]
+        q = feat_intr @ pl.reshape(3, 1)
+        px, py = int(q[0, 0] / q[2, 0] - 0.5), int(q[1, 0] / q[2, 0] - 0.5)
+        if px < 0 or py < 0 or px >= 520 or py >= 347:
+            continue
+        feat = feats[:, py, px]
+        alpha = float(np.exp(-np.sum(np.square(pl)) / 1.2))
+        oid = occupied[row, col, hh]
+        if oid == -1:
+            occupied[row, col, hh] = max_id
+            grid_feat[max_id] = feat * alpha
+            grid_rgb[max_id] = rgb_v
+            weight[max_id] += alpha
+            grid_pos[max_id] = [row, col, hh]
+            max_id += 1
+        else:
+            grid_feat[oid] = (grid_feat[oid] * weight[oid] + feat * alpha) \
+                / (weight[oid] + alpha)
+            weight[oid] += alpha
+    loop_s = time.perf_counter() - t0
+
+    n_crops = 2  # plan_windows(720, 1080) -> 2 windows
+    per_frame = lseg_s * n_crops + loop_s
+    return {
+        "lseg_forward_s_per_crop": lseg_s,
+        "python_voxel_loop_s_per_frame": loop_s,
+        "crops_per_frame": n_crops,
+        "reference_s_per_frame": per_frame,
+        "reference_fps": 1.0 / per_frame,
+        "host": "cpu",
+        "note": "reference repo publishes no benchmarks; this is the "
+                "reference-style pipeline (torch LSeg fwd + python voxel "
+                "loop) measured on this host's CPU",
+    }
+
+
+def get_baseline() -> dict:
+    if BASELINE_CACHE.exists():
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)
+    baseline = measure_reference_baseline()
+    BASELINE_CACHE.parent.mkdir(exist_ok=True)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(baseline, f, indent=2)
+    return baseline
+
+
+def main():
+    fps = measure_tpu_fps()
+    try:
+        baseline = get_baseline()
+        vs = fps / baseline["reference_fps"]
+    except Exception as e:  # noqa: BLE001 - never fail the bench on baseline
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        vs = None
+    print(json.dumps({
+        "metric": "map_build_fps",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,198 @@
+"""End-to-end VLMap builder tests on a synthetic scene (no Habitat needed),
+plus multi-chip sharded fusion vs the single-device path on the virtual
+8-device CPU mesh (SURVEY.md §4c/§4d)."""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from avlmaps_tpu.config import load_config
+from avlmaps_tpu.geometry.projection import get_sim_cam_mat
+from avlmaps_tpu.geometry.transforms import (
+    build_base2cam_tf, build_base_transform,
+)
+from avlmaps_tpu.map.vlmap_builder import (
+    VLMapBuilder, make_frame_step, sample_pixels,
+)
+from avlmaps_tpu.map.voxel_map import SparseVoxelMap
+from avlmaps_tpu.models.lseg import LSegNet, LSegConfig
+from avlmaps_tpu.ops.voxel_fusion import init_fusion_state, export_fusion_state
+
+H, W = 32, 32
+GS, CS, VH = 64, 0.1, 8
+
+
+def write_synthetic_scene(root: Path, n_frames: int = 5):
+    """rgb/*.png + depth/*.npy + poses.txt in the reference layout
+    (dataset/README.md)."""
+    import cv2
+
+    rng = np.random.default_rng(0)
+    (root / "rgb").mkdir(parents=True)
+    (root / "depth").mkdir()
+    poses = []
+    for i in range(n_frames):
+        rgb = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        cv2.imwrite(str(root / "rgb" / f"{i:06d}.png"),
+                    rgb[:, :, ::-1])  # store BGR like the dataset
+        depth = rng.uniform(0.3, 1.5, (H, W)).astype(np.float32)
+        np.save(root / "depth" / f"{i:06d}.npy", depth)
+        # small forward walk in habitat coords: position + identity quat
+        poses.append([0.02 * i, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0])
+    np.savetxt(root / "poses.txt", np.asarray(poses))
+    return root
+
+
+@pytest.fixture(scope="module")
+def tiny_lseg():
+    cfg = LSegConfig.tiny16()
+    model = LSegNet(cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, H, W, 3), jnp.float32))
+    return model, params
+
+
+class TestFrameStep:
+    def test_fuses_synthetic_batch(self, tiny_lseg, rng):
+        model, params = tiny_lseg
+        calib = get_sim_cam_mat(H, W)
+        step = make_frame_step(model.apply, gs=GS, cs=CS, vh=VH,
+                               calib_mat=calib, image_hw=(H, W),
+                               base_size=W, crop_size=W, max_depth=6.0)
+        state = init_fusion_state(GS, VH, 24, 4096)
+        b, n = 2, 64
+        rgb = jnp.asarray(rng.normal(size=(b, H, W, 3)).astype(np.float32))
+        depth = jnp.asarray(rng.uniform(0.3, 0.7, (b, H, W)).astype(
+            np.float32))
+        pose = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+        idx = jnp.asarray(sample_pixels(np.random.default_rng(0), H, W, 16,
+                                        n, b))
+        state = step(state, params, rgb, depth, pose, idx,
+                     jnp.ones((b,), bool))
+        feats, pos, weight, occ, rgbs = export_fusion_state(state, GS, VH)
+        assert feats.shape[0] > 0
+        assert (pos[:, 0] < GS).all() and (pos[:, 2] < VH).all()
+        assert (weight > 0).all()
+
+    def test_invalid_frames_ignored(self, tiny_lseg, rng):
+        model, params = tiny_lseg
+        step = make_frame_step(model.apply, gs=GS, cs=CS, vh=VH,
+                               calib_mat=get_sim_cam_mat(H, W),
+                               image_hw=(H, W), base_size=W, crop_size=W)
+        state = init_fusion_state(GS, VH, 24, 4096)
+        b, n = 2, 32
+        rgb = jnp.zeros((b, H, W, 3), jnp.float32)
+        depth = jnp.full((b, H, W), 0.5, jnp.float32)
+        pose = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+        idx = jnp.asarray(sample_pixels(np.random.default_rng(0), H, W, 16,
+                                        n, b))
+        state = step(state, params, rgb, depth, pose, idx,
+                     jnp.zeros((b,), bool))  # every frame padding
+        assert int(state.n_slots) == 0
+
+
+class TestBuilderE2E:
+    def test_build_save_resume(self, tmp_path, tiny_lseg):
+        model, params = tiny_lseg
+        scene = write_synthetic_scene(tmp_path / "scene", n_frames=5)
+        cfg = load_config(overrides=None)
+        cfg.map_config.grid_size = GS
+        cfg.map_config.cell_size = CS
+        cfg.map_config.pose_info.camera_height = CS * VH
+        cfg.map_config.cam_calib_mat = tuple(
+            get_sim_cam_mat(H, W).reshape(-1))
+        cfg.map_config.capacity = 8192
+        cfg.map_config.depth_sample_rate = 16
+        cfg.map_config.max_pts_per_frame = 64
+        cfg.map_config.max_depth = 6.0
+
+        base2cam = build_base2cam_tf(cfg.map_config.pose_info.base2cam_rot,
+                                     cfg.map_config.pose_info.camera_height)
+        base_tf = build_base_transform(
+            cfg.map_config.pose_info.base_forward_axis,
+            cfg.map_config.pose_info.base_left_axis,
+            cfg.map_config.pose_info.base_up_axis)
+
+        def make_builder():
+            return VLMapBuilder(
+                scene, cfg.map_config, scene / "poses.txt",
+                sorted((scene / "rgb").glob("*.png")),
+                sorted((scene / "depth").glob("*.npy")),
+                base2cam, base_tf, lseg_apply=model.apply,
+                lseg_params=params, feat_dim=24, batch_size=2)
+
+        m = make_builder().create_mobile_base_map(save_every=0,
+                                                  progress=False)
+        assert m.num_occupied > 0
+        assert m.mapped_iters == set(range(5))
+        assert (scene / "vlmap" / "vlmaps.h5df").exists()
+
+        # resume: all frames already mapped -> nothing to do, same map
+        m2 = make_builder().create_mobile_base_map(save_every=0,
+                                                   progress=False)
+        assert m2.mapped_iters == set(range(5))
+        np.testing.assert_array_equal(m2.grid_pos, m.grid_pos)
+        np.testing.assert_allclose(m2.weight, m.weight, rtol=1e-5)
+
+        # reload through the artifact API
+        m3 = SparseVoxelMap.load(scene / "vlmap" / "vlmaps.h5df")
+        assert m3.num_occupied == m.num_occupied
+
+
+class TestShardedParity:
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    def test_sharded_matches_single_device(self, tiny_lseg, rng):
+        from avlmaps_tpu.parallel.sharded import ShardedFusion, make_mesh
+
+        model, params = tiny_lseg
+        calib = get_sim_cam_mat(H, W)
+        n_dev = 8
+        b = n_dev  # one frame per device
+        n = 64
+        rgb = jnp.asarray(rng.normal(size=(b, H, W, 3)).astype(np.float32))
+        depth = jnp.asarray(
+            rng.uniform(0.3, 1.2, (b, H, W)).astype(np.float32))
+        pose = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+        idx = jnp.asarray(sample_pixels(np.random.default_rng(1), H, W, 16,
+                                        n, b))
+        fvalid = jnp.ones((b,), bool)
+
+        # single-device reference
+        step = make_frame_step(model.apply, gs=GS, cs=CS, vh=VH,
+                               calib_mat=calib, image_hw=(H, W),
+                               base_size=W, crop_size=W)
+        sstate = init_fusion_state(GS, VH, 24, 8192)
+        sstate = step(sstate, params, rgb, depth, pose, idx, fvalid)
+        f1, p1, w1, o1, r1 = export_fusion_state(sstate, GS, VH)
+
+        # sharded
+        mesh = make_mesh(n_dev)
+        fusion = ShardedFusion(mesh, gs=GS, cs=CS, vh=VH, feat_dim=24,
+                               capacity=8192 * n_dev, calib_mat=calib,
+                               image_hw=(H, W), lseg_apply=model.apply,
+                               base_size=W, crop_size=W)
+        fusion.step(params, rgb, depth, pose, idx, fvalid)
+        f2, p2, w2, o2, r2 = fusion.export()
+
+        # same occupied voxel set, same per-voxel stats (order may differ)
+        np.testing.assert_array_equal(o1 >= 0, o2 >= 0)
+        k1 = np.lexsort(p1.T)
+        k2 = np.lexsort(p2.T)
+        np.testing.assert_array_equal(p1[k1], p2[k2])
+        np.testing.assert_allclose(w1[k1], w2[k2], rtol=1e-5)
+        np.testing.assert_allclose(f1[k1], f2[k2], rtol=1e-3, atol=1e-3)
+
+
+def test_dryrun_multichip():
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __graft_entry__ as ge
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    ge.dryrun_multichip(8)

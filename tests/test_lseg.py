@@ -98,234 +98,34 @@ class TestTinyForward:
 
 
 class TestTorchGoldenParity:
-    """Tiny torch model mirroring the reference LSegEncNet layer-for-layer
-    (timm ViT block conventions + DPT act_postprocess + BN fusion blocks),
-    exported as a reference-style state dict, ported, and compared."""
+    """Golden parity against the shared torch reference implementation
+    (tools/torch_reference/lseg_torch.py): export a reference-style state
+    dict, port, compare full forwards (SURVEY.md §4b)."""
 
-    W, LAYERS, HEADS, P, FEAT, OUT = 32, 4, 2, 8, 16, 24
-    RCH = (8, 16, 32, 32)
-    GRID = 4  # pretrain grid (32 / 8)
+    LAYERS = 4
 
     @pytest.fixture(scope="class")
     def torch_model(self):
-        torch = pytest.importorskip("torch")
-        import torch.nn as tnn
-        import torch.nn.functional as F
+        pytest.importorskip("torch")
+        import sys, pathlib
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+        from tools.torch_reference.lseg_torch import (
+            TorchLSegSpec, build_torch_lseg)
 
-        W, L, H, P = self.W, self.LAYERS, self.HEADS, self.P
-        FEAT, OUT, RCH, GRID = self.FEAT, self.OUT, self.RCH, self.GRID
+        return build_torch_lseg(TorchLSegSpec.tiny(), seed=0)
 
-        class Block(tnn.Module):
-            def __init__(self):
-                super().__init__()
-                self.norm1 = tnn.LayerNorm(W, eps=1e-6)
-                self.norm2 = tnn.LayerNorm(W, eps=1e-6)
-                self.attn = tnn.Module()
-                self.attn.qkv = tnn.Linear(W, 3 * W)
-                self.attn.proj = tnn.Linear(W, W)
-                self.mlp = tnn.Module()
-                self.mlp.fc1 = tnn.Linear(W, 4 * W)
-                self.mlp.fc2 = tnn.Linear(4 * W, W)
+    def _variables(self, torch_model):
+        from tools.torch_reference.lseg_torch import (
+            export_reference_state_dict)
 
-            def forward(self, x):
-                b, t, _ = x.shape
-                h = self.norm1(x)
-                qkv = self.attn.qkv(h).reshape(b, t, 3, H, W // H)
-                q, k, v = qkv.permute(2, 0, 3, 1, 4)
-                a = (q @ k.transpose(-2, -1)) * (W // H) ** -0.5
-                a = a.softmax(dim=-1)
-                h = (a @ v).transpose(1, 2).reshape(b, t, W)
-                x = x + self.attn.proj(h)
-                h = self.norm2(x)
-                x = x + self.mlp.fc2(F.gelu(self.mlp.fc1(h)))
-                return x
-
-        class RCU(tnn.Module):
-            def __init__(self):
-                super().__init__()
-                self.conv1 = tnn.Conv2d(FEAT, FEAT, 3, padding=1, bias=False)
-                self.conv2 = tnn.Conv2d(FEAT, FEAT, 3, padding=1, bias=False)
-                self.bn1 = tnn.BatchNorm2d(FEAT)
-                self.bn2 = tnn.BatchNorm2d(FEAT)
-
-            def forward(self, x):
-                out = F.relu(x)
-                out = self.bn1(self.conv1(out))
-                out = F.relu(out)
-                out = self.bn2(self.conv2(out))
-                return out + x
-
-        class Fusion(tnn.Module):
-            def __init__(self):
-                super().__init__()
-                self.resConfUnit1 = RCU()
-                self.resConfUnit2 = RCU()
-                self.out_conv = tnn.Conv2d(FEAT, FEAT, 1)
-
-            def forward(self, *xs):
-                out = xs[0]
-                if len(xs) == 2:
-                    out = out + self.resConfUnit1(xs[1])
-                out = self.resConfUnit2(out)
-                out = F.interpolate(out, scale_factor=2, mode="bilinear",
-                                    align_corners=True)
-                return self.out_conv(out)
-
-        class TinyLSeg(tnn.Module):
-            def __init__(self):
-                super().__init__()
-                pm = tnn.Module()
-                pm.patch_embed = tnn.Module()
-                pm.patch_embed.proj = tnn.Conv2d(3, W, P, stride=P)
-                pm.cls_token = tnn.Parameter(torch.randn(1, 1, W) * 0.02)
-                pm.pos_embed = tnn.Parameter(
-                    torch.randn(1, GRID * GRID + 1, W) * 0.02)
-                pm.blocks = tnn.ModuleList([Block() for _ in range(L)])
-                self.pretrained_model = pm
-                # act_postprocess: readout project + 1x1 + resample
-                def ap(lvl, ch):
-                    m = tnn.Module()
-                    proj = tnn.Module()
-                    proj.add_module("0", tnn.Linear(2 * W, W))
-                    m.project = proj
-                    m.conv = tnn.Conv2d(W, ch, 1)
-                    if lvl == 0:
-                        m.resample = tnn.ConvTranspose2d(ch, ch, 4, stride=4)
-                    elif lvl == 1:
-                        m.resample = tnn.ConvTranspose2d(ch, ch, 2, stride=2)
-                    elif lvl == 3:
-                        m.resample = tnn.Conv2d(ch, ch, 3, stride=2,
-                                                padding=1)
-                    else:
-                        m.resample = None
-                    return m
-                self.aps = tnn.ModuleList([ap(i, RCH[i]) for i in range(4)])
-                self.scratch_convs = tnn.ModuleList([
-                    tnn.Conv2d(RCH[i], FEAT, 3, padding=1, bias=False)
-                    for i in range(4)])
-                self.refinenets = tnn.ModuleList(
-                    [Fusion() for _ in range(4)])
-                self.head1 = tnn.Conv2d(FEAT, OUT, 1)
-
-            def forward(self, x):
-                b, c, h, w = x.shape
-                gh, gw = h // P, w // P
-                pm = self.pretrained_model
-                t = pm.patch_embed.proj(x).flatten(2).transpose(1, 2)
-                cls = pm.cls_token.expand(b, -1, -1)
-                t = torch.cat([cls, t], dim=1)
-                pos = pm.pos_embed
-                if gh != GRID or gw != GRID:
-                    tok, grid = pos[:, :1], pos[0, 1:]
-                    grid = grid.reshape(1, GRID, GRID, -1).permute(0, 3, 1, 2)
-                    grid = F.interpolate(grid, size=(gh, gw), mode="bilinear")
-                    grid = grid.permute(0, 2, 3, 1).reshape(1, gh * gw, -1)
-                    pos = torch.cat([tok, grid], dim=1)
-                t = t + pos
-                taps = []
-                for i, blk in enumerate(pm.blocks):
-                    t = blk(t)
-                    taps.append(t)
-                layers = []
-                for lvl in range(4):
-                    a = taps[lvl]
-                    ro = torch.cat(
-                        [a[:, 1:], a[:, :1].expand_as(a[:, 1:])], dim=-1)
-                    a = F.gelu(self.aps[lvl].project._modules["0"](ro))
-                    a = a.transpose(1, 2).reshape(b, W, gh, gw)
-                    a = self.aps[lvl].conv(a)
-                    if self.aps[lvl].resample is not None:
-                        a = self.aps[lvl].resample(a)
-                    layers.append(self.scratch_convs[lvl](a))
-                path = self.refinenets[3](layers[3])
-                path = self.refinenets[2](path, layers[2])
-                path = self.refinenets[1](path, layers[1])
-                path = self.refinenets[0](path, layers[0])
-                feats = self.head1(path)
-                ish = feats.shape
-                f = feats.permute(0, 2, 3, 1).reshape(-1, OUT)
-                f = f / f.norm(dim=-1, keepdim=True)
-                f = f * (1 / 0.07)
-                f = f.reshape(ish[0], ish[2], ish[3], OUT).permute(0, 3, 1, 2)
-                return F.interpolate(f, scale_factor=2, mode="bilinear",
-                                     align_corners=True)
-
-        torch.manual_seed(0)
-        m = TinyLSeg()
-        # randomise BN running stats so folding is actually exercised
-        for mod in m.modules():
-            if isinstance(mod, tnn.BatchNorm2d):
-                mod.running_mean.normal_(0, 0.5)
-                mod.running_var.uniform_(0.5, 2.0)
-        return m.eval()
-
-    def _state_dict(self, m):
-        """Re-key the tiny torch model into the reference checkpoint naming
-        (net.pretrained.model..., net.pretrained.act_postprocessK...,
-        net.scratch...)."""
-        import torch
-
-        sd = {}
-        pm = m.pretrained_model
-        sd["net.pretrained.model.patch_embed.proj.weight"] = \
-            pm.patch_embed.proj.weight
-        sd["net.pretrained.model.patch_embed.proj.bias"] = \
-            pm.patch_embed.proj.bias
-        sd["net.pretrained.model.cls_token"] = pm.cls_token
-        sd["net.pretrained.model.pos_embed"] = pm.pos_embed
-        for i, blk in enumerate(pm.blocks):
-            p = f"net.pretrained.model.blocks.{i}"
-            sd[f"{p}.norm1.weight"] = blk.norm1.weight
-            sd[f"{p}.norm1.bias"] = blk.norm1.bias
-            sd[f"{p}.norm2.weight"] = blk.norm2.weight
-            sd[f"{p}.norm2.bias"] = blk.norm2.bias
-            sd[f"{p}.attn.qkv.weight"] = blk.attn.qkv.weight
-            sd[f"{p}.attn.qkv.bias"] = blk.attn.qkv.bias
-            sd[f"{p}.attn.proj.weight"] = blk.attn.proj.weight
-            sd[f"{p}.attn.proj.bias"] = blk.attn.proj.bias
-            sd[f"{p}.mlp.fc1.weight"] = blk.mlp.fc1.weight
-            sd[f"{p}.mlp.fc1.bias"] = blk.mlp.fc1.bias
-            sd[f"{p}.mlp.fc2.weight"] = blk.mlp.fc2.weight
-            sd[f"{p}.mlp.fc2.bias"] = blk.mlp.fc2.bias
-        for lvl in range(4):
-            ap = f"net.pretrained.act_postprocess{lvl + 1}"
-            sd[f"{ap}.0.project.0.weight"] = \
-                m.aps[lvl].project._modules["0"].weight
-            sd[f"{ap}.0.project.0.bias"] = \
-                m.aps[lvl].project._modules["0"].bias
-            sd[f"{ap}.3.weight"] = m.aps[lvl].conv.weight
-            sd[f"{ap}.3.bias"] = m.aps[lvl].conv.bias
-            if m.aps[lvl].resample is not None:
-                sd[f"{ap}.4.weight"] = m.aps[lvl].resample.weight
-                sd[f"{ap}.4.bias"] = m.aps[lvl].resample.bias
-            sd[f"net.scratch.layer{lvl + 1}_rn.weight"] = \
-                m.scratch_convs[lvl].weight
-        for r in range(4):
-            p = f"net.scratch.refinenet{r + 1}"
-            fu = m.refinenets[r]
-            for name, rcu in (("resConfUnit1", fu.resConfUnit1),
-                              ("resConfUnit2", fu.resConfUnit2)):
-                sd[f"{p}.{name}.conv1.weight"] = rcu.conv1.weight
-                sd[f"{p}.{name}.conv2.weight"] = rcu.conv2.weight
-                for bi, bn in (("bn1", rcu.bn1), ("bn2", rcu.bn2)):
-                    sd[f"{p}.{name}.{bi}.weight"] = bn.weight
-                    sd[f"{p}.{name}.{bi}.bias"] = bn.bias
-                    sd[f"{p}.{name}.{bi}.running_mean"] = bn.running_mean
-                    sd[f"{p}.{name}.{bi}.running_var"] = bn.running_var
-            sd[f"{p}.out_conv.weight"] = fu.out_conv.weight
-            sd[f"{p}.out_conv.bias"] = fu.out_conv.bias
-        sd["net.scratch.head1.weight"] = m.head1.weight
-        sd["net.scratch.head1.bias"] = m.head1.bias
-        return sd
+        sd = export_reference_state_dict(torch_model)
+        return port_lseg_state_dict(sd, vit_layers=self.LAYERS)
 
     def test_full_forward_parity(self, torch_model):
         import torch
 
-        sd = self._state_dict(torch_model)
-        variables = port_lseg_state_dict(sd, vit_layers=self.LAYERS)
-
-        cfg = LSegConfig.tiny()
-        model = LSegNet(cfg)
+        variables = self._variables(torch_model)
+        model = LSegNet(LSegConfig.tiny())
         x = np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(
             np.float32)
         with torch.no_grad():
@@ -339,8 +139,7 @@ class TestTorchGoldenParity:
         """48x48 input exercises the pos-embed bilinear resize path."""
         import torch
 
-        sd = self._state_dict(torch_model)
-        variables = port_lseg_state_dict(sd, vit_layers=self.LAYERS)
+        variables = self._variables(torch_model)
         model = LSegNet(LSegConfig.tiny())
         x = np.random.default_rng(1).normal(size=(1, 48, 48, 3)).astype(
             np.float32)

@@ -1,0 +1,247 @@
+"""Parameterised torch LSeg matching the reference architecture
+(avlmaps/lseg/modules/models/lseg_net.py LSegEncNet + lseg_vit.py DPT
+plumbing), written from the architectural spec — used as the golden oracle
+for flax parity tests and as the measured CPU baseline in bench.py."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class TorchLSegSpec:
+    width: int = 1024
+    layers: int = 24
+    heads: int = 16
+    patch: int = 16
+    features: int = 256
+    out_dim: int = 512
+    reassemble_ch: Tuple[int, ...] = (256, 512, 1024, 1024)
+    pretrain_grid: int = 24
+    hooks: Tuple[int, ...] = (5, 11, 17, 23)
+
+    @staticmethod
+    def tiny() -> "TorchLSegSpec":
+        return TorchLSegSpec(width=32, layers=4, heads=2, patch=8,
+                             features=16, out_dim=24,
+                             reassemble_ch=(8, 16, 32, 32), pretrain_grid=4,
+                             hooks=(0, 1, 2, 3))
+
+
+def build_torch_lseg(spec: TorchLSegSpec, seed: int = 0):
+    """Construct the torch model (eval mode, randomised BN stats)."""
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    W, L, H, P = spec.width, spec.layers, spec.heads, spec.patch
+    FEAT, OUT, RCH, GRID = (spec.features, spec.out_dim, spec.reassemble_ch,
+                            spec.pretrain_grid)
+    HOOKS = spec.hooks
+
+    class Block(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = tnn.LayerNorm(W, eps=1e-6)
+            self.norm2 = tnn.LayerNorm(W, eps=1e-6)
+            self.attn = tnn.Module()
+            self.attn.qkv = tnn.Linear(W, 3 * W)
+            self.attn.proj = tnn.Linear(W, W)
+            self.mlp = tnn.Module()
+            self.mlp.fc1 = tnn.Linear(W, 4 * W)
+            self.mlp.fc2 = tnn.Linear(4 * W, W)
+
+        def forward(self, x):
+            b, t, _ = x.shape
+            h = self.norm1(x)
+            qkv = self.attn.qkv(h).reshape(b, t, 3, H, W // H)
+            q, k, v = qkv.permute(2, 0, 3, 1, 4)
+            a = (q @ k.transpose(-2, -1)) * (W // H) ** -0.5
+            a = a.softmax(dim=-1)
+            h = (a @ v).transpose(1, 2).reshape(b, t, W)
+            x = x + self.attn.proj(h)
+            h = self.norm2(x)
+            return x + self.mlp.fc2(F.gelu(self.mlp.fc1(h)))
+
+    class RCU(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(FEAT, FEAT, 3, padding=1, bias=False)
+            self.conv2 = tnn.Conv2d(FEAT, FEAT, 3, padding=1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(FEAT)
+            self.bn2 = tnn.BatchNorm2d(FEAT)
+
+        def forward(self, x):
+            out = F.relu(x)
+            out = self.bn1(self.conv1(out))
+            out = F.relu(out)
+            out = self.bn2(self.conv2(out))
+            return out + x
+
+    class Fusion(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.resConfUnit1 = RCU()
+            self.resConfUnit2 = RCU()
+            self.out_conv = tnn.Conv2d(FEAT, FEAT, 1)
+
+        def forward(self, *xs):
+            out = xs[0]
+            if len(xs) == 2:
+                out = out + self.resConfUnit1(xs[1])
+            out = self.resConfUnit2(out)
+            out = F.interpolate(out, scale_factor=2, mode="bilinear",
+                                align_corners=True)
+            return self.out_conv(out)
+
+    class TorchLSeg(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            pm = tnn.Module()
+            pm.patch_embed = tnn.Module()
+            pm.patch_embed.proj = tnn.Conv2d(3, W, P, stride=P)
+            pm.cls_token = tnn.Parameter(torch.randn(1, 1, W) * 0.02)
+            pm.pos_embed = tnn.Parameter(
+                torch.randn(1, GRID * GRID + 1, W) * 0.02)
+            pm.blocks = tnn.ModuleList([Block() for _ in range(L)])
+            self.pretrained_model = pm
+
+            def ap(lvl, ch):
+                m = tnn.Module()
+                proj = tnn.Module()
+                proj.add_module("0", tnn.Linear(2 * W, W))
+                m.project = proj
+                m.conv = tnn.Conv2d(W, ch, 1)
+                if lvl == 0:
+                    m.resample = tnn.ConvTranspose2d(ch, ch, 4, stride=4)
+                elif lvl == 1:
+                    m.resample = tnn.ConvTranspose2d(ch, ch, 2, stride=2)
+                elif lvl == 3:
+                    m.resample = tnn.Conv2d(ch, ch, 3, stride=2, padding=1)
+                else:
+                    m.resample = None
+                return m
+
+            self.aps = tnn.ModuleList([ap(i, RCH[i]) for i in range(4)])
+            self.scratch_convs = tnn.ModuleList([
+                tnn.Conv2d(RCH[i], FEAT, 3, padding=1, bias=False)
+                for i in range(4)])
+            self.refinenets = tnn.ModuleList([Fusion() for _ in range(4)])
+            self.head1 = tnn.Conv2d(FEAT, OUT, 1)
+
+        def forward(self, x):
+            b, c, h, w = x.shape
+            gh, gw = h // P, w // P
+            pm = self.pretrained_model
+            t = pm.patch_embed.proj(x).flatten(2).transpose(1, 2)
+            t = torch.cat([pm.cls_token.expand(b, -1, -1), t], dim=1)
+            pos = pm.pos_embed
+            if gh != GRID or gw != GRID:
+                tok, grid = pos[:, :1], pos[0, 1:]
+                grid = grid.reshape(1, GRID, GRID, -1).permute(0, 3, 1, 2)
+                grid = F.interpolate(grid, size=(gh, gw), mode="bilinear")
+                grid = grid.permute(0, 2, 3, 1).reshape(1, gh * gw, -1)
+                pos = torch.cat([tok, grid], dim=1)
+            t = t + pos
+            taps = {}
+            for i, blk in enumerate(pm.blocks):
+                t = blk(t)
+                if i in HOOKS:
+                    taps[i] = t
+                if len(taps) == 4:
+                    break
+            layers = []
+            for lvl, hook in enumerate(HOOKS):
+                a = taps[hook]
+                ro = torch.cat([a[:, 1:], a[:, :1].expand_as(a[:, 1:])],
+                               dim=-1)
+                a = F.gelu(self.aps[lvl].project._modules["0"](ro))
+                a = a.transpose(1, 2).reshape(b, W, gh, gw)
+                a = self.aps[lvl].conv(a)
+                if self.aps[lvl].resample is not None:
+                    a = self.aps[lvl].resample(a)
+                layers.append(self.scratch_convs[lvl](a))
+            path = self.refinenets[3](layers[3])
+            path = self.refinenets[2](path, layers[2])
+            path = self.refinenets[1](path, layers[1])
+            path = self.refinenets[0](path, layers[0])
+            feats = self.head1(path)
+            ish = feats.shape
+            f = feats.permute(0, 2, 3, 1).reshape(-1, OUT)
+            f = f / f.norm(dim=-1, keepdim=True)
+            f = f * (1 / 0.07)
+            f = f.reshape(ish[0], ish[2], ish[3], OUT).permute(0, 3, 1, 2)
+            return F.interpolate(f, scale_factor=2, mode="bilinear",
+                                 align_corners=True)
+
+    import torch
+
+    torch.manual_seed(seed)
+    model = TorchLSeg()
+    for mod in model.modules():
+        if isinstance(mod, __import__("torch").nn.BatchNorm2d):
+            mod.running_mean.normal_(0, 0.5)
+            mod.running_var.uniform_(0.5, 2.0)
+    return model.eval()
+
+
+def export_reference_state_dict(model) -> Dict[str, object]:
+    """Re-key the torch model into the reference checkpoint naming
+    (net.pretrained.model..., net.pretrained.act_postprocessK...,
+    net.scratch...), as consumed by
+    avlmaps_tpu.models.lseg.port.port_lseg_state_dict."""
+    sd = {}
+    pm = model.pretrained_model
+    sd["net.pretrained.model.patch_embed.proj.weight"] = \
+        pm.patch_embed.proj.weight
+    sd["net.pretrained.model.patch_embed.proj.bias"] = \
+        pm.patch_embed.proj.bias
+    sd["net.pretrained.model.cls_token"] = pm.cls_token
+    sd["net.pretrained.model.pos_embed"] = pm.pos_embed
+    for i, blk in enumerate(pm.blocks):
+        p = f"net.pretrained.model.blocks.{i}"
+        sd[f"{p}.norm1.weight"] = blk.norm1.weight
+        sd[f"{p}.norm1.bias"] = blk.norm1.bias
+        sd[f"{p}.norm2.weight"] = blk.norm2.weight
+        sd[f"{p}.norm2.bias"] = blk.norm2.bias
+        sd[f"{p}.attn.qkv.weight"] = blk.attn.qkv.weight
+        sd[f"{p}.attn.qkv.bias"] = blk.attn.qkv.bias
+        sd[f"{p}.attn.proj.weight"] = blk.attn.proj.weight
+        sd[f"{p}.attn.proj.bias"] = blk.attn.proj.bias
+        sd[f"{p}.mlp.fc1.weight"] = blk.mlp.fc1.weight
+        sd[f"{p}.mlp.fc1.bias"] = blk.mlp.fc1.bias
+        sd[f"{p}.mlp.fc2.weight"] = blk.mlp.fc2.weight
+        sd[f"{p}.mlp.fc2.bias"] = blk.mlp.fc2.bias
+    for lvl in range(4):
+        ap = f"net.pretrained.act_postprocess{lvl + 1}"
+        sd[f"{ap}.0.project.0.weight"] = \
+            model.aps[lvl].project._modules["0"].weight
+        sd[f"{ap}.0.project.0.bias"] = \
+            model.aps[lvl].project._modules["0"].bias
+        sd[f"{ap}.3.weight"] = model.aps[lvl].conv.weight
+        sd[f"{ap}.3.bias"] = model.aps[lvl].conv.bias
+        if model.aps[lvl].resample is not None:
+            sd[f"{ap}.4.weight"] = model.aps[lvl].resample.weight
+            sd[f"{ap}.4.bias"] = model.aps[lvl].resample.bias
+        sd[f"net.scratch.layer{lvl + 1}_rn.weight"] = \
+            model.scratch_convs[lvl].weight
+    for r in range(4):
+        p = f"net.scratch.refinenet{r + 1}"
+        fu = model.refinenets[r]
+        for name, rcu in (("resConfUnit1", fu.resConfUnit1),
+                          ("resConfUnit2", fu.resConfUnit2)):
+            sd[f"{p}.{name}.conv1.weight"] = rcu.conv1.weight
+            sd[f"{p}.{name}.conv2.weight"] = rcu.conv2.weight
+            for bi, bn in (("bn1", rcu.bn1), ("bn2", rcu.bn2)):
+                sd[f"{p}.{name}.{bi}.weight"] = bn.weight
+                sd[f"{p}.{name}.{bi}.bias"] = bn.bias
+                sd[f"{p}.{name}.{bi}.running_mean"] = bn.running_mean
+                sd[f"{p}.{name}.{bi}.running_var"] = bn.running_var
+        sd[f"{p}.out_conv.weight"] = fu.out_conv.weight
+        sd[f"{p}.out_conv.bias"] = fu.out_conv.bias
+    sd["net.scratch.head1.weight"] = model.head1.weight
+    sd["net.scratch.head1.bias"] = model.head1.bias
+    return sd
