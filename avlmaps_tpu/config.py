@@ -79,6 +79,8 @@ class MapConfig:
     capacity: int = 1_000_000  # fixed voxel-slot capacity (reference grows 2x)
     min_depth: float = 0.1
     max_depth: float = 6.0
+    lseg_base_size: int = 520  # sliding-window long side (lseg_utils.py:38-44)
+    lseg_crop_size: int = 480
 
     @property
     def gs(self) -> int:

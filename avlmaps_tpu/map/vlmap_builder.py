@@ -192,6 +192,8 @@ class VLMapBuilder:
         step = make_frame_step(
             self.lseg_apply, gs=gs, cs=cs, vh=vh,
             calib_mat=cfg.calib_matrix(), image_hw=(h, w),
+            base_size=getattr(cfg, "lseg_base_size", 520),
+            crop_size=getattr(cfg, "lseg_crop_size", 480),
             min_depth=cfg.min_depth, max_depth=cfg.max_depth)
         step = jax.jit(step, donate_argnums=(0,))
 

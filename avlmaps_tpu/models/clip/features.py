@@ -123,6 +123,27 @@ class ClipEncoder:
             lambda p, x: self.model.apply(p, x, method=Clip.encode_image))
 
     @classmethod
+    def from_config(cls, cfg: ClipConfig, seed: int = 0,
+                    tokenizer: Optional[ClipTokenizer] = None
+                    ) -> "ClipEncoder":
+        """Build from an explicit config (tests / custom sizes)."""
+        enc = cls.__new__(cls)
+        enc.cfg = cfg
+        enc.variant = "custom"
+        enc.feat_dim = cfg.embed_dim
+        enc.model = Clip(cfg)
+        enc.tokenizer = tokenizer or default_tokenizer()
+        k = jax.random.PRNGKey(seed)
+        enc.params = jax.jit(enc.model.init)(
+            k, jnp.zeros((1, cfg.context_length), jnp.int32),
+            jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32))
+        enc._encode_text = jax.jit(
+            lambda p, t: enc.model.apply(p, t, method=Clip.encode_text))
+        enc._encode_image = jax.jit(
+            lambda p, x: enc.model.apply(p, x, method=Clip.encode_image))
+        return enc
+
+    @classmethod
     def from_checkpoint(cls, path: str, **kw) -> "ClipEncoder":
         from avlmaps_tpu.models.clip.port import load_clip_checkpoint
 
