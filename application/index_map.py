@@ -1,0 +1,92 @@
+"""Interactive open-vocabulary map indexing REPL
+(reference application/index_map.py).
+
+Queries object / sound / area / image and visualises (or saves) the 3D
+heatmap.  Works headless: pass --query/--type for one-shot mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from avlmaps_tpu.config import load_config
+from avlmaps_tpu.map.avlmap import AVLMap
+
+
+def run_query(avlmap: AVLMap, index_type: str, query: str,
+              decay_rate: float):
+    if index_type == "object":
+        return avlmap.index_object(query, decay_rate=decay_rate)
+    if index_type == "sound":
+        return avlmap.index_sound(query, decay_rate=decay_rate)
+    if index_type == "area":
+        return avlmap.index_area(query, decay_rate=decay_rate)
+    if index_type == "image":
+        from avlmaps_tpu.pipeline.loader import load_rgb
+
+        return avlmap.index_image(load_rgb(query), decay_rate=decay_rate)
+    raise ValueError(f"unknown index type {index_type!r}")
+
+
+def save_heatmap(avlmap: AVLMap, heatmap: np.ndarray, out: Path):
+    """Write a colourised top-down projection of the heatmap."""
+    import cv2
+
+    from avlmaps_tpu.ops.pooling import pool_3d_value_to_2d_max
+
+    gs = avlmap.vlmap.occupied_ids.shape[0]
+    top = pool_3d_value_to_2d_max(heatmap, avlmap.vlmap.grid_pos, gs)
+    img = cv2.applyColorMap((top * 255).astype(np.uint8), cv2.COLORMAP_JET)
+    cv2.imwrite(str(out), img)
+    print(f"heatmap written to {out}")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--data-dir", required=True)
+    parser.add_argument("--scene-id", type=int, default=0)
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--type", choices=["object", "sound", "area",
+                                           "image"], default=None,
+                        help="one-shot query type (omit for the REPL)")
+    parser.add_argument("--query", default=None,
+                        help="query text (or image path for --type image)")
+    parser.add_argument("--out", default="heatmap.png")
+    args = parser.parse_args()
+
+    config = load_config(args.config)
+    config.data_paths.avlmaps_data_dir = args.data_dir
+    dataset = Path(args.data_dir) / "avlmaps_dataset"
+    if not dataset.exists():
+        dataset = Path(args.data_dir) / "vlmaps_dataset"
+    data_dirs = sorted([x for x in dataset.iterdir() if x.is_dir()])
+    scene = data_dirs[args.scene_id]
+
+    avlmap = AVLMap(config, data_dir=str(scene))
+    avlmap.load_map(scene)
+
+    if args.type:
+        heat = run_query(avlmap, args.type, args.query, config.decay_rate)
+        save_heatmap(avlmap, heat, Path(args.out))
+        return
+
+    menu = ("What do you want to index? (1. object, 2. sound, 3. area, "
+            "4. image, 5. exit)\nInput: ")
+    kinds = {"1": "object", "2": "sound", "3": "area", "4": "image"}
+    while True:
+        choice = input(menu).strip()
+        if choice not in kinds:
+            break
+        query = input("Query: ").strip()
+        heat = run_query(avlmap, kinds[choice], query, config.decay_rate)
+        save_heatmap(avlmap, heat, Path(args.out))
+
+
+if __name__ == "__main__":
+    main()

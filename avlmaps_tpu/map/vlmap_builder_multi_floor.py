@@ -1,0 +1,257 @@
+"""Multi-floor VLMap builder: global camera poses, scene-fitted grid bounds.
+
+Reference: avlmaps/map/vlmap_builder_multi_floor.py — builds a whole-building
+map keyed by global *camera* poses (4x4 per-frame files or a poses.txt),
+sizing the grid from a first full pass over the point cloud (pcd_min/max)
+and growing the height axis dynamically during mapping (:346-368).
+
+TPU-native differences: the bounds probe is a cheap batched device reduction
+over sampled depths (no open3d point cloud accumulation), and the grid is
+*fixed* after the probe — dynamic growth would retrace/reallocate on TPU, so
+the probe pads the height range by a safety margin instead.  The per-frame
+fusion reuses the same device step as the single-floor builder with an
+offset-shifted grid indexing.
+
+On-disk schema matches the reference's multi-floor variant
+(vlmaps_multi_floor.h5df with pcd_min/pcd_max/cs, :370-393).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+from avlmaps_tpu.geometry.projection import depth_to_pointcloud_jax
+from avlmaps_tpu.geometry.transforms import pose_vec_to_tf
+from avlmaps_tpu.ops.voxel_fusion import (
+    init_fusion_state, fuse_points, export_fusion_state, concept_fusion_alpha,
+)
+from avlmaps_tpu.models.lseg.window import plan_windows, features_at_points
+from avlmaps_tpu.pipeline.loader import PrefetchLoader, load_depth
+
+# global frame: y up, x right, z backward; camera z forward -> rotate 180
+# about x before applying the pose (reference :76-79)
+HABITAT2CAM_ROT = np.diag([1.0, -1.0, -1.0, 1.0])
+
+
+def save_multi_floor_map(save_path, grid_feat, grid_pos, weight,
+                         occupied_ids, mapped_iter_list, grid_rgb,
+                         pcd_min, pcd_max, cs) -> None:
+    with h5py.File(str(save_path), "w") as f:
+        f.create_dataset("mapped_iter_list",
+                         data=np.asarray(sorted(mapped_iter_list), np.int32))
+        f.create_dataset("grid_feat", data=grid_feat)
+        f.create_dataset("grid_pos", data=grid_pos)
+        f.create_dataset("weight", data=weight)
+        f.create_dataset("occupied_ids", data=occupied_ids)
+        f.create_dataset("grid_rgb", data=grid_rgb)
+        f.create_dataset("pcd_min", data=pcd_min)
+        f.create_dataset("pcd_max", data=pcd_max)
+        f.create_dataset("cs", data=cs)
+
+
+def load_multi_floor_map(map_path):
+    with h5py.File(str(map_path), "r") as f:
+        return (f["mapped_iter_list"][:].tolist(), f["grid_feat"][:],
+                f["grid_pos"][:], f["weight"][:], f["occupied_ids"][:],
+                f["grid_rgb"][:], f["pcd_min"][:], f["pcd_max"][:],
+                float(f["cs"][()]))
+
+
+class VLMapBuilderMultiFloor:
+    """Whole-building map from globally-posed camera frames."""
+
+    def __init__(self, data_dir, map_config, rgb_paths: Sequence,
+                 depth_paths: Sequence, pose_tfs: Sequence[np.ndarray],
+                 lseg_apply=None, lseg_params=None, feat_dim: int = 512,
+                 batch_size: int = 4, height_margin_m: float = 1.0,
+                 seed: int = 0):
+        self.data_dir = Path(data_dir)
+        self.map_config = map_config
+        self.rgb_paths = list(rgb_paths)
+        self.depth_paths = list(depth_paths)
+        # full cam->global transforms (pose @ rot180x, reference :104-106)
+        self.pose_tfs = [np.asarray(tf) @ HABITAT2CAM_ROT
+                         for tf in pose_tfs]
+        self.lseg_apply = lseg_apply
+        self.lseg_params = lseg_params
+        self.feat_dim = feat_dim
+        self.batch_size = batch_size
+        self.height_margin_m = height_margin_m
+        self.rng = np.random.default_rng(seed)
+        self.map_save_dir = self.data_dir / "vlmap_multi_floor"
+        self.map_save_path = self.map_save_dir / "vlmaps_multi_floor.h5df"
+        self.pcd_min: Optional[np.ndarray] = None
+        self.pcd_max: Optional[np.ndarray] = None
+
+    # -- pass 1: bounds probe ------------------------------------------------
+
+    def probe_bounds(self, sample_stride: int = 50,
+                     max_depth: float = 10.0) -> Tuple[np.ndarray,
+                                                       np.ndarray]:
+        """Min/max of the global point cloud from sampled depth pixels
+        (replaces the reference's open3d accumulation pass, :92-117)."""
+        cfg = self.map_config
+        calib = cfg.calib_matrix()
+        inv = jnp.asarray(np.linalg.inv(calib), jnp.float32)
+        mins = np.full(3, np.inf)
+        maxs = np.full(3, -np.inf)
+        for i in range(0, len(self.depth_paths), max(1, sample_stride // 10)):
+            depth = np.asarray(load_depth(self.depth_paths[i]), np.float32)
+            pc, mask = depth_to_pointcloud_jax(jnp.asarray(depth), inv,
+                                               cfg.min_depth, max_depth)
+            pc = np.asarray(pc)[np.asarray(mask)]
+            pc = pc[::sample_stride]
+            if pc.size == 0:
+                continue
+            tf = self.pose_tfs[i]
+            pg = pc @ tf[:3, :3].T + tf[:3, 3]
+            mins = np.minimum(mins, pg.min(axis=0))
+            maxs = np.maximum(maxs, pg.max(axis=0))
+        margin = np.array([0.0, self.height_margin_m, 0.0])
+        self.pcd_min = mins - margin
+        self.pcd_max = maxs + margin
+        return self.pcd_min, self.pcd_max
+
+    # -- pass 2: fusion ------------------------------------------------------
+
+    def create_global_map(self, progress: bool = True):
+        cfg = self.map_config
+        cs = cfg.cell_size
+        os.makedirs(self.map_save_dir, exist_ok=True)
+        if self.pcd_min is None:
+            self.probe_bounds()
+        # grid dims (x, y_up, z) -> (rows=x, cols=z, heights=y)
+        dims = np.ceil((self.pcd_max - self.pcd_min) / cs + 1).astype(int)
+        n_rows, vh, n_cols = int(dims[0]), int(dims[1]), int(dims[2])
+        gs = max(n_rows, n_cols)
+
+        probe = np.asarray(load_depth(self.depth_paths[0]), np.float32)
+        h, w = probe.shape[:2]
+        max_pts = min(cfg.max_pts_per_frame,
+                      max(h * w // cfg.depth_sample_rate, 1))
+
+        calib = cfg.calib_matrix()
+        inv_calib = jnp.asarray(np.linalg.inv(calib), jnp.float32)
+        base_size = getattr(cfg, "lseg_base_size", 520)
+        crop_size = getattr(cfg, "lseg_crop_size", 480)
+        height, width, _, _, _ = plan_windows(h, w, base_size, crop_size)
+        from avlmaps_tpu.geometry.projection import get_sim_cam_mat
+
+        feat_intr = jnp.asarray(get_sim_cam_mat(height, width), jnp.float32)
+        pcd_min = jnp.asarray(self.pcd_min, jnp.float32)
+
+        lseg_apply, lseg_params = self.lseg_apply, self.lseg_params
+
+        def step(state, params, rgb_norm, depth, pose, sample_idx, fvalid):
+            b = rgb_norm.shape[0]
+            px = (sample_idx % w).astype(jnp.float32)
+            py = (sample_idx // w).astype(jnp.float32)
+            z = jnp.take_along_axis(depth.reshape(b, -1), sample_idx, axis=1)
+            uv1 = jnp.stack([px + 0.5, py + 0.5, jnp.ones_like(px)], axis=-1)
+            rays = jnp.einsum("ij,bnj->bni", inv_calib, uv1,
+                              precision=jax.lax.Precision.HIGHEST)
+            pc_local = rays * z[..., None]
+            zmask = (z > cfg.min_depth) & (z < 10.0)
+            pg = jnp.einsum("bij,bnj->bni", pose[:, :3, :3], pc_local,
+                            precision=jax.lax.Precision.HIGHEST) \
+                + pose[:, None, :3, 3]
+            # offset-shifted grid indexing: row=x, col=z, h=y_up
+            rel = (pg - pcd_min) / cs
+            row = jnp.trunc(rel[..., 0]).astype(jnp.int32)
+            hh = jnp.trunc(rel[..., 1]).astype(jnp.int32)
+            col = jnp.trunc(rel[..., 2]).astype(jnp.int32)
+            in_grid = ((row >= 0) & (row < gs) & (col >= 0) & (col < gs)
+                       & (hh >= 0) & (hh < vh))
+            uvw = jnp.einsum("ij,bnj->bni", feat_intr, pc_local,
+                             precision=jax.lax.Precision.HIGHEST)
+            fx = jnp.trunc(uvw[..., 0] / uvw[..., 2] - 0.5).astype(jnp.int32)
+            fy = jnp.trunc(uvw[..., 1] / uvw[..., 2] - 0.5).astype(jnp.int32)
+            in_feat = (fx >= 0) & (fx < width) & (fy >= 0) & (fy < height)
+            feats = features_at_points(lseg_apply, params, rgb_norm, fx, fy,
+                                       base_size, crop_size)
+            rgb_u8 = (rgb_norm * 0.5 + 0.5) * 255.0
+            rgbs = jnp.take_along_axis(rgb_u8.reshape(b, -1, 3),
+                                       sample_idx[..., None], axis=1)
+            alpha = concept_fusion_alpha(pc_local)
+            valid = zmask & in_grid & in_feat & fvalid[:, None]
+            vids = (row * (gs * vh) + col * vh + hh).reshape(-1)
+            vids = jnp.clip(vids, 0, gs * gs * vh - 1)
+            d = feats.shape[-1]
+            return fuse_points(state, vids, feats.reshape(-1, d),
+                               rgbs.reshape(-1, 3), alpha.reshape(-1),
+                               valid.reshape(-1), gs=gs, vh=vh)
+
+        step = jax.jit(step, donate_argnums=(0,))
+        state = init_fusion_state(gs, vh, self.feat_dim, cfg.capacity)
+
+        loader = PrefetchLoader(self.rgb_paths, self.depth_paths,
+                                self.pose_tfs, batch_size=self.batch_size)
+        from avlmaps_tpu.map.vlmap_builder import sample_pixels
+
+        mapped = set()
+        for batch in loader:
+            idx = sample_pixels(self.rng, h, w, cfg.depth_sample_rate,
+                                max_pts, self.batch_size)
+            state = step(state, lseg_params, jnp.asarray(batch.rgb),
+                         jnp.asarray(batch.depth),
+                         jnp.asarray(batch.pose_tf), jnp.asarray(idx),
+                         jnp.asarray(batch.frame_ids >= 0))
+            mapped.update(int(i) for i in batch.frame_ids if i >= 0)
+            if progress:
+                print(f"\rMultiFloor: {len(mapped)} frames", end="",
+                      flush=True)
+        if progress:
+            print()
+
+        grid_feat, grid_pos, weight, occupied_ids, grid_rgb = \
+            export_fusion_state(state, gs, vh)
+        save_multi_floor_map(self.map_save_path, grid_feat, grid_pos, weight,
+                             occupied_ids, mapped, grid_rgb, self.pcd_min,
+                             self.pcd_max, cs)
+        return grid_feat, grid_pos, weight, occupied_ids, grid_rgb
+
+
+class VLMapMultiFloor:
+    """Query-side wrapper for the multi-floor artifact
+    (reference vlmap_multi_floor.py)."""
+
+    def __init__(self, map_config, data_dir: str = ""):
+        self.map_config = map_config
+        self.data_dir = Path(data_dir) if data_dir else None
+        self.grid_feat = None
+        self.grid_pos = None
+        self.weight = None
+        self.occupied_ids = None
+        self.grid_rgb = None
+        self.pcd_min = None
+        self.pcd_max = None
+        self.cs = None
+
+    def load_map(self, data_dir) -> bool:
+        path = Path(data_dir) / "vlmap_multi_floor" \
+            / "vlmaps_multi_floor.h5df"
+        if not path.exists():
+            return False
+        (self.mapped_iter_list, self.grid_feat, self.grid_pos, self.weight,
+         self.occupied_ids, self.grid_rgb, self.pcd_min, self.pcd_max,
+         self.cs) = load_multi_floor_map(path)
+        return True
+
+    def grid_to_global(self, grid_pos: np.ndarray) -> np.ndarray:
+        """(row, col, h) -> global (x, y_up, z)."""
+        out = np.empty((grid_pos.shape[0], 3), np.float64)
+        out[:, 0] = self.pcd_min[0] + grid_pos[:, 0] * self.cs
+        out[:, 1] = self.pcd_min[1] + grid_pos[:, 2] * self.cs
+        out[:, 2] = self.pcd_min[2] + grid_pos[:, 1] * self.cs
+        return out

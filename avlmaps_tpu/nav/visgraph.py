@@ -49,7 +49,8 @@ class VisGraph:
     """Visibility graph over a binary obstacle map (1 free, 0 occupied)."""
 
     def __init__(self, obs_map: np.ndarray, simplify_eps: float = 2.0,
-                 use_internal_contours: bool = False):
+                 use_internal_contours: bool = False,
+                 use_native: bool = True):
         if cv2 is None:
             raise RuntimeError("OpenCV required for contour extraction")
         self.obs_map = np.asarray(obs_map)
@@ -72,7 +73,22 @@ class VisGraph:
                                         for p in poly]
         self._adj: Dict[int, List[Tuple[int, float]]] = {
             i: [] for i in range(len(self.nodes))}
-        self._build_edges()
+
+        # native C++ core (edge construction + Dijkstra) when available;
+        # pure-Python fallback otherwise (identical clearance semantics)
+        self._native = None
+        if use_native and self.nodes:
+            try:
+                from avlmaps_tpu.nav.native import NativeVisGraph
+
+                offsets = np.cumsum([0] + [len(p) for p in self.polys])
+                self._native = NativeVisGraph(
+                    self.obstacles.astype(np.uint8),
+                    np.asarray(self.nodes, np.float64), offsets)
+            except Exception:
+                self._native = None
+        if self._native is None:
+            self._build_edges()
 
     # -- construction -------------------------------------------------------
 
@@ -128,6 +144,11 @@ class VisGraph:
         (row, col); returns the waypoint list including both endpoints."""
         start = tuple(map(float, start))
         goal = tuple(map(float, goal))
+        if self._native is not None:
+            path = self._native.plan(start, goal)
+            if path is not None:
+                return path
+            return [list(start), list(goal)]
         if line_clear(self.obstacles, start, goal):
             return [list(start), list(goal)]
 

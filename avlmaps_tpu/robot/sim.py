@@ -1,0 +1,179 @@
+"""Simulator interface + backends.
+
+The reference binds directly to habitat-sim (avlmaps/robot/
+habitat_lang_robot.py:118-146, utils/habitat_utils.py).  Here the robot
+talks to a small Simulator protocol so the same navigation stack runs
+against habitat when it is installed and against a kinematic fake otherwise
+— the fake also serves as the test backend (the reference has none,
+SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Protocol, Tuple
+
+import numpy as np
+
+from avlmaps_tpu.geometry.transforms import (
+    quat_xyzw_to_matrix, matrix_to_quat_xyzw,
+)
+
+try:  # pragma: no cover - habitat not present in this image
+    import habitat_sim
+
+    HABITAT_AVAILABLE = True
+except ImportError:
+    habitat_sim = None
+    HABITAT_AVAILABLE = False
+
+
+class Simulator(Protocol):
+    def step(self, action: str) -> Any: ...
+
+    def get_agent_tf(self) -> np.ndarray: ...
+
+    def set_agent_tf(self, tf: np.ndarray) -> None: ...
+
+    def get_observation(self) -> Optional[Dict[str, np.ndarray]]: ...
+
+
+def agent_state_to_tf(position: np.ndarray,
+                      rotation_xyzw: np.ndarray) -> np.ndarray:
+    """Habitat agent state -> 4x4 tf (reference habitat_utils.py:171-186)."""
+    tf = np.eye(4)
+    tf[:3, 3] = position
+    tf[:3, :3] = quat_xyzw_to_matrix(rotation_xyzw)
+    return tf
+
+
+def tf_to_agent_state(tf: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """4x4 tf -> (position, rotation xyzw)."""
+    return tf[:3, 3].copy(), matrix_to_quat_xyzw(tf[:3, :3])
+
+
+class KinematicSimulator:
+    """Kinematic fake: a habitat-convention agent (y up, -z forward) that
+    executes move_forward / turn_left / turn_right exactly.
+
+    Used for task replay, controller round-trip tests and any environment
+    without habitat-sim.
+    """
+
+    def __init__(self, forward_dist: float = 0.1, turn_angle_deg: float = 5.0,
+                 init_tf: Optional[np.ndarray] = None):
+        self.forward_dist = forward_dist
+        self.turn_angle = np.deg2rad(turn_angle_deg)
+        self.tf = np.eye(4) if init_tf is None else np.asarray(
+            init_tf, np.float64).copy()
+        self.steps = 0
+
+    def step(self, action: str):
+        if action == "move_forward":
+            # habitat: forward is the agent's -z axis
+            self.tf[:3, 3] += self.tf[:3, :3] @ np.array([0, 0,
+                                                          -self.forward_dist])
+        elif action in ("turn_left", "turn_right"):
+            sign = 1.0 if action == "turn_left" else -1.0
+            c, s = np.cos(sign * self.turn_angle), np.sin(sign
+                                                          * self.turn_angle)
+            # rotate about the world y (up) axis
+            rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+            self.tf[:3, :3] = rot @ self.tf[:3, :3]
+        elif action == "stop":
+            pass
+        else:
+            raise ValueError(f"unknown action {action!r}")
+        self.steps += 1
+        return None
+
+    def get_agent_tf(self) -> np.ndarray:
+        return self.tf.copy()
+
+    def set_agent_tf(self, tf: np.ndarray) -> None:
+        self.tf = np.asarray(tf, np.float64).copy()
+
+    def get_observation(self):
+        return None
+
+
+class HabitatSimulator:  # pragma: no cover - requires habitat-sim
+    """Thin habitat-sim binding (reference make_cfg, habitat_utils.py:12-74)."""
+
+    def __init__(self, scene_path: str, sim_setting: Dict[str, Any]):
+        if not HABITAT_AVAILABLE:
+            raise RuntimeError("habitat_sim is not installed")
+        self.sim_setting = dict(sim_setting, scene=scene_path)
+        self.sim = habitat_sim.Simulator(self._make_cfg())
+
+    def _make_cfg(self):
+        s = self.sim_setting
+        sim_cfg = habitat_sim.SimulatorConfiguration()
+        sim_cfg.gpu_device_id = 0
+        sim_cfg.scene_id = s["scene"]
+        sim_cfg.enable_physics = s.get("enable_physics", False)
+
+        sensor_specs = []
+        if s.get("color_sensor", True):
+            spec = habitat_sim.CameraSensorSpec()
+            spec.uuid = "color_sensor"
+            spec.sensor_type = habitat_sim.SensorType.COLOR
+            spec.resolution = [s["height"], s["width"]]
+            spec.position = [0.0, s["sensor_height"], 0.0]
+            sensor_specs.append(spec)
+        if s.get("depth_sensor", False):
+            spec = habitat_sim.CameraSensorSpec()
+            spec.uuid = "depth_sensor"
+            spec.sensor_type = habitat_sim.SensorType.DEPTH
+            spec.resolution = [s["height"], s["width"]]
+            spec.position = [0.0, s["sensor_height"], 0.0]
+            sensor_specs.append(spec)
+        if s.get("semantic_sensor", False):
+            spec = habitat_sim.CameraSensorSpec()
+            spec.uuid = "semantic_sensor"
+            spec.sensor_type = habitat_sim.SensorType.SEMANTIC
+            spec.resolution = [s["height"], s["width"]]
+            spec.position = [0.0, s["sensor_height"], 0.0]
+            sensor_specs.append(spec)
+
+        agent_cfg = habitat_sim.agent.AgentConfiguration()
+        agent_cfg.sensor_specifications = sensor_specs
+        agent_cfg.action_space = {
+            "move_forward": habitat_sim.agent.ActionSpec(
+                "move_forward",
+                habitat_sim.agent.ActuationSpec(
+                    amount=s.get("move_forward", 0.1))),
+            "turn_left": habitat_sim.agent.ActionSpec(
+                "turn_left", habitat_sim.agent.ActuationSpec(
+                    amount=s.get("turn_left", 5.0))),
+            "turn_right": habitat_sim.agent.ActionSpec(
+                "turn_right", habitat_sim.agent.ActuationSpec(
+                    amount=s.get("turn_right", 5.0))),
+        }
+        return habitat_sim.Configuration(sim_cfg, [agent_cfg])
+
+    def step(self, action: str):
+        if action == "stop":
+            return None
+        return self.sim.step(action)
+
+    def get_agent_tf(self) -> np.ndarray:
+        state = self.sim.get_agent(0).get_state()
+        quat = state.rotation  # habitat quaternion (w, xyz vector)
+        xyzw = np.array([quat.x, quat.y, quat.z, quat.w])
+        return agent_state_to_tf(np.asarray(state.position), xyzw)
+
+    def set_agent_tf(self, tf: np.ndarray) -> None:
+        import quaternion  # habitat dependency
+
+        pos, xyzw = tf_to_agent_state(tf)
+        state = habitat_sim.AgentState()
+        state.position = pos
+        state.rotation = quaternion.quaternion(xyzw[3], xyzw[0], xyzw[1],
+                                               xyzw[2])
+        self.sim.get_agent(0).set_state(state)
+
+    def get_observation(self):
+        return self.sim.get_sensor_observations(0)
+
+    def close(self):
+        self.sim.close()

@@ -1,0 +1,46 @@
+"""Native C++ visibility-graph core vs the pure-Python implementation."""
+
+import numpy as np
+import pytest
+
+from avlmaps_tpu.nav.native import load_native
+from avlmaps_tpu.nav.visgraph import VisGraph, line_clear
+
+pytestmark = pytest.mark.skipif(load_native() is None,
+                                reason="native build unavailable")
+
+
+def obstacle_map():
+    m = np.ones((60, 60), np.uint8)
+    m[20:40, 25:35] = 0
+    m[5:10, 5:15] = 0
+    return m
+
+
+def test_native_enabled():
+    g = VisGraph(obstacle_map(), use_native=True)
+    assert g._native is not None
+    assert g._native.n_edges > 0
+
+
+def test_paths_match_python():
+    m = obstacle_map()
+    g_native = VisGraph(m, use_native=True)
+    g_python = VisGraph(m, use_native=False)
+    cases = [((30, 5), (30, 55)), ((5, 50), (50, 5)), ((3, 3), (58, 58)),
+             ((45, 5), (5, 45))]
+    for start, goal in cases:
+        pn = np.asarray(g_native.shortest_path(start, goal))
+        pp = np.asarray(g_python.shortest_path(start, goal))
+        ln = np.sum(np.hypot(*np.diff(pn, axis=0).T))
+        lp = np.sum(np.hypot(*np.diff(pp, axis=0).T))
+        # identical graphs => identical optimal path lengths
+        np.testing.assert_allclose(ln, lp, rtol=1e-9)
+        for a, b in zip(pn[:-1], pn[1:]):
+            assert line_clear(m == 0, a, b)
+
+
+def test_straight_line_shortcut():
+    g = VisGraph(obstacle_map(), use_native=True)
+    path = g.shortest_path((50, 5), (55, 20))
+    assert len(path) == 2

@@ -1,0 +1,221 @@
+"""Navigation stack + robot + task tests: pose round-trips (the reference's
+flagship self-test, habitat_dataloader.py:150-173), planning, discrete
+control through the kinematic simulator, and task replay."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from avlmaps_tpu.config import load_config
+from avlmaps_tpu.dataloader.habitat_dataloader import VLMapsDataloaderHabitat
+from avlmaps_tpu.geometry.transforms import pose_vec_to_tf
+from avlmaps_tpu.map.map_base import Map
+from avlmaps_tpu.map.voxel_map import SparseVoxelMap
+from avlmaps_tpu.nav.controller import DiscreteNavController
+from avlmaps_tpu.nav.visgraph import VisGraph, plan_to_pos_v2, line_clear
+from avlmaps_tpu.nav.navigator import Navigator
+from avlmaps_tpu.robot.sim import KinematicSimulator
+from avlmaps_tpu.task.tasks import (
+    HabitatTask, HabitatSpatialGoalNavigationTask,
+)
+
+GS, CS, VH = 100, 0.05, 8
+
+
+def make_scene(root: Path, rng):
+    """Minimal on-disk scene: voxel map artifact + poses.txt."""
+    root.mkdir(parents=True, exist_ok=True)
+    m = SparseVoxelMap.empty(GS, VH, 8)
+    # a floor patch + one box obstacle
+    rows, cols = np.meshgrid(np.arange(30, 70), np.arange(30, 70),
+                             indexing="ij")
+    floor = np.stack([rows.ravel(), cols.ravel(),
+                      np.zeros(rows.size, int)], axis=1)
+    box = []
+    for r in range(45, 55):
+        for c in range(45, 55):
+            for h in range(1, 5):
+                box.append((r, c, h))
+    # border walls so the obstacle crop spans the whole navigable area
+    for r in range(30, 70):
+        for c in (30, 69):
+            for h in range(1, 5):
+                box.append((r, c, h))
+    for c in range(30, 70):
+        for r in (30, 69):
+            for h in range(1, 5):
+                box.append((r, c, h))
+    pos = np.concatenate([floor, np.asarray(box)], axis=0).astype(np.int32)
+    pos = np.unique(pos, axis=0)
+    n = pos.shape[0]
+    m.grid_pos = pos
+    m.grid_feat = rng.normal(size=(n, 8)).astype(np.float32)
+    m.weight = np.ones(n, np.float32)
+    m.grid_rgb = rng.integers(0, 255, (n, 3)).astype(np.uint8)
+    m.occupied_ids[pos[:, 0], pos[:, 1], pos[:, 2]] = np.arange(n)
+    (root / "vlmap").mkdir(exist_ok=True)
+    m.save(root / "vlmap" / "vlmaps.h5df")
+    poses = [[0.1 * i, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0] for i in range(5)]
+    np.savetxt(root / "poses.txt", np.asarray(poses))
+    return root
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    c = load_config()
+    c.params.gs = GS
+    c.params.cs = CS
+    c.map_config.grid_size = GS
+    c.map_config.cell_size = CS
+    c.map_config.pose_info.camera_height = CS * VH
+    c.controller_config.gs = GS
+    c.controller_config.cs = CS
+    return c
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory, cfg):
+    rng = np.random.default_rng(0)
+    return make_scene(tmp_path_factory.mktemp("nav") / "scene", rng)
+
+
+@pytest.fixture(scope="module")
+def dataloader(scene, cfg):
+    return VLMapsDataloaderHabitat(scene, cfg.map_config)
+
+
+class TestPoseRoundTrip:
+    def test_habitat_roundtrip(self, dataloader):
+        """The reference's only real unit test, err < 1
+        (habitat_dataloader.py:150-173)."""
+        rng = np.random.default_rng(1)
+        for _ in range(10):
+            i = int(rng.integers(0, len(dataloader.base_poses)))
+            base_hab_tf = pose_vec_to_tf(dataloader.base_poses[i])
+            dataloader.from_habitat_tf(base_hab_tf)
+            full = dataloader.to_full_map_pose()
+            dataloader.from_full_map_pose(*full)
+            cvt = dataloader.to_habitat_tf()
+            assert np.linalg.norm(base_hab_tf - cvt) < 1
+
+    def test_cropped_full_consistency(self, dataloader):
+        dataloader.from_full_map_pose(50, 60, 30.0)
+        r, c, a = dataloader.to_cropped_map_pose()
+        dataloader.from_cropped_map_pose(r, c, a)
+        assert dataloader.to_full_map_pose() == [50, 60, 30.0]
+
+
+class TestVisGraph:
+    @pytest.fixture(scope="class")
+    def obs_map(self):
+        m = np.ones((60, 60), np.uint8)
+        m[20:40, 25:35] = 0  # a wall in the middle
+        return m
+
+    def test_straight_line_when_clear(self, obs_map):
+        g = VisGraph(obs_map)
+        path = g.shortest_path((5, 5), (5, 50))
+        assert len(path) == 2
+
+    def test_detour_around_obstacle(self, obs_map):
+        g = VisGraph(obs_map)
+        path = g.shortest_path((30, 5), (30, 55))
+        assert len(path) > 2
+        # every leg of the path must be collision-free
+        for a, b in zip(path[:-1], path[1:]):
+            assert line_clear(obs_map == 0, a, b)
+
+    def test_path_length_reasonable(self, obs_map):
+        g = VisGraph(obs_map)
+        path = np.asarray(g.shortest_path((30, 5), (30, 55)))
+        length = np.sum(np.hypot(*np.diff(path, axis=0).T))
+        assert 50 <= length <= 90  # straight = 50; detour bounded
+
+    def test_start_in_obstacle_recovery(self, obs_map):
+        path = plan_to_pos_v2((30, 30), (5, 5), obs_map)
+        assert len(path) >= 2
+        assert obs_map[int(path[-1][0]), int(path[-1][1])] == 1
+
+    def test_goal_in_obstacle_recovery(self, obs_map):
+        path = plan_to_pos_v2((5, 5), (30, 30), obs_map)
+        end = path[-1]
+        assert obs_map[int(end[0]), int(end[1])] == 1
+
+
+class TestController:
+    def test_goal_to_actions_and_prediction(self, cfg):
+        ctrl = DiscreteNavController(cfg.controller_config)
+        start = (50, 50, 0.0)  # pointing up (negative row)
+        goal = (40, 50)  # 10 cells up = 0.5 m forward
+        actions = ctrl.convert_goal_to_actions(start, goal)
+        assert actions == ["move_forward"] * 5  # 0.5 m / 0.1 m
+        poses = ctrl.predict_poses_with_actions(start, actions)
+        from avlmaps_tpu.geometry.grid import base_pos_to_grid_id
+
+        row, col, _ = base_pos_to_grid_id(GS, CS, poses[-1][0], poses[-1][1],
+                                          0)
+        assert abs(row - 40) <= 1 and abs(col - 50) <= 1
+
+    def test_turn_quantisation(self, cfg):
+        ctrl = DiscreteNavController(cfg.controller_config)
+        start = (50, 50, 0.0)
+        goal = (50, 40)  # to the left (west) => turn left 90
+        actions = ctrl.convert_goal_to_actions(start, goal)
+        assert actions[:18] == ["turn_left"] * 18  # 90 / 5 deg
+
+    def test_sim_execution_matches_prediction(self, cfg, dataloader):
+        """Controller-predicted end pose vs kinematic sim execution."""
+        ctrl = DiscreteNavController(cfg.controller_config)
+        sim = KinematicSimulator(cfg.params.forward_dist,
+                                 cfg.params.turn_angle)
+        # start the sim at the dataloader's origin pose
+        dataloader.from_full_map_pose(50, 50, 0.0)
+        sim.set_agent_tf(dataloader.to_habitat_tf())
+        start = (50, 50, 0.0)
+        goal = (42, 58)
+        actions = ctrl.convert_goal_to_actions(start, goal)
+        for a in actions:
+            sim.step(a)
+        dataloader.from_habitat_tf(sim.get_agent_tf())
+        row, col, _ = dataloader.to_full_map_pose()
+        assert np.hypot(row - goal[0], col - goal[1]) <= 2
+
+
+class TestNavigatorIntegration:
+    def test_plan_on_scene_map(self, dataloader):
+        nav = Navigator()
+        nav.build_visgraph(dataloader.obstacles_cropped, dataloader.rmin,
+                           dataloader.cmin)
+        # plan across the box obstacle in full-map coords
+        path = nav.plan_to((40, 40), (60, 60))
+        assert len(path) >= 2
+        assert np.hypot(path[-1][0] - 60, path[-1][1] - 60) <= 2
+
+
+class TestTaskReplay:
+    def test_spatial_goal_replay(self, cfg, dataloader, tmp_path):
+        task = HabitatSpatialGoalNavigationTask(cfg)
+        task.setup_scene(dataloader)
+        dataloader.from_full_map_pose(50, 40, 0.0)
+        init_tf = dataloader.to_habitat_tf()
+        task.task_dict = [{
+            "task_id": 0,
+            "tf_habitat": init_tf.reshape(-1).tolist(),
+            "instruction": "go north",
+            "goals": [[[40, 40], [41, 40]]],
+        }]
+        task.setup_task(0)
+
+        sim = KinematicSimulator(cfg.params.forward_dist,
+                                 cfg.params.turn_angle)
+        # 10 cells at 0.05 m = 0.5 m forward, then stop
+        actions = ["move_forward"] * 5 + ["stop"]
+        result = task.test_task(sim, actions)
+        assert result["success"], result
+        assert task.n_success_subgoals == 1
+
+        task.save_single_task_metric(tmp_path / "metric.json")
+        saved = json.loads((tmp_path / "metric.json").read_text())
+        assert saved["task_id"] == 0
