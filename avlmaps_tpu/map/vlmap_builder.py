@@ -124,7 +124,15 @@ def sample_pixels(rng: np.random.Generator, h: int, w: int,
     n_target = min(max(h * w // depth_sample_rate, 1), max_pts)
     idx = np.empty((batch, max_pts), np.int32)
     for b in range(batch):
-        pick = rng.choice(h * w, size=n_target, replace=False)
+        # oversample-with-replacement + unique: ~100x cheaper than
+        # permutation-based no-replacement sampling at this ratio, and the
+        # host must keep up with the device step
+        over = rng.integers(0, h * w, int(n_target * 1.3) + 16)
+        pick = np.unique(over)[:n_target]
+        if pick.shape[0] < n_target:  # extremely unlikely; top up
+            extra = rng.choice(h * w, size=n_target - pick.shape[0],
+                               replace=False)
+            pick = np.concatenate([pick, extra])
         reps = int(np.ceil(max_pts / n_target))
         idx[b] = np.tile(pick, reps)[:max_pts]
     return idx

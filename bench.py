@@ -78,12 +78,12 @@ def measure_tpu_fps() -> float:
 
     for _ in range(WARMUP_STEPS):
         state = one_step(state)
-    jax.block_until_ready(state)
+    int(jax.device_get(state.n_slots))  # hard sync (fetch), not just ready
 
     t0 = time.perf_counter()
     for _ in range(TIMED_STEPS):
         state = one_step(state)
-    jax.block_until_ready(state)
+    int(jax.device_get(state.n_slots))
     elapsed = time.perf_counter() - t0
     return TIMED_STEPS * BATCH / elapsed
 

@@ -1,0 +1,142 @@
+"""AudioCLIP weight-port plumbing: a reference-style state dict with the
+exact key layout round-trips into the flax tree and runs."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from avlmaps_tpu.models.audioclip import AudioClipConfig, AudioClip
+from avlmaps_tpu.models.audioclip.port import port_audioclip_state_dict
+
+
+def synth_state_dict(cfg: AudioClipConfig, rng):
+    """Build a torch-style AudioCLIP state dict with the reference key
+    naming, sized for ``cfg`` (numpy tensors are accepted by the porter)."""
+    sd = {}
+    W, L, E, CTX, V = (cfg.text_width, cfg.text_layers, cfg.embed_dim,
+                       cfg.context_length, cfg.vocab_size)
+    sd["token_embedding.weight"] = rng.normal(size=(V, W)).astype(np.float32)
+    sd["positional_embedding"] = rng.normal(size=(CTX, W)).astype(np.float32)
+    sd["ln_final.weight"] = np.ones(W, np.float32)
+    sd["ln_final.bias"] = np.zeros(W, np.float32)
+    sd["text_projection"] = rng.normal(size=(W, E)).astype(np.float32)
+    for i in range(L):
+        p = f"transformer.resblocks.{i}"
+        sd[f"{p}.ln_1.weight"] = np.ones(W, np.float32)
+        sd[f"{p}.ln_1.bias"] = np.zeros(W, np.float32)
+        sd[f"{p}.ln_2.weight"] = np.ones(W, np.float32)
+        sd[f"{p}.ln_2.bias"] = np.zeros(W, np.float32)
+        sd[f"{p}.attn.in_proj_weight"] = rng.normal(
+            size=(3 * W, W)).astype(np.float32)
+        sd[f"{p}.attn.in_proj_bias"] = np.zeros(3 * W, np.float32)
+        sd[f"{p}.attn.out_proj.weight"] = rng.normal(
+            size=(W, W)).astype(np.float32)
+        sd[f"{p}.attn.out_proj.bias"] = np.zeros(W, np.float32)
+        sd[f"{p}.mlp.c_fc.weight"] = rng.normal(
+            size=(4 * W, W)).astype(np.float32)
+        sd[f"{p}.mlp.c_fc.bias"] = np.zeros(4 * W, np.float32)
+        sd[f"{p}.mlp.c_proj.weight"] = rng.normal(
+            size=(W, 4 * W)).astype(np.float32)
+        sd[f"{p}.mlp.c_proj.bias"] = np.zeros(W, np.float32)
+
+    a = cfg.audio
+    n_out = a.n_fft // 2 + 1
+    sd["audio.fbsp.m"] = np.full(n_out, 0.25, np.float32)
+    sd["audio.fbsp.fb"] = np.full(n_out, 1.5, np.float32)
+    sd["audio.fbsp.fc"] = np.arange(n_out, dtype=np.float32)
+    sd["audio.conv1.weight"] = rng.normal(size=(64, 3, 7, 7)).astype(
+        np.float32) * 0.05
+    sd["audio.bn1.weight"] = np.ones(64, np.float32)
+    sd["audio.bn1.bias"] = np.zeros(64, np.float32)
+    sd["audio.bn1.running_mean"] = rng.normal(size=64).astype(np.float32)
+    sd["audio.bn1.running_var"] = np.abs(rng.normal(size=64)).astype(
+        np.float32) + 0.5
+
+    def add_bn(key, ch):
+        sd[f"{key}.weight"] = np.ones(ch, np.float32)
+        sd[f"{key}.bias"] = np.zeros(ch, np.float32)
+        sd[f"{key}.running_mean"] = np.zeros(ch, np.float32)
+        sd[f"{key}.running_var"] = np.ones(ch, np.float32)
+
+    planes = (64, 128, 256, 512)
+    in_ch = 64
+    for stage, n_blocks in enumerate(a.layers):
+        for blk in range(n_blocks):
+            p = f"audio.layer{stage + 1}.{blk}"
+            width = int(planes[stage] * a.width_per_group / 64.0) * a.groups
+            out_ch = planes[stage] * 4
+            stride_block = blk == 0
+            sd[f"{p}.conv1.weight"] = rng.normal(
+                size=(width, in_ch, 1, 1)).astype(np.float32) * 0.05
+            add_bn(f"{p}.bn1", width)
+            sd[f"{p}.conv2.weight"] = rng.normal(
+                size=(width, width // a.groups, 3, 3)).astype(
+                    np.float32) * 0.05
+            add_bn(f"{p}.bn2", width)
+            sd[f"{p}.conv3.weight"] = rng.normal(
+                size=(out_ch, width, 1, 1)).astype(np.float32) * 0.05
+            add_bn(f"{p}.bn3", out_ch)
+            if stride_block and in_ch != out_ch or (stride_block
+                                                    and stage > 0):
+                sd[f"{p}.downsample.0.weight"] = rng.normal(
+                    size=(out_ch, in_ch, 1, 1)).astype(np.float32) * 0.05
+                add_bn(f"{p}.downsample.1", out_ch)
+            in_ch = out_ch
+    att_specs = [(64, 256, (3, 1)), (256, 512, (1, 5)), (512, 1024, (3, 1)),
+                 (1024, 2048, (1, 5)), (2048, 2048, (3, 5))]
+    for ai, (cin, cout, ks) in enumerate(att_specs, start=1):
+        key = f"audio.att{ai}"
+        sd[f"{key}.conv_depth.weight"] = rng.normal(
+            size=(cin, 1, *ks)).astype(np.float32) * 0.05
+        sd[f"{key}.conv_depth.bias"] = np.zeros(cin, np.float32)
+        sd[f"{key}.conv_point.weight"] = rng.normal(
+            size=(cout, cin, 1, 1)).astype(np.float32) * 0.05
+        sd[f"{key}.conv_point.bias"] = np.zeros(cout, np.float32)
+        add_bn(f"{key}.bn", cout)
+    sd["audio.fc.weight"] = rng.normal(size=(E, 2048)).astype(
+        np.float32) * 0.05
+    sd["audio.fc.bias"] = np.zeros(E, np.float32)
+    sd["logit_scale_ai"] = np.array(np.log(100.0), np.float32)
+    sd["logit_scale_at"] = np.array(np.log(50.0), np.float32)
+    return sd
+
+
+def test_port_full_size_structure(rng):
+    """Full-size config: porter output must match the flax param tree
+    structure and run a forward on short audio."""
+    import jax
+
+    cfg = AudioClipConfig()
+    sd = synth_state_dict(cfg, rng)
+    variables = port_audioclip_state_dict(sd, cfg)
+
+    model = AudioClip(cfg)
+    ref = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 8192), jnp.float32),
+        jnp.zeros((1, cfg.context_length), jnp.int32))
+
+    def paths(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(paths(v, prefix + k + "/"))
+            else:
+                out[prefix + k] = tuple(np.shape(v))
+        return out
+
+    got = paths(variables["params"])
+    expected = paths(ref["params"])  # eval_shape leaves -> ShapeDtypeStruct
+    assert got == expected
+
+    # distinctive values land where expected
+    np.testing.assert_allclose(variables["params"]["audio"]["fbsp_fb"], 1.5)
+    np.testing.assert_allclose(
+        float(variables["params"]["logit_scale_at"]), np.log(50.0),
+        rtol=1e-6)
+
+    # forward runs with the ported weights
+    out = model.apply(variables, jnp.zeros((1, 8192), jnp.float32),
+                      method=AudioClip.encode_audio)
+    assert out.shape == (1, cfg.embed_dim)
+    assert np.isfinite(np.asarray(out)).all()

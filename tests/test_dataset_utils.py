@@ -1,0 +1,156 @@
+"""Tests for dataset generation helpers, audio utils, ESC-50 meta,
+profiling, interactive-map headless core, category assigner."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from avlmaps_tpu.utils.audio import (
+    read_wav, write_wav, segment_audio_with_silence,
+    convert_time_ranges_to_frame_ranges, get_five_second_context,
+)
+from avlmaps_tpu.utils.esc50 import ESC50Meta
+from avlmaps_tpu.utils.profiling import Tic, Profiler, RateMeter
+from avlmaps_tpu.utils.category_assigner import CategoryAssigner
+from dataset.generate_dataset import select_audio_frames, \
+    assign_sounds_to_sequence
+
+
+class TestWavIO:
+    def test_roundtrip(self, tmp_path):
+        sr = 8000
+        t = np.arange(sr) / sr
+        audio = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        write_wav(tmp_path / "a.wav", audio, sr)
+        back, sr2 = read_wav(tmp_path / "a.wav")
+        assert sr2 == sr
+        np.testing.assert_allclose(back, audio, atol=1e-3)
+
+    def test_resample(self, tmp_path):
+        sr = 8000
+        audio = np.random.default_rng(0).normal(size=sr).astype(
+            np.float32) * 0.1
+        write_wav(tmp_path / "a.wav", audio, sr)
+        back, sr2 = read_wav(tmp_path / "a.wav", target_sample_rate=4000)
+        assert sr2 == 4000
+        assert abs(back.shape[0] - 4000) <= 4
+
+
+class TestSegmentation:
+    def test_two_events(self):
+        sr = 1000
+        audio = np.zeros(10 * sr, np.float32)
+        audio[sr:2 * sr] = 0.5
+        audio[5 * sr:6 * sr] = 0.5
+        ranges, tracks = segment_audio_with_silence(
+            audio, silence_duration_s=1.0, silence_thres=0.0,
+            sample_rate=sr)
+        assert len(ranges) == 2
+        assert abs(ranges[0][0] - 1.0) < 0.01
+        assert abs(ranges[1][0] - 5.0) < 0.01
+        assert tracks[0].shape[0] == pytest.approx(sr, abs=2)
+
+    def test_merge_close_events(self):
+        sr = 1000
+        audio = np.zeros(6 * sr, np.float32)
+        audio[sr:2 * sr] = 0.5
+        audio[int(2.5 * sr):int(3 * sr)] = 0.5  # gap 0.5 s < 1 s
+        ranges, _ = segment_audio_with_silence(audio, 1.0, 0.0, sr)
+        assert len(ranges) == 1
+
+    def test_silent(self):
+        ranges, tracks = segment_audio_with_silence(
+            np.zeros(100, np.float32), 1.0, 0.0, 100)
+        assert ranges == [] and tracks == []
+
+    def test_frame_conversion(self):
+        assert convert_time_ranges_to_frame_ranges([(1.0, 2.5)], 25) == \
+            [(25, 62)]
+
+    def test_context_window(self):
+        sr = 100
+        audio = np.arange(10 * sr, dtype=np.float32)
+        ctx = get_five_second_context(audio, 2.5, sr)
+        assert ctx.shape == (5 * sr,)
+        np.testing.assert_allclose(ctx[:10], audio[:10])
+        assert get_five_second_context(audio, 100.0, sr) is None
+
+
+class TestAudioSlotSelection:
+    def test_min_distance_respected(self):
+        # straight-line walk: consecutive slots must be spaced apart
+        poses = np.zeros((500, 7))
+        poses[:, 0] = np.arange(500) * 0.02  # 2 cm per frame
+        avoid = np.full((1, 3), np.inf, np.float32)
+        pairs, avoid2 = select_audio_frames(poses, avoid, fps=25,
+                                            min_dist=2.0)
+        assert len(pairs) >= 1
+        # second slot (if any) starts after moving min_dist away
+        if len(pairs) > 1:
+            p0 = poses[pairs[0][0]:pairs[0][1], :3]
+            p1 = poses[pairs[1][0]:pairs[1][1], :3]
+            d = np.linalg.norm(p1[:, None] - p0[None], axis=-1)
+            assert d.min() > 2.0
+
+
+class TestSoundInsertion:
+    def test_mix_written(self, tmp_path):
+        sr = 4000
+        seq = tmp_path / "seq"
+        seq.mkdir()
+        np.savetxt(seq / "poses.txt",
+                   np.tile([0, 0, 0, 0, 0, 0, 1.0], (100, 1)))
+        # fake esc50: one clip
+        audio_dir = tmp_path / "esc"
+        audio_dir.mkdir()
+        clip = np.full(sr, 0.3, np.float32)
+        write_wav(audio_dir / "1-100032-A-0.wav", clip, sr)
+        meta = tmp_path / "esc50.csv"
+        meta.write_text("filename,fold,target,category,esc10,src_file,take\n"
+                        "1-100032-A-0.wav,1,0,dog,True,100032,A\n")
+        esc = ESC50Meta(meta, audio_dir)
+        assert esc.categories == ["dog"]
+        rng = np.random.default_rng(0)
+        assign_sounds_to_sequence(seq, esc, ["dog"], [(0, 50)], fps=25,
+                                  sample_rate=sr, rng=rng,
+                                  difficulty_level="level_3")
+        out, sr2 = read_wav(seq / "audio.wav")
+        assert sr2 == sr
+        assert out.max() > 0.2  # the clip is audible
+        meta_file = seq / "range_and_audio_meta_level_3.txt"
+        assert "dog" in meta_file.read_text()
+
+
+class TestProfiling:
+    def test_profiler_scopes(self):
+        p = Profiler()
+        with p.scope("a"):
+            pass
+        with p.scope("a"):
+            pass
+        assert p.counts["a"] == 2
+        assert "a" in p.summary()
+
+    def test_rate_meter(self):
+        m = RateMeter()
+        assert m.update() is None
+        assert m.update() is not None
+
+
+class TestCategoryAssigner:
+    def test_headless_flow(self):
+        ca = CategoryAssigner(["dog", "rain"], ["item0", "item1", "item2"])
+        ca.assign("dog")
+        ca.skip()
+        ca.back()
+        ca.assign("rain")
+        ca.assign("rain")
+        assert ca.done
+        assert ca.results() == [("item0", "dog"), ("item1", "rain"),
+                                ("item2", "rain")]
+        with pytest.raises(ValueError):
+            CategoryAssigner(["x"], ["i"]).assign("nope")
