@@ -40,7 +40,8 @@ def make_frame_step(lseg_apply: Callable, *, gs: int, cs: float, vh: int,
                     base_size: int = 520, crop_size: int = 480,
                     min_depth: float = 0.1, max_depth: float = 6.0,
                     n_rows: Optional[int] = None,
-                    row_offset: int = 0) -> Callable:
+                    row_offset: int = 0,
+                    half_res_apply: bool = False) -> Callable:
     """Build the jitted device step for one batch of frames.
 
     ``lseg_apply(params, crops) -> (B', c, c, D)`` is the pixel-feature
@@ -87,7 +88,8 @@ def make_frame_step(lseg_apply: Callable, *, gs: int, cs: float, vh: int,
         in_feat = (fx >= 0) & (fx < width) & (fy >= 0) & (fy < height)
 
         feats = features_at_points(lseg_apply, lseg_params, rgb_norm, fx, fy,
-                                   base_size, crop_size)  # (B, N, D)
+                                   base_size, crop_size,
+                                   half_res_apply=half_res_apply)  # (B, N, D)
 
         # colour at the sampled pixel (reference project_point(calib) lookup
         # lands back on the source pixel)

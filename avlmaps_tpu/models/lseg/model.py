@@ -75,7 +75,14 @@ class LSegNet(nn.Module):
     cfg: LSegConfig
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, images: jnp.ndarray,
+                 upsample: bool = True) -> jnp.ndarray:
+        """``upsample=False`` returns the normalised features at the
+        decoder's half resolution — the final 2x align-corners upsample is
+        linear, so callers that only need features at sparse points sample
+        the half-res map bilinearly instead (window.features_at_points),
+        which is mathematically identical and skips the most
+        bandwidth-expensive op of the forward."""
         cfg = self.cfg
         b, h, w, _ = images.shape
         gh, gw = h // cfg.vit.patch_size, w // cfg.vit.patch_size
@@ -90,6 +97,8 @@ class LSegNet(nn.Module):
         feats = feats.astype(jnp.float32)
         norm = jnp.linalg.norm(feats, axis=-1, keepdims=True)
         feats = feats / jnp.maximum(norm, 1e-12) * LOGIT_SCALE
+        if not upsample:
+            return feats
         # final 2x upsample back to input resolution (align_corners=True)
         ph, pw = feats.shape[1], feats.shape[2]
         return resize_bilinear_align_corners(feats, 2 * ph, 2 * pw)

@@ -116,8 +116,8 @@ def sliding_window_features(apply_fn: Callable, params, images: jnp.ndarray,
 
 def features_at_points(apply_fn: Callable, params, images: jnp.ndarray,
                        px: jnp.ndarray, py: jnp.ndarray,
-                       base_size: int = 520, crop_size: int = 480
-                       ) -> jnp.ndarray:
+                       base_size: int = 520, crop_size: int = 480,
+                       half_res_apply: bool = False) -> jnp.ndarray:
     """Pixel features gathered at per-frame pixel coords, all on device.
 
     ``px``/``py``: (B, N) pixel coords in the *feature-canvas* frame
@@ -125,10 +125,80 @@ def features_at_points(apply_fn: Callable, params, images: jnp.ndarray,
     vlmap_builder.py:126,143).  Out-of-canvas coords return garbage rows —
     mask downstream, exactly like the reference's bounds check (:160).
     Returns (B, N, D).
+
+    ``half_res_apply=True`` expects ``apply_fn`` to return features at HALF
+    the crop resolution (LSegNet with upsample=False) and replaces the
+    materialise-canvas-then-gather path with direct bilinear sampling of
+    each covering crop's half-res map + count averaging — mathematically
+    identical (the skipped 2x upsample is align-corners bilinear, which the
+    sampler reproduces in its coordinate map) and far cheaper in HBM.
     """
-    canvas = sliding_window_features(apply_fn, params, images, base_size,
-                                     crop_size)
-    b, hh, ww, d = canvas.shape
-    px = jnp.clip(px, 0, ww - 1)
-    py = jnp.clip(py, 0, hh - 1)
-    return jax.vmap(lambda c, x, y: c[y, x])(canvas, px, py)
+    if not half_res_apply:
+        canvas = sliding_window_features(apply_fn, params, images, base_size,
+                                         crop_size)
+        b, hh, ww, d = canvas.shape
+        px = jnp.clip(px, 0, ww - 1)
+        py = jnp.clip(py, 0, hh - 1)
+        return jax.vmap(lambda c, x, y: c[y, x])(canvas, px, py)
+    return _features_at_points_halfres(apply_fn, params, images, px, py,
+                                       base_size, crop_size)
+
+
+def _features_at_points_halfres(apply_fn, params, images, px, py,
+                                base_size: int, crop_size: int
+                                ) -> jnp.ndarray:
+    b, h, w, _ = images.shape
+    height, width, ph, pw, crops = plan_windows(h, w, base_size, crop_size)
+    x = resize_bilinear_align_corners(images, height, width)
+    pad = _pad_value()
+    canvas_in = jnp.broadcast_to(jnp.asarray(pad), (b, ph, pw, 3))
+    canvas_in = canvas_in.at[:, :height, :width, :].set(x)
+
+    crop_batch = []
+    for (h0, h1, w0, w1) in crops:
+        piece = canvas_in[:, h0:h1, w0:w1, :]
+        if (h1 - h0, w1 - w0) != (crop_size, crop_size):
+            full = jnp.broadcast_to(jnp.asarray(pad),
+                                    (b, crop_size, crop_size, 3))
+            piece = full.at[:, :h1 - h0, :w1 - w0, :].set(piece)
+        crop_batch.append(piece)
+    feats = apply_fn(params, jnp.concatenate(crop_batch, axis=0))
+    hh = feats.shape[1]
+    if hh * 2 != crop_size:
+        raise ValueError(
+            f"half-res apply returned {hh}, expected {crop_size // 2}")
+    d = feats.shape[-1]
+    n = px.shape[1]
+
+    pxf = px.astype(jnp.float32)
+    pyf = py.astype(jnp.float32)
+    # half-res align-corners coordinate map: full i -> i * (hh-1)/(2hh-1)
+    scale = (hh - 1) / (crop_size - 1)
+
+    acc = jnp.zeros((b, n, d), jnp.float32)
+    cnt = jnp.zeros((b, n, 1), jnp.float32)
+    for ci, (h0, h1, w0, w1) in enumerate(crops):
+        fmap = feats[ci * b:(ci + 1) * b]  # (B, hh, hh, D)
+        lx = pxf - w0
+        ly = pyf - h0
+        inside = ((pxf >= w0) & (pxf < w1) & (pyf >= h0) & (pyf < h1))
+        sx = jnp.clip(lx, 0, crop_size - 1) * scale
+        sy = jnp.clip(ly, 0, crop_size - 1) * scale
+        x0 = jnp.clip(jnp.floor(sx), 0, hh - 1).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor(sy), 0, hh - 1).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, hh - 1)
+        y1 = jnp.minimum(y0 + 1, hh - 1)
+        fx = (sx - x0.astype(jnp.float32))[..., None]
+        fy = (sy - y0.astype(jnp.float32))[..., None]
+
+        def g(yy, xx):
+            return jax.vmap(lambda m, r, c: m[r, c])(fmap, yy, xx)
+
+        val = ((1 - fy) * (1 - fx) * g(y0, x0)
+               + (1 - fy) * fx * g(y0, x1)
+               + fy * (1 - fx) * g(y1, x0)
+               + fy * fx * g(y1, x1))
+        m = inside[..., None].astype(jnp.float32)
+        acc = acc + val.astype(jnp.float32) * m
+        cnt = cnt + m
+    return acc / jnp.maximum(cnt, 1.0)

@@ -37,7 +37,7 @@ DEPTH_SAMPLE_RATE = 100
 MAX_PTS = (H * W) // DEPTH_SAMPLE_RATE  # 7776
 GS, CS, VH = 1000, 0.05, 30
 CAPACITY = 1_000_000
-BATCH = 4
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 WARMUP_STEPS = 2
 TIMED_STEPS = 6
 
@@ -56,8 +56,9 @@ def measure_tpu_fps() -> float:
                                  jnp.zeros((1, 480, 480, 3), jnp.float32))
 
     calib = np.array([[540, 0, 540], [0, 540, 360], [0, 0, 1]], np.float64)
-    step = make_frame_step(model.apply, gs=GS, cs=CS, vh=VH, calib_mat=calib,
-                           image_hw=(H, W))
+    half_apply = lambda p, x: model.apply(p, x, upsample=False)
+    step = make_frame_step(half_apply, gs=GS, cs=CS, vh=VH, calib_mat=calib,
+                           image_hw=(H, W), half_res_apply=True)
     step = jax.jit(step, donate_argnums=(0,))
 
     state = init_fusion_state(GS, VH, 512, CAPACITY)

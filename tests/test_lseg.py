@@ -163,3 +163,30 @@ def test_strip_net_prefix():
     sd = {"net.scratch.head1.weight": 1, "other": 2}
     out = strip_net_prefix(sd)
     assert "scratch.head1.weight" in out and "other" in out
+
+
+class TestHalfResGatherEquivalence:
+    """features_at_points(half_res_apply=True) must equal the
+    canvas-materialise path exactly (the skipped 2x upsample is linear)."""
+
+    def test_matches_canvas_path(self):
+        import jax
+
+        cfg = LSegConfig.tiny16()
+        model = LSegNet(cfg)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32))
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.normal(size=(2, 48, 48, 3)).astype(np.float32))
+        # canvas geometry for base=32/crop=32 on 48x48 input
+        height, width, _, _, _ = plan_windows(48, 48, 32, 32)
+        px = jnp.asarray(rng.integers(0, width, (2, 40)).astype(np.int32))
+        py = jnp.asarray(rng.integers(0, height, (2, 40)).astype(np.int32))
+
+        full = features_at_points(model.apply, params, img, px, py,
+                                  base_size=32, crop_size=32)
+        half = features_at_points(
+            lambda p, x: model.apply(p, x, upsample=False), params, img,
+            px, py, base_size=32, crop_size=32, half_res_apply=True)
+        np.testing.assert_allclose(np.asarray(half), np.asarray(full),
+                                   rtol=1e-4, atol=1e-4)
