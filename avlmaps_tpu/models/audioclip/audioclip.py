@@ -5,9 +5,10 @@ width 512 x 12 layers) extended with the ESResNeXt-FBSP audio tower and two
 extra learned logit scales (audio-image, audio-text, initialised to log 100
 and clamped to [1, 100] at use).
 
-The mapping pipeline only exercises audio + text (sound_map.py:102-153); the
-CLIP RN50 image tower is not implemented here (AreaMap/VLMap use the flax
-ViT CLIP) — tracked as a gap in docs/PARITY.md.
+All three towers are implemented: the ESResNeXt-FBSP audio head, the CLIP
+text transformer and the RN50 ModifiedResNet image tower (the mapping
+pipeline itself only exercises audio + text, sound_map.py:102-153; AreaMap/
+VLMap use the flax ViT CLIP).
 """
 
 from __future__ import annotations
@@ -23,6 +24,9 @@ import numpy as np
 from avlmaps_tpu.models.audioclip.esresnet import (
     ESResNeXtFBSP, ESResNeXtConfig,
 )
+from avlmaps_tpu.models.audioclip.modified_resnet import (
+    ModifiedResNet, ModifiedResNetConfig,
+)
 from avlmaps_tpu.models.clip.model import ClipConfig, TextEncoder
 from avlmaps_tpu.models.clip.tokenizer import default_tokenizer
 
@@ -36,6 +40,7 @@ class AudioClipConfig:
     context_length: int = 77
     vocab_size: int = 49408
     audio: ESResNeXtConfig = ESResNeXtConfig()
+    vision: ModifiedResNetConfig = ModifiedResNetConfig()
     dtype: Any = jnp.float32
 
     def text_config(self) -> ClipConfig:
@@ -50,7 +55,8 @@ class AudioClipConfig:
     def tiny() -> "AudioClipConfig":
         return AudioClipConfig(embed_dim=16, text_width=32, text_layers=2,
                                text_heads=2, context_length=16,
-                               audio=ESResNeXtConfig.tiny())
+                               audio=ESResNeXtConfig.tiny(),
+                               vision=ModifiedResNetConfig.tiny())
 
 
 class AudioClip(nn.Module):
@@ -62,6 +68,11 @@ class AudioClip(nn.Module):
         self.audio = ESResNeXtFBSP(dataclasses.replace(
             self.cfg.audio, num_classes=self.cfg.embed_dim))
         self.text = TextEncoder(self.cfg.text_config())
+        self.visual = ModifiedResNet(dataclasses.replace(
+            self.cfg.vision, embed_dim=self.cfg.embed_dim))
+        self.logit_scale = self.param(
+            "logit_scale", lambda k: jnp.asarray(float(np.log(1 / 0.07)),
+                                                 jnp.float32))
         init_scale = float(np.log(100.0))
         self.logit_scale_ai = self.param(
             "logit_scale_ai", lambda k: jnp.asarray(init_scale, jnp.float32))
@@ -73,6 +84,24 @@ class AudioClip(nn.Module):
 
     def encode_text(self, token_ids: jnp.ndarray) -> jnp.ndarray:
         return self.text(token_ids)
+
+    def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
+        return self.visual(images)
+
+    def tri_modal(self, audio, images, token_ids):
+        """All three pairwise logit matrices (reference AudioCLIP.forward,
+        audioclip.py:139-196): (audio x image, audio x text, image x text)
+        with per-pair clamped scales."""
+        def norm(z):
+            return z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+
+        af = norm(self.encode_audio(audio))
+        vf = norm(self.encode_image(images))
+        tf = norm(self.encode_text(token_ids))
+        s_ai = jnp.clip(jnp.exp(self.logit_scale_ai), 1.0, 100.0)
+        s_at = jnp.clip(jnp.exp(self.logit_scale_at), 1.0, 100.0)
+        s_it = jnp.clip(jnp.exp(self.logit_scale), 1.0, 100.0)
+        return s_ai * af @ vf.T, s_at * af @ tf.T, s_it * vf @ tf.T
 
     def __call__(self, audio: jnp.ndarray,
                  token_ids: jnp.ndarray) -> jnp.ndarray:
@@ -103,14 +132,20 @@ class AudioClipEncoder:
         self.tokenizer = tokenizer or default_tokenizer()
         if params is None:
             k = jax.random.PRNGKey(seed)
-            params = jax.jit(self.model.init)(
-                k, jnp.zeros((1, self._sample_len()), jnp.float32),
-                jnp.zeros((1, self.cfg.context_length), jnp.int32))
+            img = self.cfg.vision.image_size
+            # init through tri_modal so all three towers materialise
+            params = jax.jit(lambda k, a, v, t: self.model.init(
+                k, a, v, t, method=AudioClip.tri_modal))(
+                    k, jnp.zeros((1, self._sample_len()), jnp.float32),
+                    jnp.zeros((1, img, img, 3), jnp.float32),
+                    jnp.zeros((1, self.cfg.context_length), jnp.int32))
         self.params = params
         self._audio_fwd = jax.jit(lambda p, a: self.model.apply(
             p, a, method=AudioClip.encode_audio))
         self._text_fwd = jax.jit(lambda p, t: self.model.apply(
             p, t, method=AudioClip.encode_text))
+        self._image_fwd = jax.jit(lambda p, x: self.model.apply(
+            p, x, method=AudioClip.encode_image))
 
     def _sample_len(self) -> int:
         # tiny configs use a shorter probe signal

@@ -5,8 +5,9 @@ AudioCLIP (avlmaps/audioclip/model/audioclip.py:96-108).  Key layout:
 CLIP text keys at the top level (transformer.resblocks.N..., ln_final,
 token_embedding, positional_embedding, text_projection), the audio tower
 under ``audio.*`` (ESResNeXt conv/bn/layer/att/fbsp/fc naming), and the
-logit scales.  The RN50 visual tower keys are ignored (tracked gap —
-docs/PARITY.md).
+logit scales, and the RN50 ModifiedResNet visual tower under ``visual.*``
+(downsample Sequential named "-1"/"0"/"1" in the OpenAI layout: the conv is
+``downsample.0`` and the bn ``downsample.1``).
 """
 
 from __future__ import annotations
@@ -110,9 +111,43 @@ def port_audioclip_state_dict(sd: Dict[str, Any],
         if f"audio.att{a}.conv_depth.weight" in sd:
             audio[f"att{a}"] = _attention2d(sd, f"audio.att{a}")
 
+    visual: Dict[str, Any] = {
+        "conv1": _conv(sd, "visual.conv1"),
+        "bn1": _bn(sd, "visual.bn1"),
+        "conv2": _conv(sd, "visual.conv2"),
+        "bn2": _bn(sd, "visual.bn2"),
+        "conv3": _conv(sd, "visual.conv3"),
+        "bn3": _bn(sd, "visual.bn3"),
+        "attnpool": {
+            "positional_embedding":
+                _t(sd["visual.attnpool.positional_embedding"]),
+            "q_proj": _dense(sd, "visual.attnpool.q_proj"),
+            "k_proj": _dense(sd, "visual.attnpool.k_proj"),
+            "v_proj": _dense(sd, "visual.attnpool.v_proj"),
+            "c_proj": _dense(sd, "visual.attnpool.c_proj"),
+        },
+    }
+    for stage, n_blocks in enumerate(cfg.vision.layers):
+        for blk in range(n_blocks):
+            p = f"visual.layer{stage + 1}.{blk}"
+            entry = {
+                "conv1": _conv(sd, f"{p}.conv1"),
+                "bn1": _bn(sd, f"{p}.bn1"),
+                "conv2": _conv(sd, f"{p}.conv2"),
+                "bn2": _bn(sd, f"{p}.bn2"),
+                "conv3": _conv(sd, f"{p}.conv3"),
+                "bn3": _bn(sd, f"{p}.bn3"),
+            }
+            if f"{p}.downsample.0.weight" in sd:
+                entry["downsample_conv"] = _conv(sd, f"{p}.downsample.0")
+                entry["downsample_bn"] = _bn(sd, f"{p}.downsample.1")
+            visual[f"layer{stage + 1}_{blk}"] = entry
+
     return {"params": {
         "text": text,
         "audio": audio,
+        "visual": visual,
+        "logit_scale": _t(sd["logit_scale"]).reshape(()),
         "logit_scale_ai": _t(sd["logit_scale_ai"]).reshape(()),
         "logit_scale_at": _t(sd["logit_scale_at"]).reshape(()),
     }}

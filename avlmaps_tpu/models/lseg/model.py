@@ -112,3 +112,26 @@ def init_lseg(cfg: Optional[LSegConfig] = None, image_size: int = 480,
     dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(seed), dummy)
     return model, params
+
+
+def host_init_params(cfg: Optional[LSegConfig] = None, image_size: int = 480,
+                     seed: int = 0, scale: float = 0.02):
+    """Materialise LSegNet params on the HOST (numpy RNG over the eval_shape
+    tree) instead of jitting ``model.init``.
+
+    Prefer this on machines with fast host<->device links (checkpoint-port
+    paths materialise host-side anyway); on a slow tunnel the ~1.2 GB
+    transfer dominates and the on-device ``jax.jit(model.init)`` is faster.
+    Weights are random; use port.py for real checkpoints."""
+    cfg = cfg or LSegConfig.vitl16()
+    model = LSegNet(cfg)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(seed),
+                            jnp.zeros((1, image_size, image_size, 3),
+                                      jnp.float32))
+    rng = np.random.default_rng(seed)
+
+    def fill(leaf):
+        arr = rng.standard_normal(leaf.shape).astype(np.float32) * scale
+        return jnp.asarray(arr, dtype=leaf.dtype)
+
+    return model, jax.tree.map(fill, shapes)

@@ -96,6 +96,48 @@ def synth_state_dict(cfg: AudioClipConfig, rng):
     sd["audio.fc.weight"] = rng.normal(size=(E, 2048)).astype(
         np.float32) * 0.05
     sd["audio.fc.bias"] = np.zeros(E, np.float32)
+
+    # RN50 ModifiedResNet visual tower (OpenAI key layout)
+    v = cfg.vision
+    w = v.width
+    sd["visual.conv1.weight"] = rng.normal(size=(w // 2, 3, 3, 3)).astype(
+        np.float32) * 0.05
+    add_bn("visual.bn1", w // 2)
+    sd["visual.conv2.weight"] = rng.normal(
+        size=(w // 2, w // 2, 3, 3)).astype(np.float32) * 0.05
+    add_bn("visual.bn2", w // 2)
+    sd["visual.conv3.weight"] = rng.normal(size=(w, w // 2, 3, 3)).astype(
+        np.float32) * 0.05
+    add_bn("visual.bn3", w)
+    vin = w
+    for stage, n_blocks in enumerate(v.layers):
+        planes = w * (2 ** stage)
+        for blk in range(n_blocks):
+            p = f"visual.layer{stage + 1}.{blk}"
+            sd[f"{p}.conv1.weight"] = rng.normal(
+                size=(planes, vin, 1, 1)).astype(np.float32) * 0.05
+            add_bn(f"{p}.bn1", planes)
+            sd[f"{p}.conv2.weight"] = rng.normal(
+                size=(planes, planes, 3, 3)).astype(np.float32) * 0.05
+            add_bn(f"{p}.bn2", planes)
+            sd[f"{p}.conv3.weight"] = rng.normal(
+                size=(planes * 4, planes, 1, 1)).astype(np.float32) * 0.05
+            add_bn(f"{p}.bn3", planes * 4)
+            if blk == 0 and (stage > 0 or vin != planes * 4):
+                sd[f"{p}.downsample.0.weight"] = rng.normal(
+                    size=(planes * 4, vin, 1, 1)).astype(np.float32) * 0.05
+                add_bn(f"{p}.downsample.1", planes * 4)
+            vin = planes * 4
+    spatial = v.image_size // 32
+    sd["visual.attnpool.positional_embedding"] = rng.normal(
+        size=(spatial * spatial + 1, vin)).astype(np.float32) * 0.02
+    for proj, odim in (("q_proj", vin), ("k_proj", vin), ("v_proj", vin),
+                       ("c_proj", E)):
+        sd[f"visual.attnpool.{proj}.weight"] = rng.normal(
+            size=(odim, vin)).astype(np.float32) * 0.05
+        sd[f"visual.attnpool.{proj}.bias"] = np.zeros(odim, np.float32)
+
+    sd["logit_scale"] = np.array(np.log(1 / 0.07), np.float32)
     sd["logit_scale_ai"] = np.array(np.log(100.0), np.float32)
     sd["logit_scale_at"] = np.array(np.log(50.0), np.float32)
     return sd
@@ -111,9 +153,13 @@ def test_port_full_size_structure(rng):
     variables = port_audioclip_state_dict(sd, cfg)
 
     model = AudioClip(cfg)
+    img = cfg.vision.image_size
     ref = jax.eval_shape(
-        model.init, jax.random.PRNGKey(0),
+        lambda k, a, v, t: model.init(k, a, v, t,
+                                      method=AudioClip.tri_modal),
+        jax.random.PRNGKey(0),
         jnp.zeros((1, 8192), jnp.float32),
+        jnp.zeros((1, img, img, 3), jnp.float32),
         jnp.zeros((1, cfg.context_length), jnp.int32))
 
     def paths(tree, prefix=""):
@@ -135,8 +181,14 @@ def test_port_full_size_structure(rng):
         float(variables["params"]["logit_scale_at"]), np.log(50.0),
         rtol=1e-6)
 
-    # forward runs with the ported weights
+    # forwards run with the ported weights
     out = model.apply(variables, jnp.zeros((1, 8192), jnp.float32),
                       method=AudioClip.encode_audio)
     assert out.shape == (1, cfg.embed_dim)
     assert np.isfinite(np.asarray(out)).all()
+    img_size = cfg.vision.image_size
+    vout = model.apply(variables,
+                       jnp.zeros((1, img_size, img_size, 3), jnp.float32),
+                       method=AudioClip.encode_image)
+    assert vout.shape == (1, cfg.embed_dim)
+    assert np.isfinite(np.asarray(vout)).all()
