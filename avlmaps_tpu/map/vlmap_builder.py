@@ -152,7 +152,8 @@ class VLMapBuilder:
                  depth_paths, base2cam_tf: np.ndarray,
                  base_transform: np.ndarray, lseg_apply=None,
                  lseg_params=None, feat_dim: int = 512,
-                 batch_size: int = 4, seed: int = 0):
+                 batch_size: int = 4, seed: int = 0, mesh=None,
+                 half_res_apply: bool = False):
         self.data_dir = Path(data_dir)
         self.map_config = map_config
         self.pose_path = pose_path
@@ -164,6 +165,8 @@ class VLMapBuilder:
         self.lseg_params = lseg_params
         self.feat_dim = feat_dim
         self.batch_size = batch_size
+        self.mesh = mesh  # jax.sharding.Mesh -> multi-chip sharded fusion
+        self.half_res_apply = half_res_apply
         self.rng = np.random.default_rng(seed)
         self.map_save_dir = self.data_dir / "vlmap"
         self.map_save_path = self.map_save_dir / "vlmaps.h5df"
@@ -188,6 +191,7 @@ class VLMapBuilder:
             base_pose = self.base_transform @ pose_vec_to_tf(vec) @ inv_bt
             tf = inv_init_base_tf @ base_pose
             pose_tfs.append(tf @ self.base_transform @ self.base2cam_tf)
+        self._pose_tfs = pose_tfs
 
         # resume support: skip frames already in the saved map
         state, mapped = self._init_state(gs, cs, vh)
@@ -199,12 +203,17 @@ class VLMapBuilder:
         max_pts = min(cfg.max_pts_per_frame,
                       max(h * w // cfg.depth_sample_rate, 1))
 
+        if self.mesh is not None:
+            return self._create_sharded(gs, cs, vh, h, w, max_pts, mapped,
+                                        save_every, progress)
+
         step = make_frame_step(
             self.lseg_apply, gs=gs, cs=cs, vh=vh,
             calib_mat=cfg.calib_matrix(), image_hw=(h, w),
             base_size=getattr(cfg, "lseg_base_size", 520),
             crop_size=getattr(cfg, "lseg_crop_size", 480),
-            min_depth=cfg.min_depth, max_depth=cfg.max_depth)
+            min_depth=cfg.min_depth, max_depth=cfg.max_depth,
+            half_res_apply=self.half_res_apply)
         step = jax.jit(step, donate_argnums=(0,))
 
         loader = PrefetchLoader(self.rgb_paths, self.depth_paths, pose_tfs,
@@ -246,6 +255,56 @@ class VLMapBuilder:
               mapped) -> SparseVoxelMap:
         grid_feat, grid_pos, weight, occupied_ids, grid_rgb = \
             export_fusion_state(state, gs, vh)
+        m = SparseVoxelMap(gs=gs, vh=vh, feat_dim=grid_feat.shape[1],
+                           grid_feat=grid_feat, grid_pos=grid_pos,
+                           weight=weight, occupied_ids=occupied_ids,
+                           grid_rgb=grid_rgb, mapped_iters=set(mapped))
+        m.save(self.map_save_path)
+        return m
+
+
+    def _create_sharded(self, gs, cs, vh, h, w, max_pts, mapped, save_every,
+                        progress) -> SparseVoxelMap:
+        """Multi-chip build: frames data-parallel over the mesh, voxel grid
+        row-sharded (parallel/sharded.py).  Resume is not supported on the
+        sharded path (per-shard allocators can't restore a merged map);
+        builds start fresh."""
+        from avlmaps_tpu.parallel.sharded import ShardedFusion
+        from avlmaps_tpu.pipeline.loader import PrefetchLoader
+
+        cfg = self.map_config
+        n_dev = self.mesh.devices.size
+        batch = max(self.batch_size, n_dev)
+        batch = (batch // n_dev) * n_dev
+        fusion = ShardedFusion(
+            self.mesh, gs=gs, cs=cs, vh=vh, feat_dim=self.feat_dim,
+            capacity=cfg.capacity, calib_mat=cfg.calib_matrix(),
+            image_hw=(h, w), lseg_apply=self.lseg_apply,
+            base_size=getattr(cfg, "lseg_base_size", 520),
+            crop_size=getattr(cfg, "lseg_crop_size", 480),
+            min_depth=cfg.min_depth, max_depth=cfg.max_depth)
+
+        import numpy as _np
+        import jax.numpy as _jnp
+
+        pose_tfs = self._pose_tfs
+        loader = PrefetchLoader(self.rgb_paths, self.depth_paths, pose_tfs,
+                                batch_size=batch)
+        done = 0
+        for b in loader:
+            idx = sample_pixels(self.rng, h, w, cfg.depth_sample_rate,
+                                max_pts, batch)
+            fusion.step(self.lseg_params, _jnp.asarray(b.rgb),
+                        _jnp.asarray(b.depth), _jnp.asarray(b.pose_tf),
+                        _jnp.asarray(idx), _jnp.asarray(b.frame_ids >= 0))
+            mapped.update(int(i) for i in b.frame_ids if i >= 0)
+            done += int((b.frame_ids >= 0).sum())
+            if progress:
+                print(f"\rVLMap (sharded x{n_dev}): {done} frames", end="",
+                      flush=True)
+        if progress:
+            print()
+        grid_feat, grid_pos, weight, occupied_ids, grid_rgb = fusion.export()
         m = SparseVoxelMap(gs=gs, vh=vh, feat_dim=grid_feat.shape[1],
                            grid_feat=grid_feat, grid_pos=grid_pos,
                            weight=weight, occupied_ids=occupied_ids,

@@ -42,9 +42,25 @@ WARMUP_STEPS = 2
 TIMED_STEPS = 6
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeat bench runs skip the multi-
+    minute ViT-L compiles (first run per machine still pays them)."""
+    import jax
+
+    cache_dir = REPO / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def measure_tpu_fps() -> float:
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
     from avlmaps_tpu.geometry.projection import get_sim_cam_mat
     from avlmaps_tpu.map.vlmap_builder import make_frame_step, sample_pixels
     from avlmaps_tpu.models.lseg import LSegNet, LSegConfig

@@ -196,3 +196,41 @@ def test_dryrun_multichip():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
     ge.dryrun_multichip(8)
+
+
+class TestShardedBuilderE2E:
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    def test_build_via_mesh(self, tmp_path, tiny_lseg):
+        from avlmaps_tpu.parallel.sharded import make_mesh
+
+        model, params = tiny_lseg
+        scene = write_synthetic_scene(tmp_path / "scene", n_frames=4)
+        cfg = load_config()
+        cfg.map_config.grid_size = GS  # 64: divisible by 8 devices
+        cfg.map_config.cell_size = CS
+        cfg.map_config.pose_info.camera_height = CS * VH
+        cfg.map_config.cam_calib_mat = tuple(
+            get_sim_cam_mat(H, W).reshape(-1))
+        cfg.map_config.capacity = 8192
+        cfg.map_config.depth_sample_rate = 16
+        cfg.map_config.max_pts_per_frame = 64
+        cfg.map_config.max_depth = 6.0
+        cfg.map_config.lseg_base_size = W
+        cfg.map_config.lseg_crop_size = W
+
+        base2cam = build_base2cam_tf(cfg.map_config.pose_info.base2cam_rot,
+                                     cfg.map_config.pose_info.camera_height)
+        base_tf = build_base_transform(
+            cfg.map_config.pose_info.base_forward_axis,
+            cfg.map_config.pose_info.base_left_axis,
+            cfg.map_config.pose_info.base_up_axis)
+        builder = VLMapBuilder(
+            scene, cfg.map_config, scene / "poses.txt",
+            sorted((scene / "rgb").glob("*.png")),
+            sorted((scene / "depth").glob("*.npy")),
+            base2cam, base_tf, lseg_apply=model.apply, lseg_params=params,
+            feat_dim=24, batch_size=8, mesh=make_mesh(8))
+        m = builder.create_mobile_base_map(save_every=0, progress=False)
+        assert m.num_occupied > 0
+        assert m.mapped_iters == set(range(4))
+        assert (scene / "vlmap" / "vlmaps.h5df").exists()
