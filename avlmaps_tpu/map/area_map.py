@@ -64,8 +64,14 @@ class AreaMap:
         if base_poses.ndim == 1:
             base_poses = base_poses[None]
 
-        imgs = [load_rgb(p) for p in self.rgb_paths]
-        self.clip_sparse_map = enc.get_imgs_feats_batch(imgs, batch_size)
+        # stream decode -> encode per batch (a full trajectory decoded at
+        # once is multiple GB of host RAM)
+        feats = np.zeros((len(self.rgb_paths), enc.feat_dim), np.float32)
+        for s0 in range(0, len(self.rgb_paths), batch_size):
+            chunk = [load_rgb(p) for p in self.rgb_paths[s0:s0 + batch_size]]
+            feats[s0:s0 + len(chunk)] = enc.get_imgs_feats_batch(
+                chunk, batch_size)
+        self.clip_sparse_map = feats
         self.robot_pose_list = [pose_vec_to_tf(v) for v in base_poses]
         save_clip_sparse_map(self.map_save_dir / "clip_sparse_map.h5df",
                              self.clip_sparse_map, self.robot_pose_list)

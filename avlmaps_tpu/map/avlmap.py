@@ -66,7 +66,9 @@ class AVLMap:
                      init_categories: Optional[List[str]] = None,
                      decay_rate: float = 0.1) -> np.ndarray:
         if init_categories is not None:
-            self.vlmap.init_categories(list(init_categories))
+            # the reference strips the first and last entries ('void' and
+            # 'objects' of mp3dcat) before scoring (avlmap.py:741)
+            self.vlmap.init_categories(list(init_categories)[1:-1])
             mask = self.vlmap.index_map(object_name, with_init_cat=True)
         else:
             mask = self.vlmap.index_map(object_name, with_init_cat=False)

@@ -43,6 +43,7 @@ class SoundMap:
             self.difficulty_level)
         self.audio_database: Optional[Dict[int, Dict]] = None
         self._encoder = audioclip_encoder
+        self._text_feat_cache: Optional[np.ndarray] = None
 
     def _init_audioclip(self):
         """Lazy AudioCLIP (reference sound_map.py:37-47)."""
@@ -133,16 +134,19 @@ class SoundMap:
             locs.append(self.audio_database[i]["locations"])
         return np.stack(feats, axis=0), locs
 
-    def _audio_text_logits(self, name_list: List[str]) -> np.ndarray:
+    def _audio_text_logits(self) -> np.ndarray:
         enc = self._init_audioclip()
         audio_feats, _ = self.get_all_audio_features_and_locations()
-        text_feats = enc.encode_text([[c] for c in self.sound_categories])
-        return enc.audio_text_logits(audio_feats, text_feats)
+        if self._text_feat_cache is None:
+            # one text-tower forward per category list, reused by every query
+            self._text_feat_cache = enc.encode_text(
+                [[c] for c in self.sound_categories])
+        return enc.audio_text_logits(audio_feats, self._text_feat_cache)
 
     def get_pos(self, name: str):
         """Locations of the event best matching the named sound
         (reference sound_map.py:102-120: per-category retrieval argmax)."""
-        logits = self._audio_text_logits(self.sound_categories)
+        logits = self._audio_text_logits()
         _, locations = self.get_all_audio_features_and_locations()
         cat_id = find_similar_category_id(name, self.sound_categories)
         retrieval_id = int(np.argmax(logits[:, cat_id]))
@@ -162,7 +166,7 @@ class SoundMap:
     def get_distribution_and_locations(self, name: str):
         """Per-event probabilities for a sound name + all event locations
         (reference sound_map.py:135-153: logits column min-max normalised)."""
-        logits = self._audio_text_logits(self.sound_categories)
+        logits = self._audio_text_logits()
         _, locations = self.get_all_audio_features_and_locations()
         cat_id = find_similar_category_id(name, self.sound_categories)
         probs = logits[:, cat_id]

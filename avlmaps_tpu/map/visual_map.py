@@ -71,8 +71,12 @@ class VisualMap:
                 return
         rgb_paths = sorted((self.data_dir / "rgb").glob("*.png"))
         enc = self._init_clip()
-        imgs = [load_rgb(p) for p in rgb_paths]
-        self.descriptors = enc.get_imgs_feats_batch(imgs, batch_size)
+        self.descriptors = np.zeros((len(rgb_paths), enc.feat_dim),
+                                    np.float32)
+        for s0 in range(0, len(rgb_paths), batch_size):
+            chunk = [load_rgb(p) for p in rgb_paths[s0:s0 + batch_size]]
+            self.descriptors[s0:s0 + len(chunk)] = \
+                enc.get_imgs_feats_batch(chunk, batch_size)
         with h5py.File(cache, "w") as f:
             f.create_dataset("descriptors", data=self.descriptors)
 

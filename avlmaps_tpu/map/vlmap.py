@@ -128,9 +128,11 @@ class VLMap(Map):
         enc = self._init_clip()
 
         all_obstacles_mask = self.obstacles_cropped == 0
+        # add_other=True: the reference scores with an appended 'other'
+        # class absorbing non-obstacle voxels (index_utils.py:152-158)
         scores = enc.get_lseg_score(
             list(potential_obstacle_names), self.grid_feat,
-            use_multiple_templates=True, add_other=False)
+            use_multiple_templates=True, add_other=True)
         predict = np.argmax(scores, axis=1)
         obs_inds = [i for i, name in enumerate(potential_obstacle_names)
                     if name in obstacle_names]
@@ -138,11 +140,11 @@ class VLMap(Map):
 
         new_obstacles = np.zeros_like(self.obstacles_cropped, dtype=bool)
         obs_pts = self.grid_pos[pts_mask]
-        rows = np.clip(obs_pts[:, 0] - self.rmin, 0,
-                       new_obstacles.shape[0] - 1)
-        cols = np.clip(obs_pts[:, 1] - self.cmin, 0,
-                       new_obstacles.shape[1] - 1)
-        new_obstacles[rows, cols] = True
+        rows = obs_pts[:, 0] - self.rmin
+        cols = obs_pts[:, 1] - self.cmin
+        inside = ((rows >= 0) & (rows < new_obstacles.shape[0])
+                  & (cols >= 0) & (cols < new_obstacles.shape[1]))
+        new_obstacles[rows[inside], cols[inside]] = True
         new_obstacles &= all_obstacles_mask
         new_obstacles = ~new_obstacles
 

@@ -49,8 +49,15 @@ def load_native() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(str(_LIB))
         except OSError:
-            _build_failed = True
-            return None
+            # stale/foreign binary (other arch, ABI mismatch): rebuild once
+            if not _SRC.exists() or not _compile():
+                _build_failed = True
+                return None
+            try:
+                lib = ctypes.CDLL(str(_LIB))
+            except OSError:
+                _build_failed = True
+                return None
         lib.vg_build.restype = ctypes.c_void_p
         lib.vg_build.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,

@@ -98,18 +98,24 @@ class VisGraph:
         self._adj[j].append((i, d))
 
     def _build_edges(self):
-        # boundary edges: consecutive vertices of each contour
+        # boundary edges: consecutive vertices of each contour — but only if
+        # the chord is clear (approxPolyDP chords can cut into concave
+        # obstacle corners); blocked chords are recovered by visibility edges
         offset = 0
         for poly in self.polys:
             n = len(poly)
             for k in range(n):
-                self._add_edge(offset + k, offset + (k + 1) % n)
+                a, b = offset + k, offset + (k + 1) % n
+                if line_clear(self.obstacles, self.nodes[a], self.nodes[b]):
+                    self._add_edge(a, b)
             offset += n
-        # visibility edges between non-adjacent node pairs
+        # visibility edges between all remaining node pairs (cross-polygon
+        # neighbours included)
         n_nodes = len(self.nodes)
         for i in range(n_nodes):
-            for j in range(i + 2, n_nodes):
-                if any(j == k for k, _ in self._adj[i]):
+            linked = {k for k, _ in self._adj[i]}
+            for j in range(i + 1, n_nodes):
+                if j in linked:
                     continue
                 if line_clear(self.obstacles, self.nodes[i], self.nodes[j]):
                     self._add_edge(i, j)

@@ -75,7 +75,10 @@ def heatmap_from_mask_3d(grid_pos, mask, cell_size: float = 0.05,
     targets = jnp.where(mask[:, None], grid_pos, _FAR)
     any_target = bool(jax.device_get(jnp.any(mask)))
     if not any_target:
-        return np.ones((grid_pos.shape[0],), np.float32)
+        # no target voxels: zero heat everywhere (the decay limit).  The
+        # reference would crash here (argmin over an empty target set,
+        # visualize_utils.py:41) — returning the limit is the usable fix.
+        return np.zeros((grid_pos.shape[0],), np.float32)
     dists = _min_dist_to_targets(grid_pos, targets) / cell_size
     heat = jnp.clip(1.0 - dists * decay_rate, 0.0, 1.0)
     heat = jnp.where(mask, 1.0, heat)

@@ -79,23 +79,27 @@ class PrefetchLoader:
         return rgb, depth, np.asarray(self.pose_tfs[i], np.float32)
 
     def _producer(self):
-        ids = [i for i in range(len(self.rgb_paths))
-               if i not in self.skip_ids]
-        bs = self.batch_size
-        for start in range(0, len(ids), bs):
-            chunk = ids[start:start + bs]
-            frames = [self._frame(i) for i in chunk]
-            while len(frames) < bs:  # pad with repeats, marked invalid
-                frames.append(frames[-1])
-            fids = np.array(chunk + [-1] * (bs - len(chunk)), np.int32)
-            batch = FrameBatch(
-                frame_ids=fids,
-                rgb=np.stack([f[0] for f in frames]),
-                depth=np.stack([f[1] for f in frames]),
-                pose_tf=np.stack([f[2] for f in frames]),
-            )
-            self._queue.put(batch)
-        self._queue.put(None)
+        try:
+            ids = [i for i in range(len(self.rgb_paths))
+                   if i not in self.skip_ids]
+            bs = self.batch_size
+            for start in range(0, len(ids), bs):
+                chunk = ids[start:start + bs]
+                frames = [self._frame(i) for i in chunk]
+                while len(frames) < bs:  # pad with repeats, marked invalid
+                    frames.append(frames[-1])
+                fids = np.array(chunk + [-1] * (bs - len(chunk)), np.int32)
+                batch = FrameBatch(
+                    frame_ids=fids,
+                    rgb=np.stack([f[0] for f in frames]),
+                    depth=np.stack([f[1] for f in frames]),
+                    pose_tf=np.stack([f[2] for f in frames]),
+                )
+                self._queue.put(batch)
+            self._queue.put(None)
+        except BaseException as exc:  # noqa: BLE001 - re-raised in consumer
+            # a dead producer must not leave the consumer blocked forever
+            self._queue.put(exc)
 
     def __iter__(self) -> Iterator[FrameBatch]:
         self._thread = threading.Thread(target=self._producer, daemon=True)
@@ -104,6 +108,9 @@ class PrefetchLoader:
             batch = self._queue.get()
             if batch is None:
                 return
+            if isinstance(batch, BaseException):
+                raise RuntimeError(
+                    "frame producer thread failed") from batch
             yield batch
 
     def __len__(self) -> int:

@@ -82,6 +82,20 @@ class HabitatLanguageRobot(LangRobot):
                                                    self.cs, self.gs)
         self.vlmaps_dataloader = VLMapsDataloaderHabitat(
             avlmaps_data_dir, self.config.map_config, map=self.map)
+        self._data_dir = avlmaps_data_dir
+        self._visual_map = None
+
+    @property
+    def visual_map(self):
+        """Lazy visual-localization map (first image query pays for the
+        descriptor build/cache; reference defers HLoc the same way)."""
+        if self._visual_map is None:
+            from avlmaps_tpu.map.visual_map import VisualMap
+
+            self._visual_map = VisualMap(self.config.map_config,
+                                         self._data_dir)
+            self._visual_map.create_and_load_map(self._data_dir)
+        return self._visual_map
 
     def _setup_sim(self, scene_name: str) -> None:
         if self.sim is not None:
@@ -249,7 +263,9 @@ class HabitatLanguageRobot(LangRobot):
                       self.vlmaps_dataloader.rmax + 1,
                       self.vlmaps_dataloader.cmin:
                       self.vlmaps_dataloader.cmax + 1]
-        heat = heatmap_from_mask_2d(mask2, cell_size=self.cs,
+        # reference robot decays per raw pixel (habitat_lang_robot.py:245-253)
+        # — no cell_size division, unlike visualize_utils' 2D heatmap
+        heat = heatmap_from_mask_2d(mask2, cell_size=1.0,
                                     decay_rate=decay_rate)
         rng = heat.max() - heat.min()
         return (heat - heat.min()) / (rng if rng > 0 else 1.0)

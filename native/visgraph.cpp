@@ -80,21 +80,27 @@ void* vg_build(const uint8_t* obstacles, int h, int w, const double* nodes,
         ++g->n_edges;
     };
 
-    // boundary edges: consecutive vertices of each contour polygon
+    // boundary edges: consecutive contour vertices, clearance-checked
+    // (approxPolyDP chords can cut concave corners; blocked chords are
+    // recovered through visibility edges) — must match nav/visgraph.py
     for (int p = 0; p < n_polys; ++p) {
         const int lo = poly_offsets[p];
         const int hi = poly_offsets[p + 1];
         const int n = hi - lo;
-        for (int k = 0; k < n; ++k) add_edge(lo + k, lo + (k + 1) % n);
+        for (int k = 0; k < n; ++k) {
+            const int a = lo + k, b = lo + (k + 1) % n;
+            if (line_clear(*g, g->nodes[2 * a], g->nodes[2 * a + 1],
+                           g->nodes[2 * b], g->nodes[2 * b + 1]))
+                add_edge(a, b);
+        }
     }
 
-    // visibility edges between non-adjacent pairs
-    std::vector<std::vector<uint8_t>> linked(n_nodes,
-                                             std::vector<uint8_t>());
+    // visibility edges between all remaining pairs (cross-polygon
+    // neighbours included)
     for (int i = 0; i < n_nodes; ++i) {
         std::vector<uint8_t> is_nb(n_nodes, 0);
         for (const auto& e : g->adj[i]) is_nb[e.first] = 1;
-        for (int j = i + 2; j < n_nodes; ++j) {
+        for (int j = i + 1; j < n_nodes; ++j) {
             if (is_nb[j]) continue;
             if (line_clear(*g, g->nodes[2 * i], g->nodes[2 * i + 1],
                            g->nodes[2 * j], g->nodes[2 * j + 1]))

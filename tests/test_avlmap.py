@@ -98,8 +98,10 @@ class TestAVLMapIntegration:
                 / "audio_data_level_3.pkl").exists()
 
     def test_index_object(self, avlmap):
-        heat = avlmap.index_object("chair", init_categories=["chair",
-                                                             "table"])
+        # reference semantics: init_categories is an mp3dcat-style list whose
+        # first/last entries ('void'/'objects') are stripped (avlmap.py:741)
+        heat = avlmap.index_object(
+            "chair", init_categories=["void", "chair", "table", "objects"])
         n = avlmap.vlmap.grid_feat.shape[0]
         assert heat.shape == (n,)
         assert heat.min() >= 0 and heat.max() <= 1
@@ -134,8 +136,8 @@ class TestAVLMapIntegration:
     def test_fused_heatmaps_compose(self, avlmap):
         """Cross-modal fusion: elementwise product of modality heatmaps
         (reference habitat_lang_robot.py:377-430 fusion policy)."""
-        obj = avlmap.index_object("chair", init_categories=["chair",
-                                                            "table"])
+        obj = avlmap.index_object(
+            "chair", init_categories=["void", "chair", "table", "objects"])
         area = avlmap.index_area("kitchen")
         fused = obj * area
         assert fused.shape == obj.shape

@@ -69,9 +69,11 @@ class TestHeatmap3D:
         np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
 
     def test_no_targets(self):
+        # empty target set -> the decay limit (zero heat); the reference
+        # would crash on an empty argmin (visualize_utils.py:41)
         got = heatmap_from_mask_3d(np.zeros((10, 3), np.int32),
                                    np.zeros(10, bool))
-        np.testing.assert_array_equal(got, np.ones(10, np.float32))
+        np.testing.assert_array_equal(got, np.zeros(10, np.float32))
 
 
 class TestEDT:
