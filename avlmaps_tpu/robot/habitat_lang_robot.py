@@ -295,6 +295,76 @@ class HabitatLanguageRobot(LangRobot):
         return self.get_distribution_map_3d("image", np.ones(1),
                                             [base_tf[:3, 3]], decay_rate)
 
+    # -- region (area) maps (reference :267-355) ----------------------------
+
+    area_map_type: str = "clip_sparse"  # "clip_sparse" | "gt"
+
+    def load_area_map(self, data_dir: str, area_map=None) -> None:
+        """Attach an AreaMap for region queries (clip_sparse variant)."""
+        if area_map is None:
+            from avlmaps_tpu.map.area_map import AreaMap
+
+            area_map = AreaMap(data_dir)
+            area_map.load_map(data_dir)
+        self.area_map = area_map
+
+    def load_gt_region_map(self, region_gt: Dict[str, List[Dict]]) -> None:
+        """Rasterise GT region boxes onto the cropped map
+        (reference :157-181): region_gt maps category -> list of boxes with
+        'region_center'/'region_size' in habitat coords."""
+        import cv2
+
+        obst = self.vlmaps_dataloader.get_obstacles_cropped()
+        self.region_categories = sorted(region_gt.keys())
+        self.gt_region_map = np.zeros(
+            (len(self.region_categories), obst.shape[0], obst.shape[1]),
+            np.uint8)
+        for cat_i, cat in enumerate(self.region_categories):
+            for box in region_gt[cat]:
+                center = np.asarray(box["region_center"], np.float64)
+                size = np.asarray(box["region_size"], np.float64)
+                corners = []
+                for corner in (center - size / 2, center + size / 2):
+                    tf = np.eye(4)
+                    tf[:3, 3] = corner
+                    self.vlmaps_dataloader.from_habitat_tf(tf)
+                    row, col, _ = self.vlmaps_dataloader.to_cropped_map_pose()
+                    corners.append((int(col), int(row)))
+                cv2.rectangle(self.gt_region_map[cat_i], corners[0],
+                              corners[1], 1, -1)
+
+    def get_region_distribution_map(self, name: str,
+                                    decay_rate: float = 0.1) -> np.ndarray:
+        """(reference :271-279)."""
+        if self.area_map_type == "clip_sparse":
+            return self.get_clip_sparse_region_distribution_map(name,
+                                                                decay_rate)
+        if self.area_map_type == "gt":
+            return self.get_gt_region_map(name, decay_rate)
+        raise ValueError(f"unknown area_map_type {self.area_map_type!r}")
+
+    def get_clip_sparse_region_distribution_map(
+            self, name: str, decay_rate: float = 0.1) -> np.ndarray:
+        """Per-pose CLIP area scores splatted on the cropped map
+        (reference :300-320)."""
+        scores = self.area_map.index_map(name, with_init_cat=False)
+        poses = [np.asarray(tf)[:3, 3]
+                 for tf in self.area_map.robot_pose_list]
+        return self.get_distribution_map(
+            name, scores, self._positions_to_cropped(poses), decay_rate)
+
+    def get_gt_region_map(self, name: str,
+                          decay_rate: float = 0.1) -> np.ndarray:
+        """EDT decay from the named GT region mask (reference :283-298)."""
+        from avlmaps_tpu.ops.heatmap import heatmap_from_mask_2d
+
+        cat = find_similar_category_id(name, self.region_categories)
+        mask = self.gt_region_map[cat]
+        heat = heatmap_from_mask_2d(mask, cell_size=1.0,
+                                    decay_rate=decay_rate)
+        rng = heat.max() - heat.min()
+        return (heat - heat.min()) / (rng if rng > 0 else 1.0)
+
     # -- fusion entry points (reference :357-399) ---------------------------
 
     def get_map(self, obj: str = None, sound: str = None):

@@ -109,3 +109,20 @@ class TestRobot:
         code = "robot.turn(20)\nrobot.move_forward(0.3)\n"
         robot.execute_code(code)
         assert len(robot.get_recorded_actions()) > 0
+
+
+class TestRegionMaps:
+    def test_gt_region_map(self, robot):
+        # a GT region box in habitat coords around the agent's area
+        robot.vlmaps_dataloader.from_full_map_pose(50, 50, 0.0)
+        center_tf = robot.vlmaps_dataloader.to_habitat_tf()
+        region_gt = {"kitchen": [{
+            "region_center": center_tf[:3, 3].tolist(),
+            "region_size": [1.0, 1.0, 1.0],
+        }]}
+        robot.load_gt_region_map(region_gt)
+        robot.area_map_type = "gt"
+        heat = robot.get_region_distribution_map("kitchen", decay_rate=0.05)
+        assert heat.shape == robot.map.get_obstacle_cropped().shape
+        assert heat.max() == pytest.approx(1.0)
+        robot.area_map_type = "clip_sparse"
