@@ -33,6 +33,7 @@ from avlmaps_tpu.ops.voxel_fusion import (
     VoxelFusionState, init_fusion_state, fuse_points, export_fusion_state,
     restore_fusion_state, concept_fusion_alpha,
 )
+from avlmaps_tpu.utils.profiling import RateMeter
 
 
 def make_frame_step(lseg_apply: Callable, *, gs: int, cs: float, vh: int,
@@ -219,6 +220,7 @@ class VLMapBuilder:
         loader = PrefetchLoader(self.rgb_paths, self.depth_paths, pose_tfs,
                                 batch_size=self.batch_size, skip_ids=mapped)
         done = 0
+        meter = RateMeter()
         for batch in loader:
             sample_idx = sample_pixels(self.rng, h, w, cfg.depth_sample_rate,
                                        max_pts, self.batch_size)
@@ -227,14 +229,24 @@ class VLMapBuilder:
                          jnp.asarray(batch.pose_tf),
                          jnp.asarray(sample_idx),
                          jnp.asarray(batch.frame_ids >= 0))
+            n_new = int((batch.frame_ids >= 0).sum())
             mapped.update(int(i) for i in batch.frame_ids if i >= 0)
-            done += int((batch.frame_ids >= 0).sum())
+            done += n_new
+            rate = meter.update(n_new)
             if progress:
-                print(f"\rVLMap: {done} frames fused", end="", flush=True)
+                rate_s = f" ({rate:.1f} fps)" if rate else ""
+                print(f"\rVLMap: {done} frames fused{rate_s}", end="",
+                      flush=True)
             if save_every and done % save_every < self.batch_size:
                 self._save(state, gs, vh, mapped)
         if progress:
             print()
+        self.build_stats = {
+            "frames": done,
+            "voxels": int(jax.device_get(state.n_slots)),
+            "points_dropped": int(jax.device_get(state.n_dropped)),
+            "fps": meter.rate,
+        }
         return self._save(state, gs, vh, mapped)
 
     def _init_state(self, gs, cs, vh):
