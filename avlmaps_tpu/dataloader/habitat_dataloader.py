@@ -8,7 +8,6 @@ cropped pose is shifted by (rmin, cmin).
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Optional, Tuple, Union
 

@@ -9,7 +9,7 @@ returned as per-voxel heatmaps in [0, 1] for fusion.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Union
+from typing import List, Optional, Union
 
 import numpy as np
 

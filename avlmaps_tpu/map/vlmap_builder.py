@@ -13,10 +13,9 @@ host (numpy RNG), mirroring the reference's np.random.shuffle subsample
 
 from __future__ import annotations
 
-import functools
 import os
 from pathlib import Path
-from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -296,7 +295,6 @@ class VLMapBuilder:
             crop_size=getattr(cfg, "lseg_crop_size", 480),
             min_depth=cfg.min_depth, max_depth=cfg.max_depth)
 
-        import numpy as _np
         import jax.numpy as _jnp
 
         pose_tfs = self._pose_tfs

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,6 @@ except ImportError:  # pragma: no cover
     h5py = None
 
 from avlmaps_tpu.geometry.projection import depth_to_pointcloud_jax
-from avlmaps_tpu.geometry.transforms import pose_vec_to_tf
 from avlmaps_tpu.ops.voxel_fusion import (
     init_fusion_state, fuse_points, export_fusion_state, concept_fusion_alpha,
 )

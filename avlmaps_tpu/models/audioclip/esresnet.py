@@ -11,8 +11,7 @@ per stage, implemented as separable slice-maxes.
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,9 +9,8 @@ application is one big real matmul pair on the MXU.
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ host, one jitted forward per (padded) batch on TPU, normalisation fused.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, List, Optional, Sequence
 
 import jax

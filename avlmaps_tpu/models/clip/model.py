@@ -12,7 +12,7 @@ Weight porting from OpenAI checkpoints is in ``port.py``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

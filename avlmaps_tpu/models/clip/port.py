@@ -13,7 +13,7 @@ from typing import Any, Dict
 
 import numpy as np
 
-from avlmaps_tpu.models.clip.model import Clip, ClipConfig, CLIP_VARIANTS
+from avlmaps_tpu.models.clip.model import ClipConfig
 
 
 def _t(x) -> np.ndarray:

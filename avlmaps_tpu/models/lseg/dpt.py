@@ -12,8 +12,7 @@ HBM round-trip per conv and nothing to special-case under jit.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, List, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ LayerNorm eps 1e-6.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,9 +14,8 @@ same jit so the full (H, W, 512) canvas never reaches the host.
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import Callable, List, Sequence, Tuple
+from typing import Callable, List, Tuple
 
 import jax
 import jax.numpy as jnp

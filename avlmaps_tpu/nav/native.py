@@ -8,7 +8,6 @@ toolchain or the build is unavailable.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

@@ -9,7 +9,6 @@ device; reduce_window lowers to the TPU's native pooling path.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

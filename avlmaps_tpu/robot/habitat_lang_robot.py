@@ -21,7 +21,6 @@ import numpy as np
 from avlmaps_tpu.config import AVLMapsConfig
 from avlmaps_tpu.dataloader.habitat_dataloader import VLMapsDataloaderHabitat
 from avlmaps_tpu.geometry.grid import grid_id_to_base_pos_batch
-from avlmaps_tpu.map.sound_map import SoundMap
 from avlmaps_tpu.nav.controller import DiscreteNavController
 from avlmaps_tpu.nav.navigator import Navigator
 from avlmaps_tpu.ops.heatmap import heatmap_from_mask_3d

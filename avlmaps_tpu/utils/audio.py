@@ -13,7 +13,7 @@ import shutil
 import subprocess
 import wave
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
