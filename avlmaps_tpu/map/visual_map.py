@@ -1,14 +1,18 @@
 """VisualMap: localize a query image against the mapping trajectory.
 
 The reference wraps the HLoc toolbox — NetVLAD global retrieval, then
-SuperPoint+SuperGlue matching and depth-lifted PnP for a metric relative pose
-(avlmaps/map/visual_map.py + utils/localization_utils.py).  TPU-native
-re-design: global retrieval runs on the flax CLIP image tower (batched
-device matmul against cached per-frame descriptors, replacing NetVLAD), and
-the localized pose is the retrieved frame's recorded pose.  Keypoint-level
-relative-pose refinement (SuperPoint/SuperGlue/PnP) is a tracked gap
-(docs/PARITY.md) — retrieval-level localization already serves the
-cross-modal indexing path (AVLMap.index_image decays from the pose).
+SuperPoint+SuperGlue matching and depth-lifted PnP for a metric relative
+pose (avlmaps/map/visual_map.py + utils/localization_utils.py:408-558).
+TPU-native re-design:
+
+* global retrieval runs on the flax CLIP image tower (batched device matmul
+  against cached per-frame descriptors, replacing NetVLAD);
+* the metric refinement is host-side classical vision (like the reference's,
+  which is also host-side): ORB keypoints + cross-checked Hamming matching
+  replace SuperPoint+SuperGlue, reference keypoints are lifted with the
+  stored depth, and cv2.solvePnPRansac replaces pycolmap's
+  absolute_pose_estimation.  Falls back to the retrieved frame's pose when
+  matching/PnP fails (the reference also degrades to retrieval then).
 """
 
 from __future__ import annotations
@@ -88,16 +92,107 @@ class VisualMap:
         sims = (self.descriptors @ q.T).flatten()
         return np.argsort(sims)[::-1][:topk]
 
+    # habitat camera (x right, y up, z backward) <-> OpenCV camera
+    # (x right, y down, z forward)
+    _HAB2CV = np.diag([1.0, -1.0, -1.0, 1.0])
+
+    def _ref_cam_tf(self, frame_id: int) -> np.ndarray:
+        """Habitat-frame camera pose of a mapping frame: base pose raised by
+        the sensor height (reference habitat sensor spec)."""
+        cam = self.poses[frame_id].copy()
+        cam[1, 3] += self.map_config.pose_info.camera_height
+        return cam
+
+    def refine_pose(self, query_image: np.ndarray, frame_id: int,
+                    query_intr: np.ndarray,
+                    min_matches: int = 12,
+                    reproj_error: float = 12.0
+                    ) -> Optional[np.ndarray]:
+        """Metric camera pose of the query via depth-lifted PnP against one
+        mapping frame (reference _get_relative_pose_with_depth,
+        localization_utils.py:449-515; RANSAC max_error 12 px kept).
+
+        Returns the habitat-frame camera tf, or None when matching fails.
+        """
+        import cv2
+
+        from avlmaps_tpu.pipeline.loader import load_rgb, load_depth
+
+        rgb_paths = sorted((self.data_dir / "rgb").glob("*.png"))
+        depth_paths = sorted((self.data_dir / "depth").glob("*.npy"))
+        if frame_id >= len(rgb_paths) or frame_id >= len(depth_paths):
+            return None
+        ref_img = load_rgb(rgb_paths[frame_id])
+        ref_depth = np.asarray(load_depth(depth_paths[frame_id]), np.float64)
+        if ref_depth.ndim == 3:
+            ref_depth = ref_depth[..., 0]
+
+        orb = cv2.ORB_create(nfeatures=2000)
+        gray_q = cv2.cvtColor(query_image, cv2.COLOR_RGB2GRAY)
+        gray_r = cv2.cvtColor(ref_img, cv2.COLOR_RGB2GRAY)
+        kq, dq = orb.detectAndCompute(gray_q, None)
+        kr, dr = orb.detectAndCompute(gray_r, None)
+        if dq is None or dr is None:
+            return None
+        matcher = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True)
+        matches = matcher.match(dr, dq)
+        if len(matches) < min_matches:
+            return None
+
+        h, w = ref_depth.shape
+        ref_intr = np.asarray(self.map_config.calib_matrix())
+        inv_ref = np.linalg.inv(ref_intr)
+        obj_pts, img_pts = [], []
+        for m in matches:
+            u, v = kr[m.queryIdx].pt
+            ui, vi = int(round(u)), int(round(v))
+            if not (0 <= ui < w and 0 <= vi < h):
+                continue
+            z = ref_depth[vi, ui]
+            if z <= 0.05 or not np.isfinite(z):
+                continue
+            obj_pts.append((inv_ref @ np.array([u + 0.5, v + 0.5, 1.0])) * z)
+            img_pts.append(kq[m.trainIdx].pt)
+        if len(obj_pts) < min_matches:
+            return None
+
+        ok, rvec, tvec, inliers = cv2.solvePnPRansac(
+            np.asarray(obj_pts, np.float64),
+            np.asarray(img_pts, np.float64), np.asarray(query_intr,
+                                                        np.float64),
+            None, reprojectionError=reproj_error, iterationsCount=200,
+            flags=cv2.SOLVEPNP_ITERATIVE)
+        if not ok or inliers is None or len(inliers) < min_matches // 2:
+            return None
+        rot, _ = cv2.Rodrigues(rvec)
+        # T_qr maps ref-cam (cv) points into the query-cam (cv) frame
+        t_qr = np.eye(4)
+        t_qr[:3, :3] = rot
+        t_qr[:3, 3] = tvec.reshape(3)
+        ref_cam_hab = self._ref_cam_tf(frame_id)
+        ref_cam_cv = ref_cam_hab @ self._HAB2CV
+        query_cam_cv = ref_cam_cv @ np.linalg.inv(t_qr)
+        return query_cam_cv @ np.linalg.inv(self._HAB2CV)
+
     def localize_image(self, image: np.ndarray,
                        query_cam_intrinsic_mat: Optional[np.ndarray] = None
                        ) -> Tuple[np.ndarray, np.ndarray]:
         """Query image -> (camera tf, base tf) in the habitat frame
-        (reference visual_map.py:59-80).  Retrieval-level: returns the
-        best-matching mapping frame's pose."""
+        (reference visual_map.py:59-80): CLIP retrieval, then depth-lifted
+        PnP refinement; retrieval pose on fallback."""
         assert self.descriptors is not None, "call create_and_load_map first"
         best = int(self.retrieve(image, topk=1)[0])
-        base_tf = self.poses[best]
-        # camera sits camera_height above base (reference map.py:54-61)
-        cam_tf = base_tf.copy()
-        cam_tf[1, 3] += self.map_config.pose_info.camera_height
+        cam_tf: Optional[np.ndarray] = None
+        if self.data_dir is not None and (self.data_dir / "depth").exists():
+            intr = query_cam_intrinsic_mat
+            if intr is None:
+                intr = self.map_config.calib_matrix()
+            try:
+                cam_tf = self.refine_pose(image, best, intr)
+            except Exception:
+                cam_tf = None
+        if cam_tf is None:
+            cam_tf = self._ref_cam_tf(best)
+        base_tf = cam_tf.copy()
+        base_tf[1, 3] -= self.map_config.pose_info.camera_height
         return cam_tf, base_tf

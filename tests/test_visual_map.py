@@ -1,0 +1,93 @@
+"""VisualMap metric refinement: ORB + depth-lifted PnP recovers a known
+camera translation on a synthetic textured scene."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from avlmaps_tpu.config import load_config
+from avlmaps_tpu.geometry.projection import get_sim_cam_mat
+from avlmaps_tpu.map.visual_map import VisualMap
+
+H, W = 240, 320
+DEPTH = 2.0
+TX = 0.25  # query camera moved +x by 25 cm
+
+
+def textured_canvas(rng, h, w):
+    import cv2
+
+    canvas = np.full((h, w, 3), 30, np.uint8)
+    for _ in range(400):
+        x, y = int(rng.integers(0, w - 8)), int(rng.integers(0, h - 8))
+        sz = int(rng.integers(3, 9))
+        color = tuple(int(c) for c in rng.integers(40, 255, 3))
+        cv2.rectangle(canvas, (x, y), (x + sz, y + sz), color, -1)
+    return canvas
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    import cv2
+
+    rng = np.random.default_rng(0)
+    root = tmp_path_factory.mktemp("vmap") / "scene"
+    (root / "rgb").mkdir(parents=True)
+    (root / "depth").mkdir()
+
+    fx = get_sim_cam_mat(H, W)[0, 0]
+    shift = int(round(fx * TX / DEPTH))
+    tex = textured_canvas(rng, H, W + shift)
+    ref = tex[:, :W]
+    query = tex[:, shift:W + shift]  # camera moved +x -> content shifts left
+
+    cv2.imwrite(str(root / "rgb" / "000000.png"), ref[:, :, ::-1])
+    np.save(root / "depth" / "000000.npy",
+            np.full((H, W), DEPTH, np.float32))
+    np.savetxt(root / "poses.txt",
+               np.asarray([[0, 0, 0, 0, 0, 0, 1.0]]))
+    return root, query
+
+
+@pytest.fixture(scope="module")
+def vmap(scene):
+    root, _ = scene
+    cfg = load_config()
+    cfg.map_config.cam_calib_mat = tuple(get_sim_cam_mat(H, W).reshape(-1))
+    from avlmaps_tpu.geometry.transforms import pose_vec_to_tf
+
+    m = VisualMap(cfg.map_config, str(root))
+    m.data_dir = Path(root)
+    m.poses = np.stack([pose_vec_to_tf([0, 0, 0, 0, 0, 0, 1.0])])
+    m.descriptors = np.ones((1, 8), np.float32)  # retrieval trivially -> 0
+    return m
+
+
+def test_refine_recovers_translation(scene, vmap):
+    _, query = scene
+    cam_tf = vmap.refine_pose(query, 0, get_sim_cam_mat(H, W))
+    assert cam_tf is not None, "PnP refinement failed to find a pose"
+    # expected: ref cam pose (origin + camera height on y) shifted +x by TX
+    expected = vmap._ref_cam_tf(0)
+    delta = cam_tf[:3, 3] - expected[:3, 3]
+    np.testing.assert_allclose(delta, [TX, 0, 0], atol=0.06)
+    # rotation stays ~identity
+    np.testing.assert_allclose(cam_tf[:3, :3], expected[:3, :3], atol=0.05)
+
+
+def test_refine_fails_gracefully_on_textureless(vmap):
+    blank = np.zeros((H, W, 3), np.uint8)
+    assert vmap.refine_pose(blank, 0, get_sim_cam_mat(H, W)) is None
+
+
+def test_localize_image_uses_refinement(scene, vmap):
+    _, query = scene
+
+    # stub the (CLIP) retrieval so no encoder is needed
+    vmap.retrieve = lambda img, topk=1: np.array([0])
+    cam_tf, base_tf = vmap.localize_image(query)
+    assert abs(cam_tf[0, 3] - TX) < 0.06
+    np.testing.assert_allclose(
+        base_tf[1, 3],
+        cam_tf[1, 3] - vmap.map_config.pose_info.camera_height)
