@@ -103,6 +103,35 @@ class VisualMap:
         cam[1, 3] += self.map_config.pose_info.camera_height
         return cam
 
+    def _ref_frame_features(self, frame_id: int):
+        """Cached (keypoints, descriptors, depth) of a mapping frame — the
+        directory listing and the reference-side ORB pass are per-scene
+        constants, not per-query work."""
+        import cv2
+
+        from avlmaps_tpu.pipeline.loader import load_rgb, load_depth
+
+        if not hasattr(self, "_ref_cache"):
+            self._ref_cache = {}
+            self._rgb_paths = sorted((self.data_dir / "rgb").glob("*.png"))
+            self._depth_paths = sorted(
+                (self.data_dir / "depth").glob("*.npy"))
+        if frame_id in self._ref_cache:
+            return self._ref_cache[frame_id]
+        if frame_id >= len(self._rgb_paths) \
+                or frame_id >= len(self._depth_paths):
+            return None
+        ref_img = load_rgb(self._rgb_paths[frame_id])
+        ref_depth = np.asarray(load_depth(self._depth_paths[frame_id]),
+                               np.float64)
+        if ref_depth.ndim == 3:
+            ref_depth = ref_depth[..., 0]
+        orb = cv2.ORB_create(nfeatures=2000)
+        gray = cv2.cvtColor(ref_img, cv2.COLOR_RGB2GRAY)
+        kr, dr = orb.detectAndCompute(gray, None)
+        self._ref_cache[frame_id] = (kr, dr, ref_depth)
+        return self._ref_cache[frame_id]
+
     def refine_pose(self, query_image: np.ndarray, frame_id: int,
                     query_intr: np.ndarray,
                     min_matches: int = 12,
@@ -116,22 +145,14 @@ class VisualMap:
         """
         import cv2
 
-        from avlmaps_tpu.pipeline.loader import load_rgb, load_depth
-
-        rgb_paths = sorted((self.data_dir / "rgb").glob("*.png"))
-        depth_paths = sorted((self.data_dir / "depth").glob("*.npy"))
-        if frame_id >= len(rgb_paths) or frame_id >= len(depth_paths):
+        ref = self._ref_frame_features(frame_id)
+        if ref is None:
             return None
-        ref_img = load_rgb(rgb_paths[frame_id])
-        ref_depth = np.asarray(load_depth(depth_paths[frame_id]), np.float64)
-        if ref_depth.ndim == 3:
-            ref_depth = ref_depth[..., 0]
+        kr, dr, ref_depth = ref
 
         orb = cv2.ORB_create(nfeatures=2000)
         gray_q = cv2.cvtColor(query_image, cv2.COLOR_RGB2GRAY)
-        gray_r = cv2.cvtColor(ref_img, cv2.COLOR_RGB2GRAY)
         kq, dq = orb.detectAndCompute(gray_q, None)
-        kr, dr = orb.detectAndCompute(gray_r, None)
         if dq is None or dr is None:
             return None
         matcher = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True)
@@ -152,7 +173,9 @@ class VisualMap:
             if z <= 0.05 or not np.isfinite(z):
                 continue
             obj_pts.append((inv_ref @ np.array([u + 0.5, v + 0.5, 1.0])) * z)
-            img_pts.append(kq[m.trainIdx].pt)
+            # same corner-origin pixel convention on the query side
+            qu, qv = kq[m.trainIdx].pt
+            img_pts.append((qu + 0.5, qv + 0.5))
         if len(obj_pts) < min_matches:
             return None
 
@@ -186,7 +209,14 @@ class VisualMap:
         if self.data_dir is not None and (self.data_dir / "depth").exists():
             intr = query_cam_intrinsic_mat
             if intr is None:
-                intr = self.map_config.calib_matrix()
+                # reference derives query intrinsics from the image size at
+                # 90 deg fov (localization_utils.py get_sim_cam_mat_with_fov)
+                from avlmaps_tpu.geometry.projection import (
+                    get_sim_cam_mat_with_fov,
+                )
+
+                intr = get_sim_cam_mat_with_fov(image.shape[0],
+                                                image.shape[1], 90)
             try:
                 cam_tf = self.refine_pose(image, best, intr)
             except Exception:

@@ -300,6 +300,9 @@ class VLMapBuilder:
         pose_tfs = self._pose_tfs
         loader = PrefetchLoader(self.rgb_paths, self.depth_paths, pose_tfs,
                                 batch_size=batch)
+        from avlmaps_tpu.utils.profiling import RateMeter
+
+        meter = RateMeter()
         done = 0
         for b in loader:
             idx = sample_pixels(self.rng, h, w, cfg.depth_sample_rate,
@@ -307,14 +310,22 @@ class VLMapBuilder:
             fusion.step(self.lseg_params, _jnp.asarray(b.rgb),
                         _jnp.asarray(b.depth), _jnp.asarray(b.pose_tf),
                         _jnp.asarray(idx), _jnp.asarray(b.frame_ids >= 0))
+            n_new = int((b.frame_ids >= 0).sum())
             mapped.update(int(i) for i in b.frame_ids if i >= 0)
-            done += int((b.frame_ids >= 0).sum())
+            done += n_new
+            meter.update(n_new)
             if progress:
                 print(f"\rVLMap (sharded x{n_dev}): {done} frames", end="",
                       flush=True)
         if progress:
             print()
         grid_feat, grid_pos, weight, occupied_ids, grid_rgb = fusion.export()
+        self.build_stats = {
+            "frames": done,
+            "voxels": int(grid_feat.shape[0]),
+            "points_dropped": 0,
+            "fps": meter.rate,
+        }
         m = SparseVoxelMap(gs=gs, vh=vh, feat_dim=grid_feat.shape[1],
                            grid_feat=grid_feat, grid_pos=grid_pos,
                            weight=weight, occupied_ids=occupied_ids,

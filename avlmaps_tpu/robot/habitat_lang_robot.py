@@ -344,19 +344,38 @@ class HabitatLanguageRobot(LangRobot):
 
     def get_clip_sparse_region_distribution_map(
             self, name: str, decay_rate: float = 0.1) -> np.ndarray:
-        """Per-pose CLIP area scores splatted on the cropped map
-        (reference :300-320)."""
-        scores = self.area_map.index_map(name, with_init_cat=False)
-        poses = [np.asarray(tf)[:3, 3]
-                 for tf in self.area_map.robot_pose_list]
-        return self.get_distribution_map(
-            name, scores, self._positions_to_cropped(poses), decay_rate)
+        """Per-pose CLIP area scores splatted on the cropped map and
+        MAX-combined, skipping out-of-crop poses
+        (reference :325-355: dist_map = max(dist_map, clip(s - d*decay)))."""
+        assert getattr(self, "area_map", None) is not None, \
+            "Area map is not initialized. Call load_area_map() first."
+        scores = np.asarray(
+            self.area_map.index_map(name, with_init_cat=False), np.float32)
+        rng_ = scores.max() - scores.min()
+        scores = (scores - scores.min()) / (rng_ if rng_ > 0 else 1.0)
+        shape = self.map.get_obstacle_cropped().shape
+        rows = np.arange(shape[0], dtype=np.float32)[:, None]
+        cols = np.arange(shape[1], dtype=np.float32)[None, :]
+        dist_map = np.zeros(shape, np.float32)
+        for i, tf_hab in enumerate(self.area_map.robot_pose_list):
+            self.vlmaps_dataloader.from_habitat_tf(np.asarray(tf_hab))
+            row, col, _ = self.vlmaps_dataloader.to_cropped_map_pose()
+            if not (0 <= row < shape[0] and 0 <= col < shape[1]):
+                continue
+            s_i = float(scores[i])
+            d = np.sqrt((rows - row) ** 2 + (cols - col) ** 2)
+            dist_map = np.maximum(dist_map,
+                                  np.clip(s_i - d * decay_rate, 0.0, 1.0))
+        rng_ = dist_map.max() - dist_map.min()
+        return (dist_map - dist_map.min()) / (rng_ if rng_ > 0 else 1.0)
 
     def get_gt_region_map(self, name: str,
                           decay_rate: float = 0.1) -> np.ndarray:
         """EDT decay from the named GT region mask (reference :283-298)."""
         from avlmaps_tpu.ops.heatmap import heatmap_from_mask_2d
 
+        assert getattr(self, "gt_region_map", None) is not None, \
+            "GT region map is not initialized. Call load_gt_region_map()."
         cat = find_similar_category_id(name, self.region_categories)
         mask = self.gt_region_map[cat]
         heat = heatmap_from_mask_2d(mask, cell_size=1.0,
