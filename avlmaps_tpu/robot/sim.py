@@ -177,3 +177,46 @@ class HabitatSimulator:  # pragma: no cover - requires habitat-sim
 
     def close(self):
         self.sim.close()
+
+
+def get_position_floor_objects(semantic_scene, position: np.ndarray,
+                               height_range: float):  # pragma: no cover
+    """GT objects on the same floor as ``position`` from a habitat semantic
+    scene (reference habitat_utils.py:228-245): objects whose bbox centre
+    lies within ``height_range`` above the agent's floor height."""
+    objects = []
+    for obj in semantic_scene.objects:
+        if obj is None or obj.aabb is None:
+            continue
+        center_y = float(obj.aabb.center[1])
+        if position[1] - 0.5 <= center_y <= position[1] + height_range:
+            objects.append(obj)
+    return objects
+
+
+def save_obs(save_dir, obs: dict, frame_id: int,
+             obj2cls: Optional[dict] = None) -> None:
+    """Persist one observation set in the dataset layout
+    (reference habitat_utils.py:97-139): rgb/*.png (BGR on disk),
+    depth/*.npy, semantic/*.npy (object ids remapped to classes)."""
+    import os
+
+    import cv2
+
+    os.makedirs(f"{save_dir}/rgb", exist_ok=True)
+    rgb = obs["color_sensor"][..., :3]
+    cv2.imwrite(f"{save_dir}/rgb/{frame_id:06d}.png", rgb[:, :, ::-1])
+    if "depth_sensor" in obs:
+        os.makedirs(f"{save_dir}/depth", exist_ok=True)
+        np.save(f"{save_dir}/depth/{frame_id:06d}.npy",
+                np.asarray(obs["depth_sensor"], np.float32))
+    if "semantic_sensor" in obs:
+        os.makedirs(f"{save_dir}/semantic", exist_ok=True)
+        sem = np.asarray(obs["semantic_sensor"])
+        if obj2cls:
+            lut = np.zeros(int(sem.max()) + 1, np.int32)
+            for obj_id, (cls_id, _) in obj2cls.items():
+                if obj_id <= sem.max():
+                    lut[obj_id] = cls_id
+            sem = lut[sem]
+        np.save(f"{save_dir}/semantic/{frame_id:06d}.npy", sem)
