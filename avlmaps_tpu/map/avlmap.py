@@ -18,7 +18,9 @@ from avlmaps_tpu.map.vlmap import VLMap
 from avlmaps_tpu.map.sound_map import SoundMap
 from avlmaps_tpu.map.area_map import AreaMap
 from avlmaps_tpu.map.visual_map import VisualMap
-from avlmaps_tpu.ops.heatmap import heatmap_from_mask_3d
+from avlmaps_tpu.ops.heatmap import (
+    decayed_point_heatmap_2d, heatmap_from_mask_3d,
+)
 from avlmaps_tpu.ops.pooling import lift_2d_to_3d
 
 
@@ -80,27 +82,27 @@ class AVLMap:
 
     def index_area_2d(self, area_name: str,
                       decay_rate: float = 0.1) -> np.ndarray:
-        """Per-pose CLIP scores splatted as radial decays, max-composited."""
-        gs = self.vlmap.occupied_ids.shape[0]
-        dist_map = np.zeros(self.vlmap.occupied_ids.shape[:2], np.float32)
+        """Per-pose CLIP scores splatted as radial decays, max-composited.
+
+        Pose→map-cell conversion stays on host (cheap, per pose); the
+        per-pose decay stacking runs as one device scan
+        (ops/heatmap.decayed_point_heatmap_2d)."""
+        shape = self.vlmap.occupied_ids.shape[:2]
         scores = self.area_map.index_map(area_name, with_init_cat=False)
         rng = scores.max() - scores.min()
         scores = (scores - scores.min()) / (rng if rng > 0 else 1.0)
 
-        rows = np.arange(dist_map.shape[0], dtype=np.float32)[:, None]
-        cols = np.arange(dist_map.shape[1], dtype=np.float32)[None, :]
+        seeds, confs = [], []
         for i, tf_hab in enumerate(self.area_map.robot_pose_list):
             self.dataloader.from_habitat_tf(np.asarray(tf_hab))
             row, col, _ = self.dataloader.to_full_map_pose()
-            if not (0 <= row < dist_map.shape[0]
-                    and 0 <= col < dist_map.shape[1]):
+            if not (0 <= row < shape[0] and 0 <= col < shape[1]):
                 continue
-            s = float(scores[i])
-            # single-seed EDT == radial distance (reference avlmap.py:756-767)
-            dists = np.sqrt((rows - row) ** 2 + (cols - col) ** 2)
-            layer = np.clip(s - dists * decay_rate, 0.0, 1.0)
-            dist_map = np.maximum(dist_map, layer)
+            seeds.append(np.array([[row, col]], np.float32))
+            confs.append(float(scores[i]))
 
+        dist_map = decayed_point_heatmap_2d(shape, seeds, confs,
+                                            decay_rate, combine="max")
         rng = dist_map.max() - dist_map.min()
         return (dist_map - dist_map.min()) / (rng if rng > 0 else 1.0)
 
@@ -113,12 +115,15 @@ class AVLMap:
 
     def index_sound_2d(self, sound_name: str,
                        decay_rate: float = 0.01) -> np.ndarray:
-        """Per-event confidence decays from the event's pose track, summed."""
+        """Per-event confidence decays from the event's pose track, summed.
+
+        Each event's seed track (min radial distance == multi-seed EDT) and
+        the sum composite run as one device scan
+        (ops/heatmap.decayed_point_heatmap_2d)."""
         probs, locations_list = \
             self.sound_map.get_distribution_and_locations(sound_name)
-        dist_map = np.zeros(self.vlmap.occupied_ids.shape[:2], np.float32)
-        rows = np.arange(dist_map.shape[0], dtype=np.float32)[:, None]
-        cols = np.arange(dist_map.shape[1], dtype=np.float32)[None, :]
+        shape = self.vlmap.occupied_ids.shape[:2]
+        tracks, confs = [], []
         for loc_i, locations in enumerate(locations_list):
             seeds = []
             for location in locations:
@@ -126,20 +131,15 @@ class AVLMap:
                 tf_hab[:3, 3] = location
                 self.dataloader.from_habitat_tf(tf_hab)
                 row, col, _ = self.dataloader.to_full_map_pose()
-                if (0 <= row < dist_map.shape[0]
-                        and 0 <= col < dist_map.shape[1]):
+                if 0 <= row < shape[0] and 0 <= col < shape[1]:
                     seeds.append((row, col))
             if not seeds:
                 continue
-            con = float(probs[loc_i])
-            # multi-seed EDT == min radial distance over the event's track
-            dmin = np.full(dist_map.shape, np.inf, np.float32)
-            for (r, c) in seeds:
-                dmin = np.minimum(dmin,
-                                  np.sqrt((rows - r) ** 2 + (cols - c) ** 2))
-            layer = np.maximum(con - con * dmin * decay_rate, 0.0)
-            dist_map += layer
+            tracks.append(np.asarray(seeds, np.float32))
+            confs.append(float(probs[loc_i]))
 
+        dist_map = decayed_point_heatmap_2d(shape, tracks, confs,
+                                            decay_rate, combine="sum")
         rng = dist_map.max() - dist_map.min()
         return (dist_map - dist_map.min()) / (rng if rng > 0 else 1.0)
 

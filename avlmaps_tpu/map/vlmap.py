@@ -72,9 +72,15 @@ class VLMap(Map):
             self.depth_paths, self.base2cam_tf, self.base_transform,
             lseg_apply=apply_fn, lseg_params=params, feat_dim=feat_dim,
             batch_size=batch_size)
-        if self.map_config.pose_info.pose_type != "mobile_base":
-            raise NotImplementedError("camera pose_type not supported yet")
-        builder.create_mobile_base_map()
+        pose_type = self.map_config.pose_info.pose_type
+        if pose_type == "mobile_base":
+            builder.create_mobile_base_map()
+        elif pose_type == "camera":
+            # reference dispatches here too (vlmap.py:45-48) but its
+            # create_camera_map is an unimplemented TODO; ours is real
+            builder.create_camera_map()
+        else:
+            raise ValueError(f"unknown pose_type {pose_type!r}")
 
     def load_map(self, data_dir: Union[Path, str]) -> bool:
         self._setup_paths(data_dir)

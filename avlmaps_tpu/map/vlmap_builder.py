@@ -173,10 +173,6 @@ class VLMapBuilder:
 
     def create_mobile_base_map(self, save_every: int = 100,
                                progress: bool = True) -> SparseVoxelMap:
-        cfg = self.map_config
-        gs, cs, vh = cfg.gs, cfg.cs, cfg.vh
-        os.makedirs(self.map_save_dir, exist_ok=True)
-
         base_poses = np.loadtxt(self.pose_path)
         if base_poses.ndim == 1:
             base_poses = base_poses[None]
@@ -191,10 +187,39 @@ class VLMapBuilder:
             base_pose = self.base_transform @ pose_vec_to_tf(vec) @ inv_bt
             tf = inv_init_base_tf @ base_pose
             pose_tfs.append(tf @ self.base_transform @ self.base2cam_tf)
+        return self._build(pose_tfs, save_every, progress)
+
+    def create_camera_map(self, save_every: int = 100,
+                          progress: bool = True) -> SparseVoxelMap:
+        """Build the map from *camera* poses, centred at the first camera
+        frame (reference create_camera_map is an unimplemented TODO,
+        avlmaps/map/vlmap_builder.py:187-193; its docstring fixes the
+        semantics: the first camera must be horizontal).
+
+        poses.txt rows are habitat camera poses (pos + quat).  The cam->map
+        chain is ``B · H₀⁻¹ · Hᵢ · C`` where B is the habitat->map axis
+        rearrangement (base_transform), Hᵢ the habitat camera pose and C the
+        habitat-camera (z backward) -> CV-camera (z forward) flip — at i=0
+        this places the camera at the origin with the map height axis up.
+        """
+        cam2cv = np.diag([1.0, -1.0, -1.0, 1.0])
+        cam_poses = np.loadtxt(self.pose_path)
+        if cam_poses.ndim == 1:
+            cam_poses = cam_poses[None]
+        inv_h0 = np.linalg.inv(pose_vec_to_tf(cam_poses[0]))
+        pose_tfs = [self.base_transform @ inv_h0 @ pose_vec_to_tf(vec)
+                    @ cam2cv for vec in cam_poses]
+        return self._build(pose_tfs, save_every, progress)
+
+    def _build(self, pose_tfs, save_every: int,
+               progress: bool) -> SparseVoxelMap:
+        cfg = self.map_config
+        gs, cs, vh = cfg.gs, cfg.cs, cfg.vh
+        os.makedirs(self.map_save_dir, exist_ok=True)
         self._pose_tfs = pose_tfs
 
         # resume support: skip frames already in the saved map
-        state, mapped = self._init_state(gs, cs, vh)
+        saved, mapped = self._load_saved()
 
         from avlmaps_tpu.pipeline.loader import PrefetchLoader, load_depth
 
@@ -204,8 +229,16 @@ class VLMapBuilder:
                       max(h * w // cfg.depth_sample_rate, 1))
 
         if self.mesh is not None:
-            return self._create_sharded(gs, cs, vh, h, w, max_pts, mapped,
-                                        save_every, progress)
+            return self._create_sharded(gs, cs, vh, h, w, max_pts, saved,
+                                        mapped, save_every, progress)
+
+        if saved is not None:
+            grid_feat, grid_pos, weight, occupied_ids, grid_rgb = saved
+            state = restore_fusion_state(gs, vh, cfg.capacity, grid_feat,
+                                         grid_pos, weight, occupied_ids,
+                                         grid_rgb)
+        else:
+            state = init_fusion_state(gs, vh, self.feat_dim, cfg.capacity)
 
         step = make_frame_step(
             self.lseg_apply, gs=gs, cs=cs, vh=vh,
@@ -248,19 +281,14 @@ class VLMapBuilder:
         }
         return self._save(state, gs, vh, mapped)
 
-    def _init_state(self, gs, cs, vh):
-        mapped: set = set()
+    def _load_saved(self):
+        """Saved map arrays + mapped frame set, or (None, empty) if fresh."""
         if self.map_save_path.exists():
             (mapped_list, grid_feat, grid_pos, weight, occupied_ids,
              grid_rgb) = load_3d_map(self.map_save_path)
-            mapped = set(int(i) for i in mapped_list)
-            state = restore_fusion_state(gs, vh, self.map_config.capacity,
-                                         grid_feat, grid_pos, weight,
-                                         occupied_ids, grid_rgb)
-        else:
-            state = init_fusion_state(gs, vh, self.feat_dim,
-                                      self.map_config.capacity)
-        return state, mapped
+            return ((grid_feat, grid_pos, weight, occupied_ids, grid_rgb),
+                    set(int(i) for i in mapped_list))
+        return None, set()
 
     def _save(self, state: VoxelFusionState, gs: int, vh: int,
               mapped) -> SparseVoxelMap:
@@ -274,12 +302,13 @@ class VLMapBuilder:
         return m
 
 
-    def _create_sharded(self, gs, cs, vh, h, w, max_pts, mapped, save_every,
-                        progress) -> SparseVoxelMap:
+    def _create_sharded(self, gs, cs, vh, h, w, max_pts, saved, mapped,
+                        save_every, progress) -> SparseVoxelMap:
         """Multi-chip build: frames data-parallel over the mesh, voxel grid
-        row-sharded (parallel/sharded.py).  Resume is not supported on the
-        sharded path (per-shard allocators can't restore a merged map);
-        builds start fresh."""
+        row-sharded (parallel/sharded.py).  Resumes from a saved map by
+        re-sharding its slots by row ownership (ShardedFusion.restore) and
+        checkpoints every ``save_every`` fused frames, mirroring the
+        reference's periodic save (avlmaps/map/vlmap_builder.py:180-183)."""
         from avlmaps_tpu.parallel.sharded import ShardedFusion
         from avlmaps_tpu.pipeline.loader import PrefetchLoader
 
@@ -294,12 +323,24 @@ class VLMapBuilder:
             base_size=getattr(cfg, "lseg_base_size", 520),
             crop_size=getattr(cfg, "lseg_crop_size", 480),
             min_depth=cfg.min_depth, max_depth=cfg.max_depth)
+        if saved is not None:
+            fusion.restore(*saved)
 
         import jax.numpy as _jnp
 
+        def save() -> SparseVoxelMap:
+            grid_feat, grid_pos, weight, occupied_ids, grid_rgb = \
+                fusion.export()
+            m = SparseVoxelMap(gs=gs, vh=vh, feat_dim=grid_feat.shape[1],
+                               grid_feat=grid_feat, grid_pos=grid_pos,
+                               weight=weight, occupied_ids=occupied_ids,
+                               grid_rgb=grid_rgb, mapped_iters=set(mapped))
+            m.save(self.map_save_path)
+            return m
+
         pose_tfs = self._pose_tfs
         loader = PrefetchLoader(self.rgb_paths, self.depth_paths, pose_tfs,
-                                batch_size=batch)
+                                batch_size=batch, skip_ids=mapped)
         from avlmaps_tpu.utils.profiling import RateMeter
 
         meter = RateMeter()
@@ -317,18 +358,15 @@ class VLMapBuilder:
             if progress:
                 print(f"\rVLMap (sharded x{n_dev}): {done} frames", end="",
                       flush=True)
+            if save_every and done % save_every < batch:
+                save()
         if progress:
             print()
-        grid_feat, grid_pos, weight, occupied_ids, grid_rgb = fusion.export()
+        m = save()
         self.build_stats = {
             "frames": done,
-            "voxels": int(grid_feat.shape[0]),
+            "voxels": int(m.grid_feat.shape[0]),
             "points_dropped": 0,
             "fps": meter.rate,
         }
-        m = SparseVoxelMap(gs=gs, vh=vh, feat_dim=grid_feat.shape[1],
-                           grid_feat=grid_feat, grid_pos=grid_pos,
-                           weight=weight, occupied_ids=occupied_ids,
-                           grid_rgb=grid_rgb, mapped_iters=set(mapped))
-        m.save(self.map_save_path)
         return m

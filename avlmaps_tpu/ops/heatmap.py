@@ -156,27 +156,66 @@ def radial_decay_heatmap(grid_pos: jnp.ndarray, center: jnp.ndarray,
     return jnp.clip(confidence - decay_rate * d, 0.0, 1.0)
 
 
-def decayed_point_heatmap_2d(shape, points_rc, confidences,
-                             decay_rate: float, combine: str = "max"):
-    """Stack per-point EDT-decay maps (references AVLMap.index_area_2d
-    avlmap.py:750-770 / index_sound_2d :783-805).
-
-    For each source i at (row_i, col_i) with confidence c_i the per-source
-    map is ``clip(c_i - c_i-or-1 · dist · decay, 0, ·)``; sources combine by
-    elementwise max (area) or sum (sound).  Implemented in closed form as a
-    distance-to-point decay (no EDT needed: each seed map has a single
-    nonzero pixel, whose EDT is just the radial distance).
-    """
-    h, w = shape
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "combine", "decay_rate"))
+def _stacked_decay_scan(seeds_rc: jnp.ndarray, confidences: jnp.ndarray,
+                        h: int, w: int, decay_rate: float,
+                        combine: str) -> jnp.ndarray:
+    """One ``lax.scan`` step per event: min radial distance over the event's
+    (padded) seed track, decay layer, max/sum composite.  Memory stays at
+    O(T·h·w) per step regardless of the event count."""
     rows = jnp.arange(h, dtype=jnp.float32)[:, None]
     cols = jnp.arange(w, dtype=jnp.float32)[None, :]
-    out = jnp.zeros((h, w), jnp.float32)
-    for (r, c), conf in zip(points_rc, confidences):
-        dist = jnp.sqrt((rows - r) ** 2 + (cols - c) ** 2)
+
+    def step(out, ev):
+        seeds, conf = ev  # (T, 2) float32, () float32
+        d2 = ((rows[None] - seeds[:, 0, None, None]) ** 2
+              + (cols[None] - seeds[:, 1, None, None]) ** 2)  # (T, h, w)
+        dist = jnp.sqrt(jnp.min(d2, axis=0))
         if combine == "max":
             layer = jnp.clip(conf - dist * decay_rate, 0.0, 1.0)
-            out = jnp.maximum(out, layer)
-        else:  # sound: reduction scaled by confidence, then summed
-            layer = jnp.maximum(conf - conf * dist * decay_rate, 0.0)
-            out = out + layer
+            return jnp.maximum(out, layer), None
+        layer = jnp.maximum(conf - conf * dist * decay_rate, 0.0)
+        return out + layer, None
+
+    out0 = jnp.zeros((h, w), jnp.float32)
+    out, _ = jax.lax.scan(step, out0, (seeds_rc, confidences))
+    return out
+
+
+def decayed_point_heatmap_2d(shape, points_rc, confidences,
+                             decay_rate: float, combine: str = "max"):
+    """Stack per-event radial-decay maps (references AVLMap.index_area_2d
+    avlmaps/map/avlmap.py:78-108 / index_sound_2d :110-144).
+
+    ``points_rc``: per-event seed tracks — either a flat (E, 2) array (one
+    seed per event, the area case) or a list of (T_i, 2) arrays (pose tracks,
+    the sound case); tracks are padded to the longest with a far sentinel.
+    For each event with confidence c the per-event map is
+    ``clip(c - dist·decay, 0, 1)`` (max composite, area) or
+    ``max(c - c·dist·decay, 0)`` (sum composite, sound), where ``dist`` is
+    the min radial distance over the event's seeds — each seed map has a
+    single nonzero pixel, whose EDT is exactly the radial distance, so no
+    EDT pass is needed.  Runs as one jitted scan on device.
+    """
+    h, w = int(shape[0]), int(shape[1])
+    tracks = [np.atleast_2d(np.asarray(p, np.float32)) for p in points_rc]
+    if not tracks:
+        return np.zeros((h, w), np.float32)
+    t_max = max(max(t.shape[0] for t in tracks), 1)
+    far = np.float32(_FAR)
+    seeds = np.full((len(tracks), t_max, 2), far, np.float32)
+    for i, t in enumerate(tracks):
+        seeds[i, :t.shape[0]] = t
+    conf = np.asarray(confidences, np.float32)
+    # pad the event axis to a power-of-two bucket so the compiled program is
+    # reused across query sizes (far seeds + conf 0 contribute nothing)
+    e = len(tracks)
+    e_pad = 1 << max(e - 1, 0).bit_length()
+    if e_pad > e:
+        seeds = np.concatenate(
+            [seeds, np.full((e_pad - e, t_max, 2), far, np.float32)])
+        conf = np.concatenate([conf, np.zeros(e_pad - e, np.float32)])
+    out = _stacked_decay_scan(jnp.asarray(seeds), jnp.asarray(conf),
+                              h, w, float(decay_rate), combine)
     return np.asarray(jax.device_get(out), np.float32)

@@ -131,6 +131,22 @@ class ShardedFusion:
 
         self.state = self._init_state()
 
+    def restore(self, grid_feat: np.ndarray, grid_pos: np.ndarray,
+                weight: np.ndarray, occupied_ids: np.ndarray,
+                grid_rgb: Optional[np.ndarray] = None) -> None:
+        """Resume a sharded build from a saved (merged) map: re-shard slots
+        by row ownership — the inverse of :func:`export_sharded`.  Mirrors
+        the reference's resume semantics (avlmaps/map/vlmap_builder.py:66-91)
+        on the multi-chip path."""
+        self.state = restore_sharded(
+            grid_feat, grid_pos, weight, occupied_ids, grid_rgb,
+            n_dev=self.n_dev, gs=self.gs, vh=self.vh,
+            rows_per_dev=self.rows_per_dev, cap_per_dev=self.cap_per_dev,
+            feat_dim=self.feat_dim)
+        shardings = jax.tree.map(
+            lambda spec: NamedSharding(self.mesh, spec), self._state_spec)
+        self.state = jax.tree.map(jax.device_put, self.state, shardings)
+
     def _init_state(self) -> VoxelFusionState:
         """Per-shard states stacked on a leading device axis."""
         rows, gs, vh = self.rows_per_dev, self.gs, self.vh
@@ -165,6 +181,55 @@ class ShardedFusion:
         return export_sharded(self.state, n_dev=self.n_dev, gs=self.gs,
                               vh=self.vh, rows_per_dev=self.rows_per_dev,
                               cap_per_dev=self.cap_per_dev)
+
+
+def restore_sharded(grid_feat: np.ndarray, grid_pos: np.ndarray,
+                    weight: np.ndarray, occupied_ids: np.ndarray,
+                    grid_rgb: Optional[np.ndarray], *, n_dev: int, gs: int,
+                    vh: int, rows_per_dev: int, cap_per_dev: int,
+                    feat_dim: int) -> VoxelFusionState:
+    """Build per-device fusion shards from a merged map.
+
+    Each slot is owned by the shard whose row range contains its grid row;
+    per-shard slot ids are re-based to local contiguous ranks and the
+    occupied table is rebuilt from the slots' own (row, col, h) so stale
+    entries in ``occupied_ids`` can't leak across shards."""
+    n = grid_feat.shape[0]
+    rows = grid_pos[:, 0]
+    occ = np.full((n_dev, rows_per_dev * gs * vh), -1, np.int32)
+    wf = np.zeros((n_dev, cap_per_dev + 1, feat_dim), np.float32)
+    wr = np.zeros((n_dev, cap_per_dev + 1, 3), np.float32)
+    wsum = np.zeros((n_dev, cap_per_dev + 1), np.float32)
+    pos = np.zeros((n_dev, cap_per_dev + 1, 3), np.int32)
+    n_slots = np.zeros((n_dev,), np.int32)
+    for d in range(n_dev):
+        mine = np.nonzero((rows >= d * rows_per_dev)
+                          & (rows < (d + 1) * rows_per_dev))[0]
+        k = mine.shape[0]
+        if k > cap_per_dev:
+            raise ValueError(
+                f"shard {d} needs {k} slots > per-shard capacity "
+                f"{cap_per_dev}")
+        w = np.asarray(weight[mine], np.float32)
+        wsum[d, :k] = w
+        wf[d, :k] = grid_feat[mine] * w[:, None]
+        if grid_rgb is not None:
+            wr[d, :k] = grid_rgb[mine].astype(np.float32) * w[:, None]
+        lpos = grid_pos[mine].astype(np.int32).copy()
+        lpos[:, 0] -= d * rows_per_dev
+        pos[d, :k] = lpos
+        lin = (lpos[:, 0] * gs + lpos[:, 1]) * vh + lpos[:, 2]
+        occ[d, lin] = np.arange(k, dtype=np.int32)
+        n_slots[d] = k
+    return VoxelFusionState(
+        occupied_flat=jnp.asarray(occ.reshape(-1)),
+        sum_wfeat=jnp.asarray(wf.reshape(-1, feat_dim)),
+        sum_wrgb=jnp.asarray(wr.reshape(-1, 3)),
+        sum_w=jnp.asarray(wsum.reshape(-1)),
+        grid_pos=jnp.asarray(pos.reshape(-1, 3)),
+        n_slots=jnp.asarray(n_slots),
+        n_dropped=jnp.zeros((n_dev,), jnp.int32),
+    )
 
 
 def export_sharded(state: VoxelFusionState, *, n_dev: int, gs: int, vh: int,

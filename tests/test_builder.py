@@ -142,6 +142,45 @@ class TestBuilderE2E:
         m3 = SparseVoxelMap.load(scene / "vlmap" / "vlmaps.h5df")
         assert m3.num_occupied == m.num_occupied
 
+    def test_camera_pose_map(self, tmp_path, tiny_lseg):
+        """pose_type='camera': poses.txt rows are camera poses; the map is
+        centred at the first camera frame (VERDICT item 10; the reference's
+        create_camera_map is an unimplemented TODO)."""
+        model, params = tiny_lseg
+        scene = write_synthetic_scene(tmp_path / "scene", n_frames=4)
+        cfg = load_config()
+        cfg.map_config.grid_size = GS
+        cfg.map_config.cell_size = CS
+        cfg.map_config.pose_info.camera_height = CS * VH
+        cfg.map_config.cam_calib_mat = tuple(
+            get_sim_cam_mat(H, W).reshape(-1))
+        cfg.map_config.capacity = 8192
+        cfg.map_config.depth_sample_rate = 16
+        cfg.map_config.max_pts_per_frame = 64
+        cfg.map_config.max_depth = 6.0
+        cfg.map_config.lseg_base_size = W
+        cfg.map_config.lseg_crop_size = W
+        base2cam = build_base2cam_tf(cfg.map_config.pose_info.base2cam_rot,
+                                     cfg.map_config.pose_info.camera_height)
+        base_tf = build_base_transform(
+            cfg.map_config.pose_info.base_forward_axis,
+            cfg.map_config.pose_info.base_left_axis,
+            cfg.map_config.pose_info.base_up_axis)
+        builder = VLMapBuilder(
+            scene, cfg.map_config, scene / "poses.txt",
+            sorted((scene / "rgb").glob("*.png")),
+            sorted((scene / "depth").glob("*.npy")),
+            base2cam, base_tf, lseg_apply=model.apply, lseg_params=params,
+            feat_dim=24, batch_size=2)
+        m = builder.create_camera_map(save_every=0, progress=False)
+        assert m.num_occupied > 0
+        assert m.mapped_iters == set(range(4))
+        # depths span 0.3-1.5m at cs=0.1 -> every voxel within ~16+1 cells
+        # of the first camera (grid centre)
+        centre = GS // 2
+        d = np.abs(m.grid_pos[:, :2].astype(int) - centre).max()
+        assert d <= 18, f"camera map not centred: max offset {d}"
+
 
 class TestShardedParity:
     @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
@@ -185,6 +224,60 @@ class TestShardedParity:
         np.testing.assert_array_equal(p1[k1], p2[k2])
         np.testing.assert_allclose(w1[k1], w2[k2], rtol=1e-5)
         np.testing.assert_allclose(f1[k1], f2[k2], rtol=1e-3, atol=1e-3)
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    def test_kill_and_resume_matches_uninterrupted(self, tiny_lseg, rng):
+        """Export mid-build, restore into a fresh ShardedFusion, continue:
+        the final map must match the uninterrupted build (VERDICT item 4)."""
+        from avlmaps_tpu.parallel.sharded import ShardedFusion, make_mesh
+
+        model, params = tiny_lseg
+        calib = get_sim_cam_mat(H, W)
+        n_dev = 8
+
+        def batch(seed):
+            r = np.random.default_rng(seed)
+            # uniform in [-1, 1]: rgb stays in uint8 range, so the uint8
+            # checkpoint quantisation is the only resume loss (<1 LSB)
+            rgb = jnp.asarray(r.uniform(-1, 1, (n_dev, H, W, 3)).astype(
+                np.float32))
+            depth = jnp.asarray(
+                r.uniform(0.3, 1.2, (n_dev, H, W)).astype(np.float32))
+            pose = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                    (n_dev, 4, 4))
+            idx = jnp.asarray(sample_pixels(r, H, W, 16, 64, n_dev))
+            return rgb, depth, pose, idx, jnp.ones((n_dev,), bool)
+
+        mesh = make_mesh(n_dev)
+
+        def make_fusion():
+            return ShardedFusion(mesh, gs=GS, cs=CS, vh=VH, feat_dim=24,
+                                 capacity=8192 * n_dev, calib_mat=calib,
+                                 image_hw=(H, W), lseg_apply=model.apply,
+                                 base_size=W, crop_size=W)
+
+        # uninterrupted: two batches straight through
+        f_all = make_fusion()
+        f_all.step(params, *batch(10))
+        f_all.step(params, *batch(11))
+        fa, pa, wa, oa, ra = f_all.export()
+
+        # killed after batch 1: export (= checkpoint), restore, continue
+        f_half = make_fusion()
+        f_half.step(params, *batch(10))
+        ckpt = f_half.export()
+        f_res = make_fusion()
+        f_res.restore(*ckpt)
+        f_res.step(params, *batch(11))
+        fb, pb, wb, ob, rb = f_res.export()
+
+        np.testing.assert_array_equal(oa >= 0, ob >= 0)
+        ka, kb = np.lexsort(pa.T), np.lexsort(pb.T)
+        np.testing.assert_array_equal(pa[ka], pb[kb])
+        np.testing.assert_allclose(wa[ka], wb[kb], rtol=1e-5)
+        np.testing.assert_allclose(fa[ka], fb[kb], rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(
+            ra[ka].astype(np.int32), rb[kb].astype(np.int32), atol=1)
 
 
 def test_dryrun_multichip():
@@ -234,3 +327,49 @@ class TestShardedBuilderE2E:
         assert m.num_occupied > 0
         assert m.mapped_iters == set(range(4))
         assert (scene / "vlmap" / "vlmaps.h5df").exists()
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    def test_sharded_builder_resume(self, tmp_path, tiny_lseg):
+        """Build half the frames on the mesh path, then resume the rest:
+        only unmapped frames are fused, the artifact ends complete."""
+        from avlmaps_tpu.parallel.sharded import make_mesh
+
+        model, params = tiny_lseg
+        scene = write_synthetic_scene(tmp_path / "scene", n_frames=8)
+        cfg = load_config()
+        cfg.map_config.grid_size = GS
+        cfg.map_config.cell_size = CS
+        cfg.map_config.pose_info.camera_height = CS * VH
+        cfg.map_config.cam_calib_mat = tuple(
+            get_sim_cam_mat(H, W).reshape(-1))
+        cfg.map_config.capacity = 8192
+        cfg.map_config.depth_sample_rate = 16
+        cfg.map_config.max_pts_per_frame = 64
+        cfg.map_config.max_depth = 6.0
+        cfg.map_config.lseg_base_size = W
+        cfg.map_config.lseg_crop_size = W
+        base2cam = build_base2cam_tf(cfg.map_config.pose_info.base2cam_rot,
+                                     cfg.map_config.pose_info.camera_height)
+        base_tf = build_base_transform(
+            cfg.map_config.pose_info.base_forward_axis,
+            cfg.map_config.pose_info.base_left_axis,
+            cfg.map_config.pose_info.base_up_axis)
+        rgbs = sorted((scene / "rgb").glob("*.png"))
+        depths = sorted((scene / "depth").glob("*.npy"))
+
+        def make_builder(n):
+            return VLMapBuilder(
+                scene, cfg.map_config, scene / "poses.txt", rgbs[:n],
+                depths[:n], base2cam, base_tf, lseg_apply=model.apply,
+                lseg_params=params, feat_dim=24, batch_size=8,
+                mesh=make_mesh(8))
+
+        m_half = make_builder(4).create_mobile_base_map(save_every=0,
+                                                        progress=False)
+        assert m_half.mapped_iters == set(range(4))
+        m_full = make_builder(8).create_mobile_base_map(save_every=4,
+                                                        progress=False)
+        assert m_full.mapped_iters == set(range(8))
+        assert m_full.num_occupied >= m_half.num_occupied
+        # resumed map keeps the first half's mass: weights only grow
+        assert m_full.weight.sum() > m_half.weight.sum()

@@ -8,7 +8,7 @@ import scipy.ndimage as ndi
 from avlmaps_tpu.ops.similarity import score_features, topk_categories
 from avlmaps_tpu.ops.heatmap import (
     heatmap_from_mask_3d, heatmap_from_mask_2d, distance_transform_edt_jax,
-    radial_decay_heatmap,
+    radial_decay_heatmap, decayed_point_heatmap_2d,
 )
 from avlmaps_tpu.ops.pooling import (
     pool_3d_label_to_2d, pool_3d_rgb_to_2d, lift_2d_to_3d,
@@ -100,6 +100,50 @@ def test_radial_decay():
                                           jnp.asarray([0.0, 0.0, 5.0]),
                                           decay_rate=0.1))
     np.testing.assert_allclose(got, [1.0, 0.5, 0.0], atol=1e-6)
+
+
+class TestDecayedPointHeatmap:
+    """Parity of the batched device scan against the host per-pose loop it
+    replaced in AVLMap.index_area_2d / index_sound_2d."""
+
+    @staticmethod
+    def _oracle(shape, tracks, confs, decay, combine):
+        h, w = shape
+        rows = np.arange(h, dtype=np.float32)[:, None]
+        cols = np.arange(w, dtype=np.float32)[None, :]
+        out = np.zeros((h, w), np.float32)
+        for track, con in zip(tracks, confs):
+            dmin = np.full((h, w), np.inf, np.float32)
+            for (r, c) in np.atleast_2d(track):
+                dmin = np.minimum(
+                    dmin, np.sqrt((rows - r) ** 2 + (cols - c) ** 2))
+            if combine == "max":
+                out = np.maximum(out, np.clip(con - dmin * decay, 0.0, 1.0))
+            else:
+                out += np.maximum(con - con * dmin * decay, 0.0)
+        return out
+
+    def test_area_max_composite(self, rng):
+        shape = (40, 33)
+        seeds = [np.array([[r, c]], np.float32)
+                 for r, c in rng.integers(0, 33, size=(7, 2))]
+        confs = rng.uniform(0.2, 1.0, size=7).astype(np.float32)
+        got = decayed_point_heatmap_2d(shape, seeds, confs, 0.05, "max")
+        want = self._oracle(shape, seeds, confs, 0.05, "max")
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_sound_sum_composite_multiseed(self, rng):
+        shape = (30, 30)
+        tracks = [rng.integers(0, 30, size=(t, 2)).astype(np.float32)
+                  for t in (1, 4, 9)]
+        confs = np.array([0.9, 0.4, 0.7], np.float32)
+        got = decayed_point_heatmap_2d(shape, tracks, confs, 0.02, "sum")
+        want = self._oracle(shape, tracks, confs, 0.02, "sum")
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_empty_events(self):
+        out = decayed_point_heatmap_2d((8, 8), [], [], 0.1, "max")
+        np.testing.assert_array_equal(out, np.zeros((8, 8), np.float32))
 
 
 class TestPooling:
