@@ -230,6 +230,74 @@ class TestTorchPort:
                                    rtol=2e-4, atol=2e-5)
 
 
+class TestTorchVisionPort:
+    """Golden parity for the ViT image tower: a torch VisionTransformer with
+    the OpenAI checkpoint layout (tools/torch_reference/clip_torch.py) vs
+    the ported flax encode_image (VERDICT item 1)."""
+
+    @pytest.fixture(scope="class")
+    def torch_vit(self):
+        torch = pytest.importorskip("torch")
+        import sys, pathlib
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+        from tools.torch_reference.clip_torch import TorchClipVision
+
+        torch.manual_seed(0)
+        # width 32 -> 1 head, matching flax's max(1, width // 64) rule
+        return TorchClipVision(image_size=32, patch_size=8, width=32,
+                               layers=2, heads=1, embed_dim=16).eval()
+
+    def _port(self, torch_vit):
+        import torch
+        from tools.torch_reference.clip_torch import export_visual_state_dict
+
+        sd = export_visual_state_dict(torch_vit)
+        # minimal text keys so the porter/config inference can run
+        W, L, E, CTX, V = 32, 2, 16, 16, 49408
+        torch.manual_seed(1)
+        sd["token_embedding.weight"] = torch.randn(V, W) * 0.02
+        sd["positional_embedding"] = torch.randn(CTX, W) * 0.01
+        sd["ln_final.weight"] = torch.ones(W)
+        sd["ln_final.bias"] = torch.zeros(W)
+        sd["text_projection"] = torch.randn(W, E) * 0.02
+        for i in range(L):
+            p = f"transformer.resblocks.{i}"
+            sd[f"{p}.ln_1.weight"] = torch.ones(W)
+            sd[f"{p}.ln_1.bias"] = torch.zeros(W)
+            sd[f"{p}.ln_2.weight"] = torch.ones(W)
+            sd[f"{p}.ln_2.bias"] = torch.zeros(W)
+            sd[f"{p}.attn.in_proj_weight"] = torch.randn(3 * W, W) * 0.02
+            sd[f"{p}.attn.in_proj_bias"] = torch.zeros(3 * W)
+            sd[f"{p}.attn.out_proj.weight"] = torch.randn(W, W) * 0.02
+            sd[f"{p}.attn.out_proj.bias"] = torch.zeros(W)
+            sd[f"{p}.mlp.c_fc.weight"] = torch.randn(4 * W, W) * 0.02
+            sd[f"{p}.mlp.c_fc.bias"] = torch.zeros(4 * W)
+            sd[f"{p}.mlp.c_proj.weight"] = torch.randn(W, 4 * W) * 0.02
+            sd[f"{p}.mlp.c_proj.bias"] = torch.zeros(W)
+        sd["logit_scale"] = torch.tensor(2.0)
+        return sd
+
+    def test_image_tower_parity(self, torch_vit):
+        import torch
+        from avlmaps_tpu.models.clip.port import config_from_state_dict
+
+        sd = self._port(torch_vit)
+        variables = port_clip_state_dict(sd)
+        cfg = config_from_state_dict(sd)
+        assert cfg.vision_width == 32 and cfg.vision_layers == 2
+        assert cfg.image_size == 32 and cfg.patch_size == 8
+        model = Clip(cfg)
+
+        x = np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(
+            np.float32)
+        with torch.no_grad():
+            expected = torch_vit(
+                torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        got = np.asarray(model.apply(variables, jnp.asarray(x),
+                                     method=Clip.encode_image))
+        np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
+
+
 def test_encoder_wrapper_text_feats():
     enc = ClipEncoder.__new__(ClipEncoder)  # avoid big default init
     cfg = TINY

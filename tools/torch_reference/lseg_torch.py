@@ -30,6 +30,15 @@ class TorchLSegSpec:
                              reassemble_ch=(8, 16, 32, 32), pretrain_grid=4,
                              hooks=(0, 1, 2, 3))
 
+    @staticmethod
+    def tiny16() -> "TorchLSegSpec":
+        """Patch-16 tiny: output == input resolution, like the real model
+        (matches avlmaps_tpu.models.lseg.LSegConfig.tiny16)."""
+        return TorchLSegSpec(width=32, layers=4, heads=2, patch=16,
+                             features=16, out_dim=24,
+                             reassemble_ch=(8, 16, 32, 32), pretrain_grid=2,
+                             hooks=(0, 1, 2, 3))
+
 
 def build_torch_lseg(spec: TorchLSegSpec, seed: int = 0):
     """Construct the torch model (eval mode, randomised BN stats)."""
@@ -245,3 +254,21 @@ def export_reference_state_dict(model) -> Dict[str, object]:
     sd["net.scratch.head1.weight"] = model.head1.weight
     sd["net.scratch.head1.bias"] = model.head1.bias
     return sd
+
+
+def load_reference_state_dict(model, sd) -> None:
+    """Inverse of :func:`export_reference_state_dict`: copy a
+    reference-named checkpoint (e.g. demo_e200.ckpt's net.* keys) into the
+    torch oracle's parameters in place."""
+    import torch
+
+    mapping = export_reference_state_dict(model)
+    with torch.no_grad():
+        for ref_key, param in mapping.items():
+            if ref_key not in sd:
+                raise KeyError(f"checkpoint missing {ref_key}")
+            src = sd[ref_key]
+            src = torch.as_tensor(
+                src.detach().cpu().numpy() if hasattr(src, "detach")
+                else src)
+            param.copy_(src.reshape(param.shape))
