@@ -7,12 +7,14 @@ TPU-native re-design:
 
 * global retrieval runs on the flax CLIP image tower (batched device matmul
   against cached per-frame descriptors, replacing NetVLAD);
-* the metric refinement is host-side classical vision (like the reference's,
-  which is also host-side): ORB keypoints + cross-checked Hamming matching
-  replace SuperPoint+SuperGlue, reference keypoints are lifted with the
-  stored depth, and cv2.solvePnPRansac replaces pycolmap's
-  absolute_pose_estimation.  Falls back to the retrieved frame's pose when
-  matching/PnP fails (the reference also degrades to retrieval then).
+* local matching runs SuperPoint (flax, on device) + a mutual-NN matcher
+  when weights are provided (models/superpoint; port of the same public
+  superpoint_v1.pth the reference's HLoc pipeline uses), with ORB +
+  cross-checked Hamming as the classical fallback;
+* the metric solve lifts reference keypoints with the stored depth and runs
+  cv2.solvePnPRansac, replacing pycolmap's absolute_pose_estimation.  Falls
+  back to the retrieved frame's pose when matching/PnP fails (the reference
+  also degrades to retrieval then).
 """
 
 from __future__ import annotations
@@ -34,12 +36,23 @@ from avlmaps_tpu.geometry.transforms import pose_vec_to_tf
 
 class VisualMap:
     def __init__(self, map_config: MapConfig, data_dir: str = "",
-                 clip_encoder=None):
+                 clip_encoder=None, superpoint=None,
+                 superpoint_ckpt: Optional[str] = None):
         self.map_config = map_config
         self.data_dir = Path(data_dir) if data_dir else None
         self.descriptors: Optional[np.ndarray] = None
         self.poses: Optional[np.ndarray] = None  # (N, 4, 4) base tfs
         self.clip_encoder = clip_encoder
+        # learned local features: an injected SuperPointExtractor, a
+        # checkpoint path, or None -> ORB fallback (random SuperPoint
+        # weights would be worse than ORB, so weights are required here)
+        self.superpoint = superpoint
+        if superpoint is None and superpoint_ckpt:
+            from avlmaps_tpu.models.superpoint import (
+                SuperPointExtractor, load_superpoint_checkpoint)
+
+            sp_cfg, sp_vars = load_superpoint_checkpoint(superpoint_ckpt)
+            self.superpoint = SuperPointExtractor(sp_cfg, params=sp_vars)
 
     def _init_clip(self):
         if self.clip_encoder is None:
@@ -132,6 +145,62 @@ class VisualMap:
         self._ref_cache[frame_id] = (kr, dr, ref_depth)
         return self._ref_cache[frame_id]
 
+    def _sp_frame_features(self, frame_id: int):
+        """Cached SuperPoint features of a mapping frame."""
+        from avlmaps_tpu.pipeline.loader import load_rgb
+
+        if not hasattr(self, "_sp_cache"):
+            self._sp_cache = {}
+        if frame_id in self._sp_cache:
+            return self._sp_cache[frame_id]
+        self._ref_frame_features(frame_id)  # primes paths + depth cache
+        img = load_rgb(self._rgb_paths[frame_id])
+        out = self.superpoint.extract(self._to_gray(img)[None])
+        feats = {k: v[0] for k, v in out.items()}
+        self._sp_cache[frame_id] = feats
+        return feats
+
+    @staticmethod
+    def _to_gray(rgb: np.ndarray) -> np.ndarray:
+        import cv2
+
+        return cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY).astype(np.float32) / 255.0
+
+    def _match_superpoint(self, query_image: np.ndarray, frame_id: int):
+        """(ref_pts, query_pts) pixel pairs from SuperPoint + device MNN
+        (replaces the reference's SuperPoint+SuperGlue,
+        localization_utils.py:137-145,247-273)."""
+        import jax.numpy as jnp
+        from avlmaps_tpu.models.superpoint import mutual_nearest_matches
+
+        ref = self._sp_frame_features(frame_id)
+        q = self.superpoint.extract(self._to_gray(query_image)[None])
+        q = {k: v[0] for k, v in q.items()}
+        idx, _ = mutual_nearest_matches(
+            jnp.asarray(q["descriptors"]), jnp.asarray(ref["descriptors"]),
+            jnp.asarray(q["valid"]), jnp.asarray(ref["valid"]))
+        idx = np.asarray(idx)
+        sel = idx >= 0
+        return ref["keypoints"][idx[sel]], q["keypoints"][sel]
+
+    def _match_orb(self, query_image: np.ndarray, frame_id: int):
+        """(ref_pts, query_pts) from ORB + cross-checked Hamming."""
+        import cv2
+
+        kr, dr, _ = self._ref_frame_features(frame_id)
+        orb = cv2.ORB_create(nfeatures=2000)
+        gray_q = cv2.cvtColor(query_image, cv2.COLOR_RGB2GRAY)
+        kq, dq = orb.detectAndCompute(gray_q, None)
+        if dq is None or dr is None:
+            return np.zeros((0, 2)), np.zeros((0, 2))
+        matcher = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True)
+        matches = matcher.match(dr, dq)
+        ref_pts = np.asarray([kr[m.queryIdx].pt for m in matches],
+                             np.float64).reshape(-1, 2)
+        q_pts = np.asarray([kq[m.trainIdx].pt for m in matches],
+                           np.float64).reshape(-1, 2)
+        return ref_pts, q_pts
+
     def refine_pose(self, query_image: np.ndarray, frame_id: int,
                     query_intr: np.ndarray,
                     min_matches: int = 12,
@@ -148,24 +217,20 @@ class VisualMap:
         ref = self._ref_frame_features(frame_id)
         if ref is None:
             return None
-        kr, dr, ref_depth = ref
+        _, _, ref_depth = ref
 
-        orb = cv2.ORB_create(nfeatures=2000)
-        gray_q = cv2.cvtColor(query_image, cv2.COLOR_RGB2GRAY)
-        kq, dq = orb.detectAndCompute(gray_q, None)
-        if dq is None or dr is None:
-            return None
-        matcher = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True)
-        matches = matcher.match(dr, dq)
-        if len(matches) < min_matches:
+        if self.superpoint is not None:
+            ref_pts, q_pts = self._match_superpoint(query_image, frame_id)
+        else:
+            ref_pts, q_pts = self._match_orb(query_image, frame_id)
+        if len(ref_pts) < min_matches:
             return None
 
         h, w = ref_depth.shape
         ref_intr = np.asarray(self.map_config.calib_matrix())
         inv_ref = np.linalg.inv(ref_intr)
         obj_pts, img_pts = [], []
-        for m in matches:
-            u, v = kr[m.queryIdx].pt
+        for (u, v), (qu, qv) in zip(ref_pts, q_pts):
             ui, vi = int(round(u)), int(round(v))
             if not (0 <= ui < w and 0 <= vi < h):
                 continue
@@ -174,7 +239,6 @@ class VisualMap:
                 continue
             obj_pts.append((inv_ref @ np.array([u + 0.5, v + 0.5, 1.0])) * z)
             # same corner-origin pixel convention on the query side
-            qu, qv = kq[m.trainIdx].pt
             img_pts.append((qu + 0.5, qv + 0.5))
         if len(obj_pts) < min_matches:
             return None

@@ -81,6 +81,35 @@ def test_refine_fails_gracefully_on_textureless(vmap):
     assert vmap.refine_pose(blank, 0, get_sim_cam_mat(H, W)) is None
 
 
+def test_superpoint_refine_recovers_translation(scene):
+    """The SuperPoint + MNN path through refine_pose: identical texture
+    patches give matching descriptors even under random conv weights, so
+    the full learned-feature pipeline (extract -> device MNN -> depth-lifted
+    PnP) must recover the known translation too (VERDICT item 3)."""
+    from avlmaps_tpu.models.superpoint import (
+        SuperPointConfig, SuperPointExtractor)
+
+    root, query = scene
+    cfg = load_config()
+    cfg.map_config.cam_calib_mat = tuple(get_sim_cam_mat(H, W).reshape(-1))
+    from avlmaps_tpu.geometry.transforms import pose_vec_to_tf
+
+    sp = SuperPointExtractor(SuperPointConfig(
+        channels=(8, 8, 16, 16), det_ch=32, desc_ch=32, desc_dim=32,
+        max_keypoints=512, score_threshold=0.0))
+    m = VisualMap(cfg.map_config, str(root), superpoint=sp)
+    m.data_dir = Path(root)
+    m.poses = np.stack([pose_vec_to_tf([0, 0, 0, 0, 0, 0, 1.0])])
+    m.descriptors = np.ones((1, 8), np.float32)
+
+    cam_tf = m.refine_pose(query, 0, get_sim_cam_mat(H, W))
+    assert cam_tf is not None, "SuperPoint PnP refinement failed"
+    expected = m._ref_cam_tf(0)
+    delta = cam_tf[:3, 3] - expected[:3, 3]
+    np.testing.assert_allclose(delta, [TX, 0, 0], atol=0.06)
+    np.testing.assert_allclose(cam_tf[:3, :3], expected[:3, :3], atol=0.05)
+
+
 def test_localize_image_uses_refinement(scene, vmap):
     _, query = scene
 
