@@ -68,12 +68,17 @@ def _pad_value() -> np.ndarray:
 
 def sliding_window_features(apply_fn: Callable, params, images: jnp.ndarray,
                             base_size: int = 520, crop_size: int = 480,
-                            ) -> jnp.ndarray:
+                            flip: bool = False) -> jnp.ndarray:
     """Full-canvas pixel features for a batch of same-sized frames.
 
     ``images``: (B, H, W, 3) normalised float32.  Returns
     (B, height, width, D) where (height, width) is the base_size resize —
     matching the reference's returned resolution (lseg_utils.py:97-98).
+
+    ``flip=True`` adds the horizontally-flipped evaluation of every padded
+    crop, un-flipped (the reference's module_inference,
+    additional_utils/models.py:134-140 — a SUM, not an average; the flipped
+    crops fold into the same batched forward).
     """
     b, h, w, _ = images.shape
     height, width, ph, pw, crops = plan_windows(h, w, base_size, crop_size)
@@ -94,8 +99,13 @@ def sliding_window_features(apply_fn: Callable, params, images: jnp.ndarray,
             piece = full.at[:, :h1 - h0, :w1 - w0, :].set(piece)
         crop_batch.append(piece)
     batch = jnp.concatenate(crop_batch, axis=0)
+    if flip:
+        batch = jnp.concatenate([batch, batch[:, :, ::-1, :]], axis=0)
 
-    feats = apply_fn(params, batch)  # (B * n_crops, crop, crop, D)
+    feats = apply_fn(params, batch)  # (B * n_crops [* 2], crop, crop, D)
+    if flip:
+        n = batch.shape[0] // 2
+        feats = feats[:n] + feats[n:, :, ::-1, :]
     if feats.shape[1] != crop_size or feats.shape[2] != crop_size:
         raise ValueError(
             f"model output {feats.shape[1:3]} != crop {crop_size}: the "
@@ -111,6 +121,36 @@ def sliding_window_features(apply_fn: Callable, params, images: jnp.ndarray,
         count = count.at[:, h0:h1, w0:w1, :].add(1.0)
     out = out / count
     return out[:, :height, :width, :]
+
+
+DEFAULT_SCALES = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75)
+
+
+def multi_scale_features(apply_fn: Callable, params, images: jnp.ndarray,
+                         base_size: int = 520, crop_size: int = 480,
+                         scales=DEFAULT_SCALES,
+                         flip: bool = True) -> jnp.ndarray:
+    """Multi-scale (+ flip) evaluation — the reference's quality knob
+    (LSeg_MultiEvalModule.forward, additional_utils/models.py:55-133).
+
+    Per scale: aspect-preserving resize to long side ceil(base_size·scale),
+    sliding-window count-normalised evaluation (a single padded crop when
+    the scaled image fits one window — the same code path), align-corners
+    resize back to the input size; scales SUM (argmax-invariant, like the
+    reference).  Returns (B, H, W, D) at the input resolution.
+    """
+    import math as _math
+
+    b, h, w, _ = images.shape
+    total = None
+    for scale in scales:
+        long_size = int(_math.ceil(base_size * scale))
+        out = sliding_window_features(apply_fn, params, images,
+                                      base_size=long_size,
+                                      crop_size=crop_size, flip=flip)
+        out = resize_bilinear_align_corners(out, h, w)
+        total = out if total is None else total + out
+    return total
 
 
 def features_at_points(apply_fn: Callable, params, images: jnp.ndarray,

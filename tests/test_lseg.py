@@ -165,6 +165,100 @@ def test_strip_net_prefix():
     assert "scratch.head1.weight" in out and "other" in out
 
 
+class TestMultiScaleFlip:
+    """multi_scale_features vs a torch replication of the reference
+    LSeg_MultiEvalModule algorithm (additional_utils/models.py:55-140):
+    per-scale aspect resize, window grid with count-normalise, per-crop
+    flip SUM, align-corners resize back, scale SUM."""
+
+    SCALES = (0.75, 1.0, 1.5)  # covers both single-pad and grid branches
+
+    @pytest.fixture(scope="class")
+    def models(self):
+        pytest.importorskip("torch")
+        import sys, pathlib
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+        from tools.torch_reference.lseg_torch import (
+            TorchLSegSpec, build_torch_lseg, export_reference_state_dict)
+
+        tm = build_torch_lseg(TorchLSegSpec.tiny16(), seed=0)
+        variables = port_lseg_state_dict(export_reference_state_dict(tm),
+                                         vit_layers=4)
+        return tm, LSegNet(LSegConfig.tiny16()), variables
+
+    @staticmethod
+    def _torch_multiscale(model, img, base, crop, scales, flip):
+        import math
+        import torch
+        import torch.nn.functional as F
+
+        def inference(x):
+            out = model(x)
+            if flip:
+                out = out + model(x.flip(3)).flip(3)
+            return out
+
+        def pad_to(x, size):
+            padh = max(size - x.shape[2], 0)
+            padw = max(size - x.shape[3], 0)
+            return F.pad(x, (0, padw, 0, padh), value=-1.0)  # -mean/std
+
+        b, _, h, w = img.shape
+        d = model.head1.out_channels
+        stride = int(crop * 2.0 / 3.0)
+        scores = torch.zeros(b, d, h, w)
+        for scale in scales:
+            long_size = int(math.ceil(base * scale))
+            if h > w:
+                height = long_size
+                width = int(1.0 * w * long_size / h + 0.5)
+            else:
+                width = long_size
+                height = int(1.0 * h * long_size / w + 0.5)
+            cur = F.interpolate(img, (height, width), mode="bilinear",
+                                align_corners=True)
+            if long_size <= crop:
+                out = inference(pad_to(cur, crop))[:, :, :height, :width]
+            else:
+                pad_img = pad_to(cur, crop)
+                ph, pw = pad_img.shape[2:]
+                outputs = torch.zeros(b, d, ph, pw)
+                count = torch.zeros(b, 1, ph, pw)
+                hg = int(math.ceil(1.0 * (ph - crop) / stride)) + 1
+                wg = int(math.ceil(1.0 * (pw - crop) / stride)) + 1
+                for idh in range(hg):
+                    for idw in range(wg):
+                        h0, w0 = idh * stride, idw * stride
+                        h1, w1 = min(h0 + crop, ph), min(w0 + crop, pw)
+                        piece = pad_to(pad_img[:, :, h0:h1, w0:w1], crop)
+                        o = inference(piece)
+                        outputs[:, :, h0:h1, w0:w1] += \
+                            o[:, :, :h1 - h0, :w1 - w0]
+                        count[:, :, h0:h1, w0:w1] += 1
+                out = (outputs / count)[:, :, :height, :width]
+            scores += F.interpolate(out, (h, w), mode="bilinear",
+                                    align_corners=True)
+        return scores
+
+    @pytest.mark.parametrize("flip", [False, True])
+    def test_matches_torch_reference_algorithm(self, models, flip):
+        import torch
+        from avlmaps_tpu.models.lseg.window import multi_scale_features
+
+        tm, model, variables = models
+        x = np.random.default_rng(3).normal(size=(1, 32, 32, 3)).astype(
+            np.float32)
+        with torch.no_grad():
+            expected = self._torch_multiscale(
+                tm, torch.from_numpy(x.transpose(0, 3, 1, 2)), 32, 32,
+                self.SCALES, flip).numpy()
+        got = np.asarray(multi_scale_features(
+            model.apply, variables, jnp.asarray(x), base_size=32,
+            crop_size=32, scales=self.SCALES, flip=flip))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), expected,
+                                   rtol=5e-3, atol=5e-3)
+
+
 class TestHalfResGatherEquivalence:
     """features_at_points(half_res_apply=True) must equal the
     canvas-materialise path exactly (the skipped 2x upsample is linear)."""
