@@ -34,11 +34,25 @@ def run_query(avlmap: AVLMap, index_type: str, query: str,
     raise ValueError(f"unknown index type {index_type!r}")
 
 
-def save_heatmap(avlmap: AVLMap, heatmap: np.ndarray, out: Path):
-    """Write a colourised top-down projection of the heatmap."""
+def save_heatmap(avlmap: AVLMap, heatmap: np.ndarray, out: Path,
+                 view: str = "topdown", transparency: float = 0.5):
+    """Write the heatmap as a top-down projection or a 3D point-cloud view
+    (reference shows the 3D heatmap in an Open3D window,
+    avlmaps/utils/visualize_utils.py:68-75; headless hosts get a rendered
+    PNG / .ply instead)."""
     import cv2
 
     from avlmaps_tpu.ops.pooling import pool_3d_value_to_2d_max
+
+    if view == "3d":
+        from avlmaps_tpu.utils.visualize import visualize_heatmap_3d
+
+        written = visualize_heatmap_3d(
+            avlmap.vlmap.grid_pos.astype(np.float32), heatmap,
+            avlmap.vlmap.grid_rgb, transparency=transparency,
+            save_path=out)
+        print(f"3D heatmap written to {written}")
+        return
 
     gs = avlmap.vlmap.occupied_ids.shape[0]
     top = pool_3d_value_to_2d_max(heatmap, avlmap.vlmap.grid_pos, gs)
@@ -58,6 +72,10 @@ def main() -> None:
     parser.add_argument("--query", default=None,
                         help="query text (or image path for --type image)")
     parser.add_argument("--out", default="heatmap.png")
+    parser.add_argument("--view", choices=["topdown", "3d"],
+                        default="topdown",
+                        help="3d renders the point-cloud heatmap (open3d "
+                             "window / offscreen PNG / .ply)")
     args = parser.parse_args()
 
     config = load_config(args.config)
@@ -73,7 +91,7 @@ def main() -> None:
 
     if args.type:
         heat = run_query(avlmap, args.type, args.query, config.decay_rate)
-        save_heatmap(avlmap, heat, Path(args.out))
+        save_heatmap(avlmap, heat, Path(args.out), args.view)
         return
 
     menu = ("What do you want to index? (1. object, 2. sound, 3. area, "
@@ -85,7 +103,7 @@ def main() -> None:
             break
         query = input("Query: ").strip()
         heat = run_query(avlmap, kinds[choice], query, config.decay_rate)
-        save_heatmap(avlmap, heat, Path(args.out))
+        save_heatmap(avlmap, heat, Path(args.out), args.view)
 
 
 if __name__ == "__main__":

@@ -40,7 +40,7 @@ class AVLMap:
                                     clip_encoder=area_clip_encoder)
         self.dataloader = None
 
-    # -- lifecycle (reference avlmap.py:710-727) ----------------------------
+    # -- lifecycle (reference avlmap.py:38-56) ----------------------------
 
     def create_map(self, data_dir: Union[Path, str]) -> bool:
         self.vlmap.create_map(data_dir)
@@ -62,14 +62,14 @@ class AVLMap:
             data_dir, self.config.map_config, self.vlmap)
         return True
 
-    # -- object (reference avlmap.py:739-748) -------------------------------
+    # -- object (reference avlmap.py:67-77) -------------------------------
 
     def index_object(self, object_name: str,
                      init_categories: Optional[List[str]] = None,
                      decay_rate: float = 0.1) -> np.ndarray:
         if init_categories is not None:
             # the reference strips the first and last entries ('void' and
-            # 'objects' of mp3dcat) before scoring (avlmap.py:741)
+            # 'objects' of mp3dcat) before scoring (avlmap.py:69)
             self.vlmap.init_categories(list(init_categories)[1:-1])
             mask = self.vlmap.index_map(object_name, with_init_cat=True)
         else:
@@ -78,7 +78,7 @@ class AVLMap:
                                     cell_size=self.config.params.cs,
                                     decay_rate=decay_rate)
 
-    # -- area (reference avlmap.py:750-781) ---------------------------------
+    # -- area (reference avlmap.py:78-109) ---------------------------------
 
     def index_area_2d(self, area_name: str,
                       decay_rate: float = 0.1) -> np.ndarray:
@@ -111,7 +111,7 @@ class AVLMap:
         heatmap_2d = self.index_area_2d(area_name, decay_rate)
         return lift_2d_to_3d(heatmap_2d, self.vlmap.grid_pos)
 
-    # -- sound (reference avlmap.py:783-816) --------------------------------
+    # -- sound (reference avlmap.py:111-144) --------------------------------
 
     def index_sound_2d(self, sound_name: str,
                        decay_rate: float = 0.01) -> np.ndarray:
@@ -148,7 +148,7 @@ class AVLMap:
         heatmap_2d = self.index_sound_2d(sound_name, decay_rate)
         return lift_2d_to_3d(heatmap_2d, self.vlmap.grid_pos)
 
-    # -- image (reference avlmap.py:818-835) --------------------------------
+    # -- image (reference avlmap.py:146-163) --------------------------------
 
     def index_image(self, image: np.ndarray,
                     query_cam_intrinsics: Optional[np.ndarray] = None,
@@ -164,7 +164,7 @@ class AVLMap:
             (self.vlmap.grid_pos.astype(np.float32) - pos)[:, :2], axis=1)
         return np.clip(1.0 - decay_rate * dists, 0.0, 1.0)
 
-    # -- visualization helper (reference avlmap.py:729-737) -----------------
+    # -- visualization helper (reference avlmap.py:57-66) -----------------
 
     def heatmap_rgb(self, heatmap: np.ndarray,
                     transparency: float = 0.5) -> np.ndarray:

@@ -4,7 +4,7 @@ Mirrors reference avlmaps/map/vlmap.py: load the voxel artifact, score
 ``grid_feat`` against prompt-ensembled CLIP text features, take the per-voxel
 argmax as the category mask; CLIP-driven dynamic obstacle customisation.
 The scoring matmul runs on TPU (ops/similarity fused kernel) instead of the
-reference's CPU numpy (vlmap.py:229 via clip_utils).
+reference's CPU numpy (vlmap.py:94,113 via clip_utils).
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ class VLMap(Map):
     # -- model wiring --------------------------------------------------------
 
     def _init_clip(self, clip_version: str = "ViT-B/32"):
-        """Lazy CLIP init (reference vlmap.py:552-575)."""
+        """Lazy CLIP init (reference vlmap.py:67-90)."""
         if self.clip_encoder is not None:
             return self.clip_encoder
         from avlmaps_tpu.models.clip import ClipEncoder
@@ -62,7 +62,7 @@ class VLMap(Map):
 
     def create_map(self, data_dir: Union[Path, str],
                    batch_size: int = 4) -> None:
-        """Build the voxel map for a scene (reference vlmap.py:518-533)."""
+        """Build the voxel map for a scene (reference vlmap.py:33-48)."""
         from avlmaps_tpu.map.vlmap_builder import VLMapBuilder
 
         self._setup_paths(data_dir)
@@ -96,7 +96,7 @@ class VLMap(Map):
 
     def init_categories(self, categories: List[str]) -> np.ndarray:
         """Pre-score the map against a fixed category list
-        (reference vlmap.py:577-587)."""
+        (reference vlmap.py:92-102)."""
         self.categories = list(categories)
         enc = self._init_clip()
         self.scores_mat = enc.get_lseg_score(
@@ -107,7 +107,7 @@ class VLMap(Map):
     def index_map(self, language_desc: str,
                   with_init_cat: bool = True) -> np.ndarray:
         """Per-voxel boolean mask for a language query
-        (reference vlmap.py:589-610)."""
+        (reference vlmap.py:104-125)."""
         if with_init_cat and self.scores_mat is not None and self.categories:
             cat_id = find_similar_category_id(language_desc, self.categories)
             scores_mat = self.scores_mat
@@ -127,7 +127,7 @@ class VLMap(Map):
     def customize_obstacle_map(self, potential_obstacle_names: List[str],
                                obstacle_names: List[str],
                                vis: bool = False) -> None:
-        """CLIP-scored dynamic obstacle mask (reference vlmap.py:612-641 +
+        """CLIP-scored dynamic obstacle mask (reference vlmap.py:127-156 +
         index_utils.get_dynamic_obstacles_map_3d :138-184)."""
         if self.obstacles_cropped is None and self.obstacles_map is None:
             self.generate_obstacle_map()
@@ -161,7 +161,7 @@ class VLMap(Map):
 
     def get_pos(self, name: str):
         """Contours/centers/bboxes of a category's islands on the full map
-        (reference vlmap.py:643-672)."""
+        (reference vlmap.py:158-187)."""
         import jax.numpy as jnp
         from avlmaps_tpu.ops.morphology import (
             binary_closing_jax, binary_dilation_jax, gaussian_blur_jax,
@@ -179,7 +179,7 @@ class VLMap(Map):
         fg = np.asarray(binary_dilation_jax(jnp.asarray(fg)))
 
         contours, centers, bbox_list, _ = get_segment_islands_pos(fg, 1)
-        # shift back to whole-map coords (reference vlmap.py:660-671)
+        # shift back to whole-map coords (reference vlmap.py:176-185)
         for i in range(len(contours)):
             centers[i][0] += self.rmin
             centers[i][1] += self.cmin

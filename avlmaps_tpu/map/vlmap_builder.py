@@ -41,12 +41,15 @@ def make_frame_step(lseg_apply: Callable, *, gs: int, cs: float, vh: int,
                     min_depth: float = 0.1, max_depth: float = 6.0,
                     n_rows: Optional[int] = None,
                     row_offset: int = 0,
-                    half_res_apply: bool = False) -> Callable:
+                    half_res_apply: bool = False,
+                    rgb_uint8: bool = False) -> Callable:
     """Build the jitted device step for one batch of frames.
 
     ``lseg_apply(params, crops) -> (B', c, c, D)`` is the pixel-feature
     network; pass an identity-style stub for benchmarking the fusion alone.
     ``n_rows``/``row_offset`` support row-sharded grids (multi-chip).
+    ``rgb_uint8=True`` accepts raw uint8 RGB and normalises on device
+    (pairs with PrefetchLoader(normalize=False): 4x less H2D traffic).
     """
     h, w = image_hw
     height, width, _, _, _ = plan_windows(h, w, base_size, crop_size)
@@ -57,6 +60,11 @@ def make_frame_step(lseg_apply: Callable, *, gs: int, cs: float, vh: int,
     def step(state: VoxelFusionState, lseg_params, rgb_norm: jnp.ndarray,
              depth: jnp.ndarray, pose: jnp.ndarray, sample_idx: jnp.ndarray,
              frame_valid: jnp.ndarray) -> VoxelFusionState:
+        if rgb_uint8:
+            # (x/255 - 0.5)/0.5, fused on device
+            rgb_norm = rgb_norm.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+        if depth.dtype == jnp.uint16:  # loader depth_mm mode
+            depth = depth.astype(jnp.float32) * 1e-3
         b = rgb_norm.shape[0]
         px = (sample_idx % w).astype(jnp.float32)
         py = (sample_idx // w).astype(jnp.float32)
@@ -246,11 +254,12 @@ class VLMapBuilder:
             base_size=getattr(cfg, "lseg_base_size", 520),
             crop_size=getattr(cfg, "lseg_crop_size", 480),
             min_depth=cfg.min_depth, max_depth=cfg.max_depth,
-            half_res_apply=self.half_res_apply)
+            half_res_apply=self.half_res_apply, rgb_uint8=True)
         step = jax.jit(step, donate_argnums=(0,))
 
         loader = PrefetchLoader(self.rgb_paths, self.depth_paths, pose_tfs,
-                                batch_size=self.batch_size, skip_ids=mapped)
+                                batch_size=self.batch_size, skip_ids=mapped,
+                                normalize=False)
         done = 0
         meter = RateMeter()
         for batch in loader:
@@ -340,7 +349,8 @@ class VLMapBuilder:
 
         pose_tfs = self._pose_tfs
         loader = PrefetchLoader(self.rgb_paths, self.depth_paths, pose_tfs,
-                                batch_size=batch, skip_ids=mapped)
+                                batch_size=batch, skip_ids=mapped,
+                                normalize=False)
         from avlmaps_tpu.utils.profiling import RateMeter
 
         meter = RateMeter()

@@ -153,6 +153,8 @@ class VLMapBuilderMultiFloor:
         lseg_apply, lseg_params = self.lseg_apply, self.lseg_params
 
         def step(state, params, rgb_norm, depth, pose, sample_idx, fvalid):
+            if rgb_norm.dtype == jnp.uint8:
+                rgb_norm = rgb_norm.astype(jnp.float32) * (1.0 / 127.5) - 1.0
             b = rgb_norm.shape[0]
             px = (sample_idx % w).astype(jnp.float32)
             py = (sample_idx // w).astype(jnp.float32)
@@ -195,7 +197,8 @@ class VLMapBuilderMultiFloor:
         state = init_fusion_state(gs, vh, self.feat_dim, cfg.capacity)
 
         loader = PrefetchLoader(self.rgb_paths, self.depth_paths,
-                                self.pose_tfs, batch_size=self.batch_size)
+                                self.pose_tfs, batch_size=self.batch_size,
+                                normalize=False)
         from avlmaps_tpu.map.vlmap_builder import sample_pixels
 
         mapped = set()

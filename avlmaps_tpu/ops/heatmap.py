@@ -150,7 +150,7 @@ def radial_decay_heatmap(grid_pos: jnp.ndarray, center: jnp.ndarray,
                          decay_rate: float = 0.01,
                          confidence: float = 1.0) -> jnp.ndarray:
     """Planar radial decay from one map position (reference
-    AVLMap.index_image, avlmap.py:826-835): distances use only (row, col)."""
+    AVLMap.index_image, avlmap.py:146-163): distances use only (row, col)."""
     d = jnp.linalg.norm((grid_pos[:, :2].astype(jnp.float32)
                          - center[:2].astype(jnp.float32)), axis=1)
     return jnp.clip(confidence - decay_rate * d, 0.0, 1.0)

@@ -2,7 +2,7 @@
 
 The reference leans on scipy.ndimage (binary_dilation/erosion/closing,
 gaussian_filter) for obstacle-map massaging (avlmaps/map/map.py:169-181,
-avlmaps/map/vlmap.py:652-656).  These jax twins let the query path stay on
+avlmaps/map/vlmap.py:167-171).  These jax twins let the query path stay on
 device; reduce_window lowers to the TPU's native pooling path.
 """
 
@@ -42,7 +42,7 @@ def binary_erosion_jax(mask: jnp.ndarray, iterations: int = 1) -> jnp.ndarray:
 
 def binary_closing_jax(mask: jnp.ndarray, iterations: int = 1) -> jnp.ndarray:
     """Dilate N then erode N (scipy.ndimage.binary_closing(iterations=N),
-    used in reference VLMap.get_pos, vlmap.py:653)."""
+    used in reference VLMap.get_pos, vlmap.py:168)."""
     return binary_erosion_jax(binary_dilation_jax(mask, iterations),
                               iterations)
 

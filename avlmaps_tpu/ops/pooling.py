@@ -1,7 +1,7 @@
 """3D <-> 2D map pooling ops.
 
 Reference loops: avlmaps/utils/visualize_utils.py:77-94 (pool to 2D) and
-avlmaps/map/avlmap.py:772-816 (lift 2D heatmaps back onto voxel slots).
+avlmaps/map/avlmap.py:100-144 (lift 2D heatmaps back onto voxel slots).
 All are single scatter/gather ops here.
 """
 
@@ -54,7 +54,7 @@ def pool_3d_rgb_to_2d(rgb, grid_pos, gs: int) -> np.ndarray:
 
 def lift_2d_to_3d(heatmap_2d, grid_pos) -> np.ndarray:
     """Broadcast a (gs, gs) heatmap onto voxel slots by their (row, col)
-    (reference avlmap.py:772-816, which loops over occupied_ids)."""
+    (reference avlmap.py:100-144, which loops over occupied_ids)."""
     heatmap_2d = np.asarray(heatmap_2d)
     grid_pos = np.asarray(grid_pos, np.int64)
     return heatmap_2d[grid_pos[:, 0], grid_pos[:, 1]].astype(np.float32)

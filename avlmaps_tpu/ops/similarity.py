@@ -104,13 +104,13 @@ def score_features_hbm(map_feats, text_feats, **kw):
 
 @jax.jit
 def topk_categories(scores: jnp.ndarray) -> jnp.ndarray:
-    """Per-voxel argmax category (reference vlmap.py:608-610)."""
+    """Per-voxel argmax category (reference vlmap.py:123-125)."""
     return jnp.argmax(scores, axis=-1)
 
 
 def score_and_mask(map_feats: jnp.ndarray, text_feats: jnp.ndarray,
                    cat_id: int) -> jnp.ndarray:
     """Fused score + argmax==cat mask (reference VLMap.index_map,
-    vlmap.py:589-610)."""
+    vlmap.py:104-125)."""
     scores = score_features(map_feats, text_feats)
     return jnp.argmax(scores, axis=-1) == cat_id

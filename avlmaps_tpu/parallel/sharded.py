@@ -41,8 +41,14 @@ class ShardedFusion:
                  feat_dim: int, capacity: int, calib_mat: np.ndarray,
                  image_hw: Tuple[int, int], lseg_apply: Callable,
                  base_size: int = 520, crop_size: int = 480,
-                 min_depth: float = 0.1, max_depth: float = 6.0):
+                 min_depth: float = 0.1, max_depth: float = 6.0,
+                 payload_dtype=jnp.bfloat16):
+        """``payload_dtype``: wire format of the gathered feature payload —
+        bf16 halves the dominant ICI traffic (docs/SCALING.md arithmetic);
+        accumulation stays f32 inside fuse_points either way.  Pass
+        jnp.float32 for bit-exact parity with the single-device path."""
         self.mesh = mesh
+        self.payload_dtype = payload_dtype
         self.axis = mesh.axis_names[0]
         self.n_dev = mesh.devices.size
         if gs % self.n_dev:
@@ -58,10 +64,14 @@ class ShardedFusion:
         inv_calib = jnp.asarray(np.linalg.inv(calib_mat), jnp.float32)
         rows = self.rows_per_dev
         axis = self.axis
+        payload_dtype = self.payload_dtype
 
         def shard_body(state, lseg_params, rgb_norm, depth, pose, sample_idx,
                        frame_valid):
             """Runs per device: local frames -> global payload -> local rows."""
+            if rgb_norm.dtype == jnp.uint8:
+                # raw frames off the loader: normalise on device
+                rgb_norm = rgb_norm.astype(jnp.float32) * (1.0 / 127.5) - 1.0
             b = rgb_norm.shape[0]
             px = (sample_idx % w).astype(jnp.float32)
             py = (sample_idx // w).astype(jnp.float32)
@@ -95,8 +105,9 @@ class ShardedFusion:
             # compact payload, then gather every shard's points over ICI
             gid_f = jax.lax.all_gather(gid.reshape(-1, 3), axis,
                                        tiled=True)
-            feats_f = jax.lax.all_gather(feats.reshape(-1, d), axis,
-                                         tiled=True)
+            feats_f = jax.lax.all_gather(
+                feats.reshape(-1, d).astype(payload_dtype), axis,
+                tiled=True).astype(jnp.float32)
             rgbs_f = jax.lax.all_gather(rgbs.reshape(-1, 3), axis,
                                         tiled=True)
             alpha_f = jax.lax.all_gather(alpha.reshape(-1), axis, tiled=True)

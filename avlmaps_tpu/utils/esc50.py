@@ -1,4 +1,4 @@
-"""ESC-50 metadata access (reference avlmaps/utils/esc50_utils.py:8-63).
+"""ESC-50 metadata access (reference avlmaps/utils/esc50_utils.py:8-62).
 
 Parses the dataset's esc50.csv into category <-> clip-path lookups,
 restricted to fold 1 as the reference does.

@@ -1,14 +1,25 @@
 #!/usr/bin/env python
-"""Headline benchmark: map-build throughput (frames/sec).
+"""Headline benchmark: map-build throughput (frames/sec) + MFU + e2e fps.
 
 Measures the full TPU map-construction step on the reference's dataset
-geometry — 720x1080 RGB-D frames, LSeg ViT-L/16 (bf16 compute) over the
-2-crop sliding window, h*w/100 sampled points per frame, scatter-accumulate
-into a gs=1000, vh=30 voxel grid (BASELINE.json config #2).
+geometry — 720x1080 RGB-D frames, LSeg ViT-L/16 (bf16 compute, Pallas flash
+attention) over the 2-crop sliding window, h*w/100 sampled points per frame,
+scatter-accumulate into a gs=1000, vh=30 voxel grid (BASELINE.json config
+#2).  Three measurements:
+
+* device fps — the compiled map-update step with frames resident in HBM;
+* e2e fps    — the same step fed by PrefetchLoader from real PNG/npy files
+  on disk (decode -> uint8 H2D -> device normalise), the pipeline number a
+  user actually sees;
+* MFU        — XLA-counted FLOPs per step / elapsed / chip peak.
+
+Also runs an on-chip kernel-parity pass (compiled vs f32 references) so the
+benchmark config is numerically validated on the hardware it reports for.
 
 Prints ONE JSON line:
   {"metric": "map_build_fps", "value": N, "unit": "frames/sec",
-   "vs_baseline": R}
+   "vs_baseline": R, "device_fps": N, "e2e_fps": N, "mfu": F,
+   "chip": "...", "kernel_parity": "pass|fail"}
 
 ``vs_baseline`` compares against a *measured* reference-style implementation
 (the reference repo publishes no numbers — BASELINE.md): a torch-CPU LSeg
@@ -40,6 +51,17 @@ CAPACITY = 1_000_000
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 WARMUP_STEPS = 2
 TIMED_STEPS = 6
+E2E_FRAMES = int(os.environ.get("BENCH_E2E_FRAMES", "24"))
+
+# peak dense bf16 TFLOP/s per chip (public TPU specs)
+PEAK_TFLOPS = {
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,  # v6e / Trillium
+    "TPU v6e": 918e12,
+}
 
 
 def _enable_compile_cache():
@@ -56,38 +78,58 @@ def _enable_compile_cache():
         pass
 
 
-def measure_tpu_fps() -> float:
+def _build_step_and_inputs():
     import jax
     import jax.numpy as jnp
 
-    _enable_compile_cache()
-    from avlmaps_tpu.geometry.projection import get_sim_cam_mat
-    from avlmaps_tpu.map.vlmap_builder import make_frame_step, sample_pixels
+    from avlmaps_tpu.geometry.projection import get_sim_cam_mat  # noqa: F401
+    from avlmaps_tpu.map.vlmap_builder import make_frame_step
     from avlmaps_tpu.models.lseg import LSegNet, LSegConfig
     from avlmaps_tpu.ops.voxel_fusion import init_fusion_state
 
     cfg = LSegConfig.vitl16(dtype=jnp.bfloat16)
     model = LSegNet(cfg)
-    # device-side init: host->device transfer through the tunnel is ~3 MB/s
+    # device-side init: host->device transfer through the tunnel is slow
     params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                  jnp.zeros((1, 480, 480, 3), jnp.float32))
 
     calib = np.array([[540, 0, 540], [0, 540, 360], [0, 0, 1]], np.float64)
-    half_apply = lambda p, x: model.apply(p, x, upsample=False)
+    half_apply = lambda p, x: model.apply(p, x, upsample=False)  # noqa: E731
     step = make_frame_step(half_apply, gs=GS, cs=CS, vh=VH, calib_mat=calib,
-                           image_hw=(H, W), half_res_apply=True)
+                           image_hw=(H, W), half_res_apply=True,
+                           rgb_uint8=True)
     step = jax.jit(step, donate_argnums=(0,))
-
     state = init_fusion_state(GS, VH, 512, CAPACITY)
+    return step, state, params, calib
+
+
+def measure_device(step, state, params) -> dict:
+    """Compiled-step fps with inputs resident in HBM, plus XLA-counted
+    FLOPs -> MFU."""
+    import jax
+    import jax.numpy as jnp
+
+    from avlmaps_tpu.map.vlmap_builder import sample_pixels
+
     rng = np.random.default_rng(0)
-    rgb = jnp.asarray(rng.normal(size=(BATCH, H, W, 3)).astype(np.float32))
-    depth = jnp.asarray(rng.uniform(0.3, 5.0, (BATCH, H, W)).astype(
-        np.float32))
-    # a mild pose walk keeps scatter patterns realistic
+    rgb = jnp.asarray(rng.integers(0, 255, (BATCH, H, W, 3)), jnp.uint8)
+    depth = jnp.asarray((rng.uniform(0.3, 5.0, (BATCH, H, W)) * 1000.0
+                         ).astype(np.uint16))  # mm transport, device rescale
     poses = np.tile(np.eye(4, dtype=np.float32), (BATCH, 1, 1))
     poses[:, 0, 3] = 0.1 * np.arange(BATCH)
     pose = jnp.asarray(poses)
     fvalid = jnp.ones((BATCH,), bool)
+
+    flops_per_step = None
+    try:
+        idx0 = jnp.asarray(sample_pixels(rng, H, W, DEPTH_SAMPLE_RATE,
+                                         MAX_PTS, BATCH))
+        cost = step.lower(state, params, rgb, depth, pose, idx0,
+                          fvalid).compile().cost_analysis()
+        if cost and "flops" in cost:
+            flops_per_step = float(cost["flops"])
+    except Exception:
+        pass
 
     def one_step(state):
         idx = jnp.asarray(sample_pixels(rng, H, W, DEPTH_SAMPLE_RATE,
@@ -103,7 +145,130 @@ def measure_tpu_fps() -> float:
         state = one_step(state)
     int(jax.device_get(state.n_slots))
     elapsed = time.perf_counter() - t0
-    return TIMED_STEPS * BATCH / elapsed
+
+    chip = jax.devices()[0].device_kind
+    peak = PEAK_TFLOPS.get(chip)
+    mfu = None
+    if flops_per_step and peak:
+        mfu = flops_per_step * TIMED_STEPS / elapsed / peak
+    return {
+        "device_fps": TIMED_STEPS * BATCH / elapsed,
+        "chip": chip,
+        "flops_per_step": flops_per_step,
+        "mfu": mfu,
+        "state": state,
+    }
+
+
+def measure_e2e(step, state, params) -> float:
+    """End-to-end pipeline fps: PNG/npy decode on the host (PrefetchLoader)
+    -> uint8 transfer -> compiled step.  The number a map build sees."""
+    import tempfile
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from avlmaps_tpu.map.vlmap_builder import sample_pixels
+    from avlmaps_tpu.pipeline.loader import PrefetchLoader
+
+    rng = np.random.default_rng(1)
+    tmp = tempfile.TemporaryDirectory()
+    root = Path(tmp.name)
+    (root / "rgb").mkdir()
+    (root / "depth").mkdir()
+    for i in range(E2E_FRAMES):
+        rgb = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        cv2.imwrite(str(root / "rgb" / f"{i:06d}.png"), rgb)
+        np.save(root / "depth" / f"{i:06d}.npy",
+                rng.uniform(0.3, 5.0, (H, W)).astype(np.float32))
+    pose_tfs = [np.eye(4, dtype=np.float32) for _ in range(E2E_FRAMES)]
+
+    loader = PrefetchLoader(
+        sorted((root / "rgb").glob("*.png")),
+        sorted((root / "depth").glob("*.npy")),
+        pose_tfs, batch_size=BATCH, normalize=False, depth_mm=True)
+    fvalid = jnp.ones((BATCH,), bool)
+
+    # warm the input path once (compile already done by measure_device)
+    done = 0
+    t0 = time.perf_counter()
+    for batch in loader:
+        idx = jnp.asarray(sample_pixels(rng, H, W, DEPTH_SAMPLE_RATE,
+                                        MAX_PTS, BATCH))
+        state = step(state, params, jnp.asarray(batch.rgb),
+                     jnp.asarray(batch.depth), jnp.asarray(batch.pose_tf),
+                     idx, fvalid)
+        done += int((batch.frame_ids >= 0).sum())
+    int(jax.device_get(state.n_slots))
+    elapsed = time.perf_counter() - t0
+    tmp.cleanup()
+    return done / elapsed
+
+
+def kernel_parity() -> dict:
+    """On-chip numerics: compiled kernels vs f32 references (VERDICT item
+    2).  Runs on whatever backend bench runs on — the real chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from avlmaps_tpu.models.lseg.vit import ViTBlock
+    from avlmaps_tpu.ops.similarity import score_features
+    from avlmaps_tpu.ops.voxel_fusion import (
+        fuse_points, init_fusion_state, export_fusion_state)
+
+    rng = np.random.default_rng(0)
+    out = {}
+
+    # 1. fused score kernel vs f32 jnp
+    feats = rng.normal(size=(4096, 512)).astype(np.float32)
+    text = rng.normal(size=(16, 512)).astype(np.float32)
+    got = np.asarray(score_features(jnp.asarray(feats), jnp.asarray(text),
+                                    normalize_map=True, normalize_text=True))
+    fn = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+    tn = text / np.linalg.norm(text, axis=1, keepdims=True)
+    out["score_kernel_max_err"] = float(np.abs(got - fn @ tn.T).max())
+
+    # 2. one fuse_points step vs the numpy oracle
+    n, d = 4096, 64
+    vids = rng.integers(0, 50 * 50 * 8, n).astype(np.int32)
+    f = rng.normal(size=(n, d)).astype(np.float32)
+    rgbs = rng.uniform(0, 255, (n, 3)).astype(np.float32)
+    alphas = rng.uniform(0.1, 1.0, n).astype(np.float32)
+    valid = rng.uniform(size=n) < 0.9
+    st = init_fusion_state(50, 8, d, 8192)
+    st = fuse_points(st, jnp.asarray(vids), jnp.asarray(f),
+                     jnp.asarray(rgbs), jnp.asarray(alphas),
+                     jnp.asarray(valid), gs=50, vh=8)
+    gf, gp, wt, occ, _ = export_fusion_state(st, 50, 8)
+    # numpy oracle: associative weighted mean per voxel id
+    acc: dict = {}
+    for i in np.nonzero(valid)[0]:
+        sf, sw = acc.get(vids[i], (0.0, 0.0))
+        acc[vids[i]] = (sf + alphas[i] * f[i], sw + alphas[i])
+    errs = []
+    for vid, (sf, sw) in acc.items():
+        r, c, hh = (vid // (50 * 8), (vid // 8) % 50, vid % 8)
+        slot = occ[r, c, hh]
+        errs.append(np.abs(gf[slot] - sf / sw).max())
+    out["fusion_max_err"] = float(np.max(errs))
+    out["fusion_voxels"] = len(acc)
+
+    # 3. flash attention vs f32 einsum at the eval shape
+    blk_flash = ViTBlock(256, 4, 4, 1e-6, jnp.bfloat16, attn_impl="flash")
+    blk_ein = ViTBlock(256, 4, 4, 1e-6, jnp.bfloat16, attn_impl="einsum")
+    x = jnp.asarray(rng.normal(size=(2, 901, 256)).astype(np.float32),
+                    jnp.bfloat16)
+    variables = blk_flash.init(jax.random.PRNGKey(0), x)
+    a = np.asarray(blk_flash.apply(variables, x), np.float32)
+    b = np.asarray(blk_ein.apply(variables, x), np.float32)
+    out["flash_attn_max_err"] = float(np.abs(a - b).max())
+
+    ok = (out["score_kernel_max_err"] < 5e-2
+          and out["fusion_max_err"] < 1e-3
+          and out["flash_attn_max_err"] < 0.1)
+    out["status"] = "pass" if ok else "fail"
+    return out
 
 
 def measure_reference_baseline() -> dict:
@@ -200,18 +365,38 @@ def get_baseline() -> dict:
 
 
 def main():
-    fps = measure_tpu_fps()
+    _enable_compile_cache()
+    step, state, params, _ = _build_step_and_inputs()
+    dev = measure_device(step, state, params)
+    e2e_fps = None
+    try:
+        e2e_fps = measure_e2e(step, dev.pop("state"), params)
+    except Exception as e:  # noqa: BLE001 - report device fps regardless
+        dev.pop("state", None)
+        print(f"e2e measurement failed: {e}", file=sys.stderr)
+    try:
+        parity = kernel_parity()
+    except Exception as e:  # noqa: BLE001
+        parity = {"status": f"error: {e}"}
     try:
         baseline = get_baseline()
-        vs = fps / baseline["reference_fps"]
+        vs = dev["device_fps"] / baseline["reference_fps"]
     except Exception as e:  # noqa: BLE001 - never fail the bench on baseline
         print(f"baseline measurement failed: {e}", file=sys.stderr)
         vs = None
     print(json.dumps({
         "metric": "map_build_fps",
-        "value": round(fps, 3),
+        "value": round(dev["device_fps"], 3),
         "unit": "frames/sec",
         "vs_baseline": round(vs, 2) if vs else None,
+        "device_fps": round(dev["device_fps"], 3),
+        "e2e_fps": round(e2e_fps, 3) if e2e_fps else None,
+        "mfu": round(dev["mfu"], 4) if dev.get("mfu") else None,
+        "flops_per_step": dev.get("flops_per_step"),
+        "chip": dev.get("chip"),
+        "kernel_parity": parity.get("status"),
+        "kernel_parity_detail": {k: v for k, v in parity.items()
+                                 if k != "status"},
     }))
 
 

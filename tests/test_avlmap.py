@@ -99,7 +99,7 @@ class TestAVLMapIntegration:
 
     def test_index_object(self, avlmap):
         # reference semantics: init_categories is an mp3dcat-style list whose
-        # first/last entries ('void'/'objects') are stripped (avlmap.py:741)
+        # first/last entries ('void'/'objects') are stripped (avlmap.py:69)
         heat = avlmap.index_object(
             "chair", init_categories=["void", "chair", "table", "objects"])
         n = avlmap.vlmap.grid_feat.shape[0]

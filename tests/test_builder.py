@@ -208,12 +208,13 @@ class TestShardedParity:
         sstate = step(sstate, params, rgb, depth, pose, idx, fvalid)
         f1, p1, w1, o1, r1 = export_fusion_state(sstate, GS, VH)
 
-        # sharded
+        # sharded — f32 wire format for bit-level parity with single-device
         mesh = make_mesh(n_dev)
         fusion = ShardedFusion(mesh, gs=GS, cs=CS, vh=VH, feat_dim=24,
                                capacity=8192 * n_dev, calib_mat=calib,
                                image_hw=(H, W), lseg_apply=model.apply,
-                               base_size=W, crop_size=W)
+                               base_size=W, crop_size=W,
+                               payload_dtype=jnp.float32)
         fusion.step(params, rgb, depth, pose, idx, fvalid)
         f2, p2, w2, o2, r2 = fusion.export()
 
@@ -224,6 +225,19 @@ class TestShardedParity:
         np.testing.assert_array_equal(p1[k1], p2[k2])
         np.testing.assert_allclose(w1[k1], w2[k2], rtol=1e-5)
         np.testing.assert_allclose(f1[k1], f2[k2], rtol=1e-3, atol=1e-3)
+
+        # default bf16 wire format: same voxels, features within bf16 noise
+        fusion16 = ShardedFusion(mesh, gs=GS, cs=CS, vh=VH, feat_dim=24,
+                                 capacity=8192 * n_dev, calib_mat=calib,
+                                 image_hw=(H, W), lseg_apply=model.apply,
+                                 base_size=W, crop_size=W)
+        fusion16.step(params, rgb, depth, pose, idx, fvalid)
+        f3, p3, w3, o3, _ = fusion16.export()
+        np.testing.assert_array_equal(o1 >= 0, o3 >= 0)
+        k3 = np.lexsort(p3.T)
+        np.testing.assert_array_equal(p1[k1], p3[k3])
+        np.testing.assert_allclose(w1[k1], w3[k3], rtol=1e-5)
+        np.testing.assert_allclose(f1[k1], f3[k3], rtol=2e-2, atol=2e-2)
 
     @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
     def test_kill_and_resume_matches_uninterrupted(self, tiny_lseg, rng):

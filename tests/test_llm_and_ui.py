@@ -103,3 +103,51 @@ class TestInteractiveMapCore:
         assert len(visited) == 5
         # moved up the map (decreasing row)
         assert visited[-1][0] < 10
+
+
+class TestVisualize3D:
+    """3D heatmap visualisation fallbacks (reference opens Open3D windows,
+    visualize_utils.py:68-75; headless hosts render PNG / write .ply)."""
+
+    def _cloud(self):
+        rng = np.random.default_rng(0)
+        pc = rng.uniform(0, 10, (500, 3)).astype(np.float32)
+        rgb = rng.integers(0, 255, (500, 3)).astype(np.uint8)
+        heat = rng.uniform(0, 1, 500).astype(np.float32)
+        return pc, rgb, heat
+
+    def test_png_render(self, tmp_path):
+        from avlmaps_tpu.utils.visualize import visualize_heatmap_3d
+
+        pc, rgb, heat = self._cloud()
+        out = visualize_heatmap_3d(pc, heat, rgb,
+                                   save_path=tmp_path / "h.png")
+        assert out is not None and out.exists()
+        assert out.stat().st_size > 1000
+
+    def test_ply_dump_roundtrip(self, tmp_path):
+        from avlmaps_tpu.utils.visualize import (
+            visualize_rgb_map_3d, write_ply)
+
+        pc, rgb, _ = self._cloud()
+        out = visualize_rgb_map_3d(pc, rgb, save_path=tmp_path / "m.ply")
+        assert out is not None and out.exists()
+        header = out.read_text().splitlines()
+        assert header[0] == "ply"
+        assert f"element vertex {pc.shape[0]}" in header[2]
+        assert len(header) == 10 + pc.shape[0]
+        del write_ply  # imported for API presence
+
+    def test_jet_blend_matches_facade(self):
+        """convert_heatmap_to_rgb must equal AVLMap.heatmap_rgb's blend."""
+        import cv2
+
+        from avlmaps_tpu.utils.visualize import convert_heatmap_to_rgb
+
+        pc, rgb, heat = self._cloud()
+        got = convert_heatmap_to_rgb(heat, rgb, 0.5)
+        sim = (heat * 255).astype(np.uint8)
+        jet = cv2.applyColorMap(sim, cv2.COLORMAP_JET)
+        want = jet.reshape(-1, 3)[:, ::-1].astype(np.float32) * 0.5 \
+            + rgb * 0.5
+        np.testing.assert_allclose(got, want, atol=1e-4)
