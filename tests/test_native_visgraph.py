@@ -44,3 +44,36 @@ def test_straight_line_shortcut():
     g = VisGraph(obstacle_map(), use_native=True)
     path = g.shortest_path((50, 5), (55, 20))
     assert len(path) == 2
+
+
+class TestFallbackScale:
+    """Perf guard + parity for the pure-Python fallback at production map
+    scale (gs≈1000) — the path taken when the C++ core fails to load."""
+
+    def test_gs1000_build_time_and_path_parity(self):
+        import time
+
+        rng = np.random.default_rng(0)
+        free = np.ones((1000, 1000), np.uint8)
+        for _ in range(40):
+            r, c = rng.integers(50, 950, 2)
+            h, w = rng.integers(20, 80, 2)
+            free[r:r + h, c:c + w] = 0
+
+        t0 = time.perf_counter()
+        vg = VisGraph(free, use_native=False)
+        build_s = time.perf_counter() - t0
+        assert build_s < 60, f"fallback build took {build_s:.1f}s at gs=1000"
+        assert len(vg.nodes) > 100
+
+        vgn = VisGraph(free, use_native=True)
+
+        def plen(path):
+            return sum(float(np.hypot(*(np.asarray(path[i + 1], float)
+                                        - np.asarray(path[i], float))))
+                       for i in range(len(path) - 1))
+
+        p = vg.shortest_path((10, 10), (980, 980))
+        pn = vgn.shortest_path((10, 10), (980, 980))
+        assert p and pn
+        assert abs(plen(p) - plen(pn)) < 0.05 * plen(pn)
