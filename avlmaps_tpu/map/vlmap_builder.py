@@ -331,7 +331,8 @@ class VLMapBuilder:
             image_hw=(h, w), lseg_apply=self.lseg_apply,
             base_size=getattr(cfg, "lseg_base_size", 520),
             crop_size=getattr(cfg, "lseg_crop_size", 480),
-            min_depth=cfg.min_depth, max_depth=cfg.max_depth)
+            min_depth=cfg.min_depth, max_depth=cfg.max_depth,
+            half_res_apply=self.half_res_apply)
         if saved is not None:
             fusion.restore(*saved)
 

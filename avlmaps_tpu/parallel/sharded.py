@@ -42,7 +42,7 @@ class ShardedFusion:
                  image_hw: Tuple[int, int], lseg_apply: Callable,
                  base_size: int = 520, crop_size: int = 480,
                  min_depth: float = 0.1, max_depth: float = 6.0,
-                 payload_dtype=jnp.bfloat16):
+                 payload_dtype=jnp.bfloat16, half_res_apply: bool = False):
         """``payload_dtype``: wire format of the gathered feature payload —
         bf16 halves the dominant ICI traffic (docs/SCALING.md arithmetic);
         accumulation stays f32 inside fuse_points either way.  Pass
@@ -94,7 +94,8 @@ class ShardedFusion:
             fy = jnp.trunc(uvw[..., 1] / uvw[..., 2] - 0.5).astype(jnp.int32)
             in_feat = (fx >= 0) & (fx < width) & (fy >= 0) & (fy < height)
             feats = features_at_points(lseg_apply, lseg_params, rgb_norm,
-                                       fx, fy, base_size, crop_size)
+                                       fx, fy, base_size, crop_size,
+                                       half_res_apply=half_res_apply)
             rgb_u8 = (rgb_norm * 0.5 + 0.5) * 255.0
             rgbs = jnp.take_along_axis(rgb_u8.reshape(b, -1, 3),
                                        sample_idx[..., None], axis=1)
