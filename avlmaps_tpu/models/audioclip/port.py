@@ -12,7 +12,7 @@ logit scales, and the RN50 ModifiedResNet visual tower under ``visual.*``
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import numpy as np
 
@@ -68,6 +68,56 @@ def _attention2d(sd, key) -> Dict[str, Any]:
     return {"conv_depth": _conv(sd, f"{key}.conv_depth"),
             "conv_point": _conv(sd, f"{key}.conv_point"),
             "bn": _bn(sd, f"{key}.bn")}
+
+
+def config_from_state_dict(sd: Dict[str, Any]) -> AudioClipConfig:
+    """Infer the AudioCLIP variant from checkpoint shapes (counts of
+    transformer.resblocks / audio.layerX / visual.layerX entries and the
+    projection dims), so the porter drives on any-size checkpoints."""
+    import dataclasses as _dc
+
+    def stage_counts(prefix):
+        out = []
+        for stage in range(1, 5):
+            blocks = {k.split(".")[2] for k in sd
+                      if k.startswith(f"{prefix}.layer{stage}.")}
+            out.append(len(blocks))
+        return tuple(out)
+
+    text_layers = len({k.split(".")[2] for k in sd
+                       if k.startswith("transformer.resblocks.")})
+    text_width = _t(sd["ln_final.weight"]).shape[0]
+    embed_dim = _t(sd["text_projection"]).shape[1]
+    context_length = _t(sd["positional_embedding"]).shape[0]
+    vocab_size = _t(sd["token_embedding.weight"]).shape[0]
+
+    base = AudioClipConfig()
+    n_out = _t(sd["audio.fbsp.m"]).shape[0]
+    audio = _dc.replace(base.audio, layers=stage_counts("audio"),
+                        num_classes=embed_dim, n_fft=2 * (n_out - 1))
+    # grouped-conv width back-solves groups*width_per_group from conv2
+    w2 = _t(sd["audio.layer1.0.conv2.weight"])
+    groups = w2.shape[0] // w2.shape[1]
+    audio = _dc.replace(audio, groups=groups,
+                        width_per_group=w2.shape[0] * 64
+                        // (64 * groups))
+
+    vwidth = _t(sd["visual.conv3.weight"]).shape[0]
+    n_pos = _t(sd["visual.attnpool.positional_embedding"]).shape[0]
+    spatial = int(round((n_pos - 1) ** 0.5))
+    c_final = _t(sd["visual.attnpool.k_proj.weight"]).shape[0]
+    # OpenAI rule: attnpool heads = vision_width * 32 // 64 = c_final // 64
+    # (RN50: 2048 // 64 = 32)
+    vision = _dc.replace(base.vision, layers=stage_counts("visual"),
+                         width=vwidth, embed_dim=embed_dim,
+                         heads=max(1, c_final // 64),
+                         image_size=spatial * 32)
+    return AudioClipConfig(
+        embed_dim=embed_dim, text_width=text_width,
+        text_layers=text_layers,
+        text_heads=max(1, text_width // 64),
+        context_length=context_length, vocab_size=vocab_size,
+        audio=audio, vision=vision)
 
 
 def port_audioclip_state_dict(sd: Dict[str, Any],
@@ -154,10 +204,14 @@ def port_audioclip_state_dict(sd: Dict[str, Any],
 
 
 def load_audioclip_checkpoint(path: str,
-                              cfg: AudioClipConfig = AudioClipConfig()):
+                              cfg: Optional[AudioClipConfig] = None):
+    """Load AudioCLIP-Partial-Training.pt -> flax variables.  The variant
+    config is inferred from the checkpoint shapes unless given."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
     if "state_dict" in sd:
         sd = sd["state_dict"]
+    if cfg is None:
+        cfg = config_from_state_dict(sd)
     return port_audioclip_state_dict(sd, cfg)

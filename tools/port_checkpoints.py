@@ -3,7 +3,7 @@
 Usage:
   python tools/port_checkpoints.py --lseg demo_e200.ckpt \
       --clip ViT-B-32.pt --audioclip AudioCLIP-Partial-Training.pt \
-      --out ported/
+      --superpoint superpoint_v1.pth --wav2clip wav2clip.pt --out ported/
 
 Each provided checkpoint is converted with the corresponding porter
 (models/{lseg,clip,audioclip}/port.py) and written as a msgpack file loadable
@@ -34,6 +34,11 @@ def main() -> None:
     parser.add_argument("--clip", help="OpenAI CLIP .pt path")
     parser.add_argument("--audioclip",
                         help="AudioCLIP-Partial-Training.pt path")
+    parser.add_argument("--superpoint", help="superpoint_v1.pth path")
+    parser.add_argument("--wav2clip",
+                        help="wav2clip resnet18 state-dict path")
+    parser.add_argument("--lseg-layers", type=int, default=24,
+                        help="ViT depth of the LSeg checkpoint")
     parser.add_argument("--out", default="ported")
     args = parser.parse_args()
     out = Path(args.out)
@@ -41,7 +46,8 @@ def main() -> None:
     if args.lseg:
         from avlmaps_tpu.models.lseg.port import load_lseg_checkpoint
 
-        save_tree(load_lseg_checkpoint(args.lseg), out / "lseg.msgpack")
+        save_tree(load_lseg_checkpoint(args.lseg, vit_layers=args.lseg_layers),
+                  out / "lseg.msgpack")
     if args.clip:
         from avlmaps_tpu.models.clip.port import load_clip_checkpoint
 
@@ -57,7 +63,26 @@ def main() -> None:
 
         save_tree(load_audioclip_checkpoint(args.audioclip),
                   out / "audioclip.msgpack")
-    if not (args.lseg or args.clip or args.audioclip):
+    if args.superpoint:
+        from avlmaps_tpu.models.superpoint.port import (
+            load_superpoint_checkpoint,
+        )
+
+        sp_cfg, sp_vars = load_superpoint_checkpoint(args.superpoint)
+        save_tree(sp_vars, out / "superpoint.msgpack")
+        print(f"  superpoint config: channels={sp_cfg.channels} "
+              f"desc={sp_cfg.desc_dim}")
+    if args.wav2clip:
+        import torch
+
+        from avlmaps_tpu.models.wav2clip import port_wav2clip_state_dict
+
+        sd = torch.load(args.wav2clip, map_location="cpu",
+                        weights_only=False)
+        sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+        save_tree(port_wav2clip_state_dict(sd), out / "wav2clip.msgpack")
+    if not (args.lseg or args.clip or args.audioclip or args.superpoint
+            or args.wav2clip):
         parser.error("provide at least one checkpoint path")
 
 
