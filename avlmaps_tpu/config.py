@@ -81,6 +81,10 @@ class MapConfig:
     max_depth: float = 6.0
     lseg_base_size: int = 520  # sliding-window long side (lseg_utils.py:38-44)
     lseg_crop_size: int = 480
+    # learned local features for VisualMap (superpoint_v1.pth path); empty
+    # string -> ORB fallback (reference uses SuperPoint via HLoc,
+    # localization_utils.py:127-145)
+    superpoint_ckpt: str = ""
 
     @property
     def gs(self) -> int:

@@ -36,8 +36,10 @@ class AVLMap:
                                   is_ambiguous=False, is_real=False,
                                   audioclip_encoder=audioclip_encoder)
         self.area_map = AreaMap(data_dir, clip_encoder=area_clip_encoder)
-        self.visual_map = VisualMap(config.map_config, data_dir,
-                                    clip_encoder=area_clip_encoder)
+        self.visual_map = VisualMap(
+            config.map_config, data_dir, clip_encoder=area_clip_encoder,
+            superpoint_ckpt=getattr(config.map_config, "superpoint_ckpt",
+                                    "") or None)
         self.dataloader = None
 
     # -- lifecycle (reference avlmap.py:38-56) ----------------------------
