@@ -222,6 +222,13 @@ class AVLMapsConfig:
     nav: NavConfig = field(default_factory=NavConfig)
     scene_id: int = 0
     decay_rate: float = 0.01  # reference config/map_indexing_cfg.yaml
+    # checkpoint paths (reference download_checkpoints.bash:1-14); empty ->
+    # randomly-initialised encoders (tests/benchmarks).  .ckpt/.pt files go
+    # through the porters; .msgpack files are pre-ported trees from
+    # tools/port_checkpoints.py
+    lseg_ckpt: str = ""
+    clip_ckpt: str = ""
+    audioclip_ckpt: str = ""
 
     def __post_init__(self) -> None:
         # propagate the params interpolations the reference expresses with

@@ -29,8 +29,24 @@ class AVLMap:
                  clip_encoder=None, area_clip_encoder=None,
                  audioclip_encoder=None):
         self.config = config
+        lseg_ckpt = getattr(config, "lseg_ckpt", "")
+        clip_ckpt = getattr(config, "clip_ckpt", "")
+        audioclip_ckpt = getattr(config, "audioclip_ckpt", "")
+        if audioclip_encoder is None and audioclip_ckpt:
+            from avlmaps_tpu.models.audioclip import AudioClipEncoder
+            from avlmaps_tpu.models.audioclip.port import (
+                load_audioclip_checkpoint_with_config)
+
+            ac_cfg, ac_vars = load_audioclip_checkpoint_with_config(
+                audioclip_ckpt)
+            audioclip_encoder = AudioClipEncoder(cfg=ac_cfg, params=ac_vars)
+        if area_clip_encoder is None and clip_ckpt:
+            from avlmaps_tpu.models.clip import ClipEncoder
+
+            area_clip_encoder = ClipEncoder.from_checkpoint(clip_ckpt)
         self.vlmap = VLMap(config.map_config, data_dir=data_dir,
-                           clip_encoder=clip_encoder)
+                           clip_encoder=clip_encoder,
+                           lseg_ckpt=lseg_ckpt, clip_ckpt=clip_ckpt)
         self.sound_map = SoundMap(data_dir, config.sound_config,
                                   config.sound_data_collect_params,
                                   is_ambiguous=False, is_real=False,

@@ -21,30 +21,62 @@ from avlmaps_tpu.ops.pooling import pool_3d_label_to_2d
 from avlmaps_tpu.utils.category_matching import find_similar_category_id
 
 
+def load_lseg_params(path: str, model):
+    """LSeg weights from a .ckpt/.pt (through the porter) or a pre-ported
+    .msgpack (tools/port_checkpoints.py output)."""
+    if str(path).endswith(".msgpack"):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from flax import serialization
+
+        template = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0),
+            jnp.zeros((1, 480, 480, 3), jnp.float32))
+        template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype),
+                                template)
+        with open(path, "rb") as f:
+            return serialization.from_bytes(template, f.read())
+    from avlmaps_tpu.models.lseg.port import load_lseg_checkpoint
+
+    return load_lseg_checkpoint(str(path))
+
+
 class VLMap(Map):
     def __init__(self, map_config: MapConfig, data_dir: str = "",
-                 clip_encoder=None):
+                 clip_encoder=None, lseg_ckpt: str = "",
+                 clip_ckpt: str = ""):
         super().__init__(map_config, data_dir=data_dir)
         self.scores_mat: Optional[np.ndarray] = None
         self.categories: Optional[List[str]] = None
         self.clip_encoder = clip_encoder
+        self.lseg_ckpt = lseg_ckpt
+        self.clip_ckpt = clip_ckpt
         self._lseg = None  # (apply_fn, params) injected for map creation
 
     # -- model wiring --------------------------------------------------------
 
     def _init_clip(self, clip_version: str = "ViT-B/32"):
-        """Lazy CLIP init (reference vlmap.py:67-90)."""
+        """Lazy CLIP init (reference vlmap.py:67-90); loads the OpenAI .pt
+        when a checkpoint path is configured, random weights otherwise."""
         if self.clip_encoder is not None:
             return self.clip_encoder
         from avlmaps_tpu.models.clip import ClipEncoder
 
-        self.clip_encoder = ClipEncoder(clip_version)
+        if self.clip_ckpt:
+            self.clip_encoder = ClipEncoder.from_checkpoint(self.clip_ckpt)
+        else:
+            self.clip_encoder = ClipEncoder(clip_version)
         return self.clip_encoder
 
     def set_lseg(self, apply_fn, params, feat_dim: int = 512):
         self._lseg = (apply_fn, params, feat_dim)
 
     def _default_lseg(self):
+        """LSeg for map creation: the configured checkpoint (demo_e200.ckpt
+        via the porter, or a pre-ported .msgpack) when given, randomly
+        initialised otherwise (reference _init_lseg,
+        avlmaps/map/vlmap_builder.py:226-264)."""
         if self._lseg is None:
             import jax
             import jax.numpy as jnp
@@ -52,9 +84,12 @@ class VLMap(Map):
 
             cfg = LSegConfig.vitl16(dtype=jnp.bfloat16)
             model = LSegNet(cfg)
-            params = jax.jit(model.init)(
-                jax.random.PRNGKey(0), jnp.zeros((1, 480, 480, 3),
-                                                 jnp.float32))
+            if self.lseg_ckpt:
+                params = load_lseg_params(self.lseg_ckpt, model)
+            else:
+                params = jax.jit(model.init)(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 480, 480, 3),
+                                                     jnp.float32))
             self._lseg = (model.apply, params, 512)
         return self._lseg
 

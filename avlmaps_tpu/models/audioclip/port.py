@@ -215,3 +215,15 @@ def load_audioclip_checkpoint(path: str,
     if cfg is None:
         cfg = config_from_state_dict(sd)
     return port_audioclip_state_dict(sd, cfg)
+
+
+def load_audioclip_checkpoint_with_config(path: str):
+    """(config, flax variables) from AudioCLIP-Partial-Training.pt — the
+    pair AudioClipEncoder needs."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    cfg = config_from_state_dict(sd)
+    return cfg, port_audioclip_state_dict(sd, cfg)

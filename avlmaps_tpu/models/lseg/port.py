@@ -139,10 +139,17 @@ def port_lseg_state_dict(sd: Dict[str, Any], vit_layers: int = 24,
     }}
 
 
-def load_lseg_checkpoint(path: str, vit_layers: int = 24):
-    """Load demo_e200.ckpt (Lightning format) and port to flax params."""
+def load_lseg_checkpoint(path: str, vit_layers: int = None):
+    """Load demo_e200.ckpt (Lightning format) and port to flax params.
+
+    ``vit_layers`` defaults to the block count found in the checkpoint
+    (24 for the real ViT-L file)."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt)
+    if vit_layers is None:
+        blocks = {k.split(".")[4] for k in sd
+                  if k.startswith("net.pretrained.model.blocks.")}
+        vit_layers = len(blocks) or 24
     return port_lseg_state_dict(sd, vit_layers=vit_layers)
