@@ -225,10 +225,11 @@ class VLMapBuilderMultiFloor:
 
 
 class VLMapMultiFloor:
-    """Query-side wrapper for the multi-floor artifact
-    (reference vlmap_multi_floor.py)."""
+    """Query-side wrapper for the multi-floor artifact with the same
+    open-vocabulary indexing API as the single-floor VLMap
+    (reference vlmap_multi_floor.py:111-144)."""
 
-    def __init__(self, map_config, data_dir: str = ""):
+    def __init__(self, map_config, data_dir: str = "", clip_encoder=None):
         self.map_config = map_config
         self.data_dir = Path(data_dir) if data_dir else None
         self.grid_feat = None
@@ -239,6 +240,9 @@ class VLMapMultiFloor:
         self.pcd_min = None
         self.pcd_max = None
         self.cs = None
+        self.scores_mat = None
+        self.categories = None
+        self.clip_encoder = clip_encoder
 
     def load_map(self, data_dir) -> bool:
         path = Path(data_dir) / "vlmap_multi_floor" \
@@ -257,3 +261,59 @@ class VLMapMultiFloor:
         out[:, 1] = self.pcd_min[1] + grid_pos[:, 2] * self.cs
         out[:, 2] = self.pcd_min[2] + grid_pos[:, 1] * self.cs
         return out
+
+    # -- open-vocabulary indexing (reference vlmap_multi_floor.py:86-144) --
+
+    def _init_clip(self, clip_version: str = "ViT-B/32"):
+        if self.clip_encoder is None:
+            from avlmaps_tpu.models.clip import ClipEncoder
+
+            self.clip_encoder = ClipEncoder(clip_version)
+        return self.clip_encoder
+
+    def init_categories(self, categories) -> np.ndarray:
+        """Pre-score the whole-building map against a fixed category list
+        (reference :111-122)."""
+        self.categories = list(categories)
+        enc = self._init_clip()
+        self.scores_mat = enc.get_lseg_score(
+            self.categories, self.grid_feat, use_multiple_templates=True,
+            add_other=True)
+        return self.scores_mat
+
+    def index_map(self, language_desc: str,
+                  with_init_cat: bool = True) -> np.ndarray:
+        """Per-voxel boolean mask for a language query (reference
+        :123-144)."""
+        from avlmaps_tpu.utils.category_matching import (
+            find_similar_category_id)
+
+        if with_init_cat and self.scores_mat is not None and self.categories:
+            cat_id = find_similar_category_id(language_desc,
+                                              self.categories)
+            scores_mat = self.scores_mat
+        else:
+            if with_init_cat:
+                raise Exception(
+                    "Categories are not preloaded. Call "
+                    "init_categories(categories: List[str]) to initialize "
+                    "categories.")
+            enc = self._init_clip()
+            scores_mat = enc.get_lseg_score(
+                [language_desc], self.grid_feat,
+                use_multiple_templates=True, add_other=True)
+            cat_id = 0
+        return np.argmax(scores_mat, axis=1) == cat_id
+
+    def get_pos(self, name: str):
+        """Top-down contours/centers/bboxes of a category's islands over the
+        whole building (reference get_pos, :177-206; the multi-floor grid
+        pools along its y-up axis)."""
+        from avlmaps_tpu.map.map_base import get_segment_islands_pos
+        from avlmaps_tpu.ops.pooling import pool_3d_label_to_2d
+
+        assert self.categories
+        mask = self.index_map(name, with_init_cat=True)
+        gs = self.occupied_ids.shape[0]
+        mask_2d = pool_3d_label_to_2d(mask, self.grid_pos, gs)
+        return get_segment_islands_pos(mask_2d, 1)[:3]

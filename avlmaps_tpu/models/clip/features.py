@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from avlmaps_tpu.models.clip.model import (
-    Clip, ClipConfig, CLIP_VARIANTS, CLIP_FEAT_DIMS, preprocess_images,
+    Clip, ClipConfig, CLIP_VARIANTS, preprocess_images,
 )
 from avlmaps_tpu.models.clip.tokenizer import ClipTokenizer, default_tokenizer
 from avlmaps_tpu.ops.similarity import score_features

@@ -23,8 +23,7 @@ from avlmaps_tpu.geometry.grid import (
 from avlmaps_tpu.geometry.projection import get_sim_cam_mat
 from avlmaps_tpu.models.lseg.window import plan_windows, features_at_points
 from avlmaps_tpu.ops.voxel_fusion import (
-    VoxelFusionState, init_fusion_state, fuse_points, export_fusion_state,
-    concept_fusion_alpha,
+    VoxelFusionState, init_fusion_state, fuse_points, concept_fusion_alpha,
 )
 
 

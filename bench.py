@@ -82,7 +82,6 @@ def _build_step_and_inputs():
     import jax
     import jax.numpy as jnp
 
-    from avlmaps_tpu.geometry.projection import get_sim_cam_mat  # noqa: F401
     from avlmaps_tpu.map.vlmap_builder import make_frame_step
     from avlmaps_tpu.models.lseg import LSegNet, LSegConfig
     from avlmaps_tpu.ops.voxel_fusion import init_fusion_state

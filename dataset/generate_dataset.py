@@ -14,13 +14,13 @@ from __future__ import annotations
 import argparse
 import sys
 from pathlib import Path
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from avlmaps_tpu.config import load_config, SoundConfig
+from avlmaps_tpu.config import load_config
 from avlmaps_tpu.robot.sim import HABITAT_AVAILABLE
 from avlmaps_tpu.utils.audio import read_wav, write_wav
 from avlmaps_tpu.utils.esc50 import ESC50Meta

@@ -10,7 +10,7 @@ from __future__ import annotations
 import json
 import sys
 from pathlib import Path
-from typing import Dict, List, Sequence, Set, Tuple
+from typing import List, Sequence, Set, Tuple
 
 import numpy as np
 
@@ -19,7 +19,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from avlmaps_tpu.dataloader.habitat_dataloader import VLMapsDataloaderHabitat
 from avlmaps_tpu.geometry.transforms import pose_vec_to_tf
 from avlmaps_tpu.utils.audio import (
-    convert_time_ranges_to_frame_ranges, setup_audio_paths,
+    setup_audio_paths,
 )
 
 

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import pytest
 
 from avlmaps_tpu.models.clip import (
-    Clip, ClipConfig, ClipTokenizer, ClipEncoder, MULTIPLE_TEMPLATES,
+    Clip, ClipConfig, ClipTokenizer, ClipEncoder,
 )
 from avlmaps_tpu.models.clip.tokenizer import SOT_ID, EOT_ID
 from avlmaps_tpu.models.clip.port import port_clip_state_dict

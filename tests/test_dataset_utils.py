@@ -14,7 +14,7 @@ from avlmaps_tpu.utils.audio import (
     convert_time_ranges_to_frame_ranges, get_five_second_context,
 )
 from avlmaps_tpu.utils.esc50 import ESC50Meta
-from avlmaps_tpu.utils.profiling import Tic, Profiler, RateMeter
+from avlmaps_tpu.utils.profiling import Profiler, RateMeter
 from avlmaps_tpu.utils.category_assigner import CategoryAssigner
 from dataset.generate_dataset import select_audio_frames, \
     assign_sounds_to_sequence

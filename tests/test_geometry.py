@@ -4,7 +4,6 @@ avlmaps/dataloader/habitat_dataloader.py:150-173)."""
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 from scipy.spatial.transform import Rotation as R
 
 from avlmaps_tpu.geometry import (

@@ -10,7 +10,7 @@ import pytest
 from avlmaps_tpu.models.lseg import (
     LSegNet, LSegConfig, plan_windows, sliding_window_features,
     features_at_points, normalize_image, port_lseg_state_dict,
-    strip_net_prefix, LOGIT_SCALE,
+    strip_net_prefix,
 )
 
 

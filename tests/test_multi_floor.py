@@ -5,12 +5,11 @@ from pathlib import Path
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from avlmaps_tpu.config import load_config
 from avlmaps_tpu.geometry.projection import get_sim_cam_mat
 from avlmaps_tpu.map.vlmap_builder_multi_floor import (
-    VLMapBuilderMultiFloor, VLMapMultiFloor, load_multi_floor_map,
+    VLMapBuilderMultiFloor, VLMapMultiFloor,
 )
 from avlmaps_tpu.models.lseg import LSegNet, LSegConfig
 
@@ -72,6 +71,27 @@ def test_multi_floor_build_and_load(tmp_path):
     np.testing.assert_allclose(m.pcd_min, pcd_min)
     g = m.grid_to_global(m.grid_pos[:5])
     assert (g >= pcd_min - 1e-6).all()
+
+    # open-vocabulary indexing API (reference vlmap_multi_floor.py:111-144)
+    class FakeClip:
+        def get_lseg_score(self, cats, feats, use_multiple_templates=True,
+                           add_other=True):
+            rng2 = np.random.default_rng(0)
+            text = rng2.normal(size=(len(cats) + 1, feats.shape[1]))
+            fn = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+            return (fn @ text.T).astype(np.float32)
+
+    m.clip_encoder = FakeClip()
+    scores = m.init_categories(["chair", "table"])
+    assert scores.shape == (m.grid_feat.shape[0], 3)  # + 'other'
+    mask = m.index_map("chair", with_init_cat=True)
+    assert mask.shape == (m.grid_feat.shape[0],)
+    assert mask.dtype == bool
+    # uncategorised query path
+    mask2 = m.index_map("sofa", with_init_cat=False)
+    assert mask2.shape == mask.shape
+    contours, centers, bboxes = m.get_pos("chair")
+    assert isinstance(contours, list)
 
 
 def test_missing_map_load(tmp_path):

@@ -18,7 +18,7 @@ from avlmaps_tpu.nav.visgraph import VisGraph, plan_to_pos_v2, line_clear
 from avlmaps_tpu.nav.navigator import Navigator
 from avlmaps_tpu.robot.sim import KinematicSimulator
 from avlmaps_tpu.task.tasks import (
-    HabitatTask, HabitatSpatialGoalNavigationTask,
+    HabitatSpatialGoalNavigationTask,
 )
 
 GS, CS, VH = 100, 0.05, 8

@@ -3,7 +3,6 @@ setup, move_to through plan->actions->sim, language primitives, LLM-code
 execution (the reference's robot smoke test, habitat_lang_robot.py:633-664,
 without needing habitat)."""
 
-from pathlib import Path
 
 import numpy as np
 import pytest

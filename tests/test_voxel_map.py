@@ -4,7 +4,7 @@ mapping_utils.py:469-541) and derived 2D maps."""
 import numpy as np
 
 from avlmaps_tpu.map.voxel_map import (
-    SparseVoxelMap, save_3d_map, load_3d_map, save_clip_sparse_map,
+    SparseVoxelMap, save_clip_sparse_map,
     load_clip_sparse_map,
 )
 

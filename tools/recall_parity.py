@@ -220,7 +220,6 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
     from avlmaps_tpu.config import load_config
     from avlmaps_tpu.geometry.projection import get_sim_cam_mat
     from avlmaps_tpu.geometry.transforms import (
