@@ -81,6 +81,10 @@ class MapConfig:
     max_depth: float = 6.0
     lseg_base_size: int = 520  # sliding-window long side (lseg_utils.py:38-44)
     lseg_crop_size: int = 480
+    # host->device transport for the build loop: "frame" ships full RGB-D
+    # frames, "canvas" ships the resized LSeg canvas + per-point depth/colour
+    # gathers (~6.4x fewer bytes; see pipeline/transport.py)
+    transport: str = "canvas"
     # learned local features for VisualMap (superpoint_v1.pth path); empty
     # string -> ORB fallback (reference uses SuperPoint via HLoc,
     # localization_utils.py:127-145)

@@ -125,6 +125,81 @@ def make_frame_step(lseg_apply: Callable, *, gs: int, cs: float, vh: int,
     return step
 
 
+def make_frame_step_canvas(lseg_apply: Callable, *, gs: int, cs: float,
+                           vh: int, calib_mat: np.ndarray,
+                           image_hw: Tuple[int, int],
+                           base_size: int = 520, crop_size: int = 480,
+                           min_depth: float = 0.1, max_depth: float = 6.0,
+                           n_rows: Optional[int] = None,
+                           row_offset: int = 0,
+                           half_res_apply: bool = True) -> Callable:
+    """Lean-transport variant of make_frame_step (pipeline.transport).
+
+    Consumes a CanvasBatch — the pre-resized uint8 canvas plus depth/colour
+    gathered at the sampled pixels on the host — instead of full frames:
+    ~6.4x less host->device traffic, bit-identical depth/colour values and
+    an identical LSeg input up to the canvas' uint8 re-quantisation.  The
+    geometry below is the same program as make_frame_step with the full-res
+    depth/RGB gathers and the device resize removed.
+    """
+    h, w = image_hw
+    height, width, _, _, _ = plan_windows(h, w, base_size, crop_size)
+    feat_intr = jnp.asarray(get_sim_cam_mat(height, width), jnp.float32)
+    inv_calib = jnp.asarray(np.linalg.inv(calib_mat), jnp.float32)
+    rows = gs if n_rows is None else n_rows
+
+    def step(state: VoxelFusionState, lseg_params, canvas_u8: jnp.ndarray,
+             z_mm: jnp.ndarray, rgb_pts: jnp.ndarray, pose: jnp.ndarray,
+             sample_idx: jnp.ndarray,
+             frame_valid: jnp.ndarray) -> VoxelFusionState:
+        canvas = canvas_u8.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+        z = z_mm.astype(jnp.float32) * 1e-3  # (B, N) metres
+        px = (sample_idx % w).astype(jnp.float32)
+        py = (sample_idx // w).astype(jnp.float32)
+
+        uv1 = jnp.stack([px + 0.5, py + 0.5, jnp.ones_like(px)], axis=-1)
+        rays = jnp.einsum("ij,bnj->bni", inv_calib, uv1,
+                          precision=jax.lax.Precision.HIGHEST)
+        pc_local = rays * z[..., None]
+        zmask = (z > min_depth) & (z < max_depth)
+
+        pc_global = jnp.einsum("bij,bnj->bni", pose[:, :3, :3], pc_local,
+                               precision=jax.lax.Precision.HIGHEST) \
+            + pose[:, None, :3, 3]
+
+        gid = jax.vmap(lambda p: base_pos_to_grid_id_jax(gs, cs, p))(pc_global)
+        in_grid = jax.vmap(lambda g: out_of_range_mask_jax(g, gs, vh))(gid)
+
+        uvw = jnp.einsum("ij,bnj->bni", feat_intr, pc_local,
+                         precision=jax.lax.Precision.HIGHEST)
+        fx = jnp.trunc(uvw[..., 0] / uvw[..., 2] - 0.5).astype(jnp.int32)
+        fy = jnp.trunc(uvw[..., 1] / uvw[..., 2] - 0.5).astype(jnp.int32)
+        in_feat = (fx >= 0) & (fx < width) & (fy >= 0) & (fy < height)
+
+        feats = features_at_points(lseg_apply, lseg_params, canvas, fx, fy,
+                                   base_size, crop_size,
+                                   half_res_apply=half_res_apply)
+
+        alpha = concept_fusion_alpha(pc_local)
+        valid = zmask & in_grid & in_feat & frame_valid[:, None]
+
+        local_row = gid[..., 0] - row_offset
+        owned = (local_row >= 0) & (local_row < rows)
+        valid = valid & owned
+        lgid = jnp.concatenate([local_row[..., None], gid[..., 1:]], axis=-1)
+        vids = jax.vmap(lambda g: voxel_linear_id_jax(g, gs, vh))(lgid)
+        vids = jnp.clip(vids, 0, rows * gs * vh - 1)
+
+        d = feats.shape[-1]
+        return fuse_points(
+            state, vids.reshape(-1), feats.reshape(-1, d),
+            rgb_pts.astype(jnp.float32).reshape(-1, 3),
+            alpha.reshape(-1), valid.reshape(-1),
+            gs=gs, vh=vh, n_rows=rows)
+
+    return step
+
+
 def sample_pixels(rng: np.random.Generator, h: int, w: int,
                   depth_sample_rate: int, max_pts: int,
                   batch: int) -> np.ndarray:
@@ -161,7 +236,8 @@ class VLMapBuilder:
                  base_transform: np.ndarray, lseg_apply=None,
                  lseg_params=None, feat_dim: int = 512,
                  batch_size: int = 4, seed: int = 0, mesh=None,
-                 half_res_apply: bool = False):
+                 half_res_apply: bool = False,
+                 transport: Optional[str] = None):
         self.data_dir = Path(data_dir)
         self.map_config = map_config
         self.pose_path = pose_path
@@ -175,6 +251,11 @@ class VLMapBuilder:
         self.batch_size = batch_size
         self.mesh = mesh  # jax.sharding.Mesh -> multi-chip sharded fusion
         self.half_res_apply = half_res_apply
+        # "frame" ships full RGB-D frames; "canvas" ships the resized canvas
+        # + per-point gathers (pipeline.transport — ~6.4x less H2D traffic).
+        # None -> the map_config's transport knob (default "frame").
+        self.transport = transport if transport is not None else \
+            getattr(map_config, "transport", "frame")
         self.rng = np.random.default_rng(seed)
         self.map_save_dir = self.data_dir / "vlmap"
         self.map_save_path = self.map_save_dir / "vlmaps.h5df"
@@ -248,28 +329,56 @@ class VLMapBuilder:
         else:
             state = init_fusion_state(gs, vh, self.feat_dim, cfg.capacity)
 
-        step = make_frame_step(
-            self.lseg_apply, gs=gs, cs=cs, vh=vh,
-            calib_mat=cfg.calib_matrix(), image_hw=(h, w),
-            base_size=getattr(cfg, "lseg_base_size", 520),
-            crop_size=getattr(cfg, "lseg_crop_size", 480),
-            min_depth=cfg.min_depth, max_depth=cfg.max_depth,
-            half_res_apply=self.half_res_apply, rgb_uint8=True)
+        base_size = getattr(cfg, "lseg_base_size", 520)
+        crop_size = getattr(cfg, "lseg_crop_size", 480)
+        use_canvas = self.transport == "canvas"
+        if use_canvas:
+            from avlmaps_tpu.pipeline.transport import make_canvas_transform
+
+            step = make_frame_step_canvas(
+                self.lseg_apply, gs=gs, cs=cs, vh=vh,
+                calib_mat=cfg.calib_matrix(), image_hw=(h, w),
+                base_size=base_size, crop_size=crop_size,
+                min_depth=cfg.min_depth, max_depth=cfg.max_depth,
+                half_res_apply=self.half_res_apply)
+            height, width, _, _, _ = plan_windows(h, w, base_size, crop_size)
+            transform = make_canvas_transform(
+                lambda b: sample_pixels(self.rng, h, w,
+                                        cfg.depth_sample_rate, max_pts, b),
+                (height, width))
+        else:
+            step = make_frame_step(
+                self.lseg_apply, gs=gs, cs=cs, vh=vh,
+                calib_mat=cfg.calib_matrix(), image_hw=(h, w),
+                base_size=base_size, crop_size=crop_size,
+                min_depth=cfg.min_depth, max_depth=cfg.max_depth,
+                half_res_apply=self.half_res_apply, rgb_uint8=True)
+            transform = None
         step = jax.jit(step, donate_argnums=(0,))
 
         loader = PrefetchLoader(self.rgb_paths, self.depth_paths, pose_tfs,
                                 batch_size=self.batch_size, skip_ids=mapped,
-                                normalize=False)
+                                normalize=False, transform=transform)
         done = 0
         meter = RateMeter()
         for batch in loader:
-            sample_idx = sample_pixels(self.rng, h, w, cfg.depth_sample_rate,
-                                       max_pts, self.batch_size)
-            state = step(state, self.lseg_params,
-                         jnp.asarray(batch.rgb), jnp.asarray(batch.depth),
-                         jnp.asarray(batch.pose_tf),
-                         jnp.asarray(sample_idx),
-                         jnp.asarray(batch.frame_ids >= 0))
+            if use_canvas:
+                state = step(state, self.lseg_params,
+                             jnp.asarray(batch.canvas),
+                             jnp.asarray(batch.z_mm),
+                             jnp.asarray(batch.rgb_pts),
+                             jnp.asarray(batch.pose_tf),
+                             jnp.asarray(batch.sample_idx),
+                             jnp.asarray(batch.frame_ids >= 0))
+            else:
+                sample_idx = sample_pixels(self.rng, h, w,
+                                           cfg.depth_sample_rate,
+                                           max_pts, self.batch_size)
+                state = step(state, self.lseg_params,
+                             jnp.asarray(batch.rgb), jnp.asarray(batch.depth),
+                             jnp.asarray(batch.pose_tf),
+                             jnp.asarray(sample_idx),
+                             jnp.asarray(batch.frame_ids >= 0))
             n_new = int((batch.frame_ids >= 0).sum())
             mapped.update(int(i) for i in batch.frame_ids if i >= 0)
             done += n_new

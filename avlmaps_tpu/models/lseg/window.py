@@ -83,7 +83,9 @@ def sliding_window_features(apply_fn: Callable, params, images: jnp.ndarray,
     b, h, w, _ = images.shape
     height, width, ph, pw, crops = plan_windows(h, w, base_size, crop_size)
 
-    x = resize_bilinear_align_corners(images, height, width)
+    # canvas-sized input (pipeline.transport canvas mode): resize is identity
+    x = images if (h, w) == (height, width) \
+        else resize_bilinear_align_corners(images, height, width)
     pad = _pad_value()
     canvas_in = jnp.broadcast_to(jnp.asarray(pad), (b, ph, pw, 3))
     canvas_in = canvas_in.at[:, :height, :width, :].set(x)
@@ -188,7 +190,8 @@ def _features_at_points_halfres(apply_fn, params, images, px, py,
                                 ) -> jnp.ndarray:
     b, h, w, _ = images.shape
     height, width, ph, pw, crops = plan_windows(h, w, base_size, crop_size)
-    x = resize_bilinear_align_corners(images, height, width)
+    x = images if (h, w) == (height, width) \
+        else resize_bilinear_align_corners(images, height, width)
     pad = _pad_value()
     canvas_in = jnp.broadcast_to(jnp.asarray(pad), (b, ph, pw, 3))
     canvas_in = canvas_in.at[:, :height, :width, :].set(x)

@@ -58,7 +58,8 @@ class PrefetchLoader:
     def __init__(self, rgb_paths: Sequence, depth_paths: Sequence,
                  pose_tfs: Sequence[np.ndarray], batch_size: int = 4,
                  depth: int = 2, normalize=None,
-                 skip_ids: Optional[set] = None, depth_mm: bool = False):
+                 skip_ids: Optional[set] = None, depth_mm: bool = False,
+                 transform=None):
         """``normalize``: None -> the LSeg host normalisation (float32
         batches); False -> raw uint8 RGB — 4x less host->device traffic and
         no per-pixel host float math (normalise on device instead, see
@@ -66,7 +67,11 @@ class PrefetchLoader:
 
         ``depth_mm=True`` ships depth as uint16 millimetres (halves the
         depth bytes; 0.5 mm quantisation « the 5 cm voxel) — pair with a
-        step that rescales on device (make_frame_step handles it)."""
+        step that rescales on device (make_frame_step handles it).
+
+        ``transform``: optional ``FrameBatch -> Any`` applied on the
+        producer thread (e.g. pipeline.transport.make_canvas_transform) so
+        per-batch host prep overlaps the device link."""
         from avlmaps_tpu.models.lseg.window import normalize_image
 
         self.rgb_paths = list(rgb_paths)
@@ -76,6 +81,7 @@ class PrefetchLoader:
         self.normalize = normalize_image if normalize is None else normalize
         self.skip_ids = skip_ids or set()
         self.depth_mm = depth_mm
+        self.transform = transform
         self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
         self._thread: Optional[threading.Thread] = None
 
@@ -109,6 +115,8 @@ class PrefetchLoader:
                     depth=np.stack([f[1] for f in frames]),
                     pose_tf=np.stack([f[2] for f in frames]),
                 )
+                if self.transform is not None:
+                    batch = self.transform(batch)
                 self._queue.put(batch)
             self._queue.put(None)
         except BaseException as exc:  # noqa: BLE001 - re-raised in consumer

@@ -9,8 +9,8 @@ scatter-accumulate into a gs=1000, vh=30 voxel grid (BASELINE.json config
 
 * device fps — the compiled map-update step with frames resident in HBM;
 * e2e fps    — the same step fed by PrefetchLoader from real PNG/npy files
-  on disk (decode -> uint8 H2D -> device normalise), the pipeline number a
-  user actually sees;
+  on disk via canvas transport (decode -> host canvas resize + per-point
+  gathers -> lean H2D), the pipeline number a user actually sees;
 * MFU        — XLA-counted FLOPs per step / elapsed / chip peak.
 
 Also runs an on-chip kernel-parity pass (compiled vs f32 references) so the
@@ -82,8 +82,9 @@ def _build_step_and_inputs():
     import jax
     import jax.numpy as jnp
 
-    from avlmaps_tpu.map.vlmap_builder import make_frame_step
+    from avlmaps_tpu.map.vlmap_builder import make_frame_step_canvas
     from avlmaps_tpu.models.lseg import LSegNet, LSegConfig
+    from avlmaps_tpu.models.lseg.window import plan_windows
     from avlmaps_tpu.ops.voxel_fusion import init_fusion_state
 
     cfg = LSegConfig.vitl16(dtype=jnp.bfloat16)
@@ -94,15 +95,18 @@ def _build_step_and_inputs():
 
     calib = np.array([[540, 0, 540], [0, 540, 360], [0, 0, 1]], np.float64)
     half_apply = lambda p, x: model.apply(p, x, upsample=False)  # noqa: E731
-    step = make_frame_step(half_apply, gs=GS, cs=CS, vh=VH, calib_mat=calib,
-                           image_hw=(H, W), half_res_apply=True,
-                           rgb_uint8=True)
+    # canvas transport (pipeline/transport.py): the production build config —
+    # the device consumes the resized canvas + per-point depth/colour gathers
+    step = make_frame_step_canvas(half_apply, gs=GS, cs=CS, vh=VH,
+                                  calib_mat=calib, image_hw=(H, W),
+                                  half_res_apply=True)
     step = jax.jit(step, donate_argnums=(0,))
     state = init_fusion_state(GS, VH, 512, CAPACITY)
-    return step, state, params, calib
+    ch, cw, _, _, _ = plan_windows(H, W)
+    return step, state, params, (ch, cw)
 
 
-def measure_device(step, state, params) -> dict:
+def measure_device(step, state, params, canvas_hw) -> dict:
     """Compiled-step fps with inputs resident in HBM, plus XLA-counted
     FLOPs -> MFU."""
     import jax
@@ -111,9 +115,12 @@ def measure_device(step, state, params) -> dict:
     from avlmaps_tpu.map.vlmap_builder import sample_pixels
 
     rng = np.random.default_rng(0)
-    rgb = jnp.asarray(rng.integers(0, 255, (BATCH, H, W, 3)), jnp.uint8)
-    depth = jnp.asarray((rng.uniform(0.3, 5.0, (BATCH, H, W)) * 1000.0
-                         ).astype(np.uint16))  # mm transport, device rescale
+    ch, cw = canvas_hw
+    canvas = jnp.asarray(rng.integers(0, 255, (BATCH, ch, cw, 3)), jnp.uint8)
+    z_mm = jnp.asarray((rng.uniform(0.3, 5.0, (BATCH, MAX_PTS)) * 1000.0
+                        ).astype(np.uint16))
+    rgb_pts = jnp.asarray(rng.integers(0, 255, (BATCH, MAX_PTS, 3)),
+                          jnp.uint8)
     poses = np.tile(np.eye(4, dtype=np.float32), (BATCH, 1, 1))
     poses[:, 0, 3] = 0.1 * np.arange(BATCH)
     pose = jnp.asarray(poses)
@@ -123,7 +130,7 @@ def measure_device(step, state, params) -> dict:
     try:
         idx0 = jnp.asarray(sample_pixels(rng, H, W, DEPTH_SAMPLE_RATE,
                                          MAX_PTS, BATCH))
-        cost = step.lower(state, params, rgb, depth, pose, idx0,
+        cost = step.lower(state, params, canvas, z_mm, rgb_pts, pose, idx0,
                           fvalid).compile().cost_analysis()
         if cost and "flops" in cost:
             flops_per_step = float(cost["flops"])
@@ -133,7 +140,7 @@ def measure_device(step, state, params) -> dict:
     def one_step(state):
         idx = jnp.asarray(sample_pixels(rng, H, W, DEPTH_SAMPLE_RATE,
                                         MAX_PTS, BATCH))
-        return step(state, params, rgb, depth, pose, idx, fvalid)
+        return step(state, params, canvas, z_mm, rgb_pts, pose, idx, fvalid)
 
     for _ in range(WARMUP_STEPS):
         state = one_step(state)
@@ -159,9 +166,10 @@ def measure_device(step, state, params) -> dict:
     }
 
 
-def measure_e2e(step, state, params) -> float:
-    """End-to-end pipeline fps: PNG/npy decode on the host (PrefetchLoader)
-    -> uint8 transfer -> compiled step.  The number a map build sees."""
+def measure_e2e(step, state, params, canvas_hw) -> float:
+    """End-to-end pipeline fps: PNG/npy decode + canvas prep on the host
+    (PrefetchLoader + canvas transform on the producer thread) -> lean
+    transfer -> compiled step.  The number a map build sees."""
     import tempfile
 
     import cv2
@@ -170,6 +178,7 @@ def measure_e2e(step, state, params) -> float:
 
     from avlmaps_tpu.map.vlmap_builder import sample_pixels
     from avlmaps_tpu.pipeline.loader import PrefetchLoader
+    from avlmaps_tpu.pipeline.transport import make_canvas_transform
 
     rng = np.random.default_rng(1)
     tmp = tempfile.TemporaryDirectory()
@@ -183,21 +192,23 @@ def measure_e2e(step, state, params) -> float:
                 rng.uniform(0.3, 5.0, (H, W)).astype(np.float32))
     pose_tfs = [np.eye(4, dtype=np.float32) for _ in range(E2E_FRAMES)]
 
+    transform = make_canvas_transform(
+        lambda b: sample_pixels(rng, H, W, DEPTH_SAMPLE_RATE, MAX_PTS, b),
+        canvas_hw)
     loader = PrefetchLoader(
         sorted((root / "rgb").glob("*.png")),
         sorted((root / "depth").glob("*.npy")),
-        pose_tfs, batch_size=BATCH, normalize=False, depth_mm=True)
+        pose_tfs, batch_size=BATCH, normalize=False, transform=transform)
     fvalid = jnp.ones((BATCH,), bool)
 
     # warm the input path once (compile already done by measure_device)
     done = 0
     t0 = time.perf_counter()
     for batch in loader:
-        idx = jnp.asarray(sample_pixels(rng, H, W, DEPTH_SAMPLE_RATE,
-                                        MAX_PTS, BATCH))
-        state = step(state, params, jnp.asarray(batch.rgb),
-                     jnp.asarray(batch.depth), jnp.asarray(batch.pose_tf),
-                     idx, fvalid)
+        state = step(state, params, jnp.asarray(batch.canvas),
+                     jnp.asarray(batch.z_mm), jnp.asarray(batch.rgb_pts),
+                     jnp.asarray(batch.pose_tf),
+                     jnp.asarray(batch.sample_idx), fvalid)
         done += int((batch.frame_ids >= 0).sum())
     int(jax.device_get(state.n_slots))
     elapsed = time.perf_counter() - t0
@@ -365,11 +376,11 @@ def get_baseline() -> dict:
 
 def main():
     _enable_compile_cache()
-    step, state, params, _ = _build_step_and_inputs()
-    dev = measure_device(step, state, params)
+    step, state, params, canvas_hw = _build_step_and_inputs()
+    dev = measure_device(step, state, params, canvas_hw)
     e2e_fps = None
     try:
-        e2e_fps = measure_e2e(step, dev.pop("state"), params)
+        e2e_fps = measure_e2e(step, dev.pop("state"), params, canvas_hw)
     except Exception as e:  # noqa: BLE001 - report device fps regardless
         dev.pop("state", None)
         print(f"e2e measurement failed: {e}", file=sys.stderr)
