@@ -434,14 +434,17 @@ class VLMapBuilder:
         n_dev = self.mesh.devices.size
         batch = max(self.batch_size, n_dev)
         batch = (batch // n_dev) * n_dev
+        base_size = getattr(cfg, "lseg_base_size", 520)
+        crop_size = getattr(cfg, "lseg_crop_size", 480)
+        use_canvas = self.transport == "canvas"
         fusion = ShardedFusion(
             self.mesh, gs=gs, cs=cs, vh=vh, feat_dim=self.feat_dim,
             capacity=cfg.capacity, calib_mat=cfg.calib_matrix(),
             image_hw=(h, w), lseg_apply=self.lseg_apply,
-            base_size=getattr(cfg, "lseg_base_size", 520),
-            crop_size=getattr(cfg, "lseg_crop_size", 480),
+            base_size=base_size, crop_size=crop_size,
             min_depth=cfg.min_depth, max_depth=cfg.max_depth,
-            half_res_apply=self.half_res_apply)
+            half_res_apply=self.half_res_apply,
+            transport=self.transport)
         if saved is not None:
             fusion.restore(*saved)
 
@@ -458,19 +461,36 @@ class VLMapBuilder:
             return m
 
         pose_tfs = self._pose_tfs
+        transform = None
+        if use_canvas:
+            from avlmaps_tpu.pipeline.transport import make_canvas_transform
+
+            height, width, _, _, _ = plan_windows(h, w, base_size, crop_size)
+            transform = make_canvas_transform(
+                lambda bb: sample_pixels(self.rng, h, w,
+                                         cfg.depth_sample_rate, max_pts, bb),
+                (height, width))
         loader = PrefetchLoader(self.rgb_paths, self.depth_paths, pose_tfs,
                                 batch_size=batch, skip_ids=mapped,
-                                normalize=False)
+                                normalize=False, transform=transform)
         from avlmaps_tpu.utils.profiling import RateMeter
 
         meter = RateMeter()
         done = 0
         for b in loader:
-            idx = sample_pixels(self.rng, h, w, cfg.depth_sample_rate,
-                                max_pts, batch)
-            fusion.step(self.lseg_params, _jnp.asarray(b.rgb),
-                        _jnp.asarray(b.depth), _jnp.asarray(b.pose_tf),
-                        _jnp.asarray(idx), _jnp.asarray(b.frame_ids >= 0))
+            if use_canvas:
+                fusion.step(self.lseg_params, _jnp.asarray(b.canvas),
+                            _jnp.asarray(b.z_mm), _jnp.asarray(b.rgb_pts),
+                            _jnp.asarray(b.pose_tf),
+                            _jnp.asarray(b.sample_idx),
+                            _jnp.asarray(b.frame_ids >= 0))
+            else:
+                idx = sample_pixels(self.rng, h, w, cfg.depth_sample_rate,
+                                    max_pts, batch)
+                fusion.step(self.lseg_params, _jnp.asarray(b.rgb),
+                            _jnp.asarray(b.depth), _jnp.asarray(b.pose_tf),
+                            _jnp.asarray(idx),
+                            _jnp.asarray(b.frame_ids >= 0))
             n_new = int((b.frame_ids >= 0).sum())
             mapped.update(int(i) for i in b.frame_ids if i >= 0)
             done += n_new

@@ -52,12 +52,17 @@ def _flash_attention(q, k, v, scale: float):
 
     b, h, t, d = q.shape
     tp = -(-t // 512) * 512
-    blk = min(512, tp)
+    # biggest power-of-two-ish q block dividing the padded length wins on
+    # v5e (measured at T=1024: bq=1024/bk=512 is ~30% faster than 512/512 —
+    # fewer grid steps, k-loop still double-buffered)
+    bq = 1024 if tp % 1024 == 0 else 512
+    bk = min(512, tp)
+    bkm = min(1024, tp) if tp % min(1024, tp) == 0 else bk
     bs = BlockSizes(
-        block_q=blk, block_k_major=min(1024, tp), block_k=blk, block_b=1,
-        block_q_major_dkv=blk, block_k_major_dkv=min(1024, tp),
-        block_k_dkv=blk, block_q_dkv=blk,
-        block_k_major_dq=min(1024, tp), block_k_dq=blk, block_q_dq=blk)
+        block_q=bq, block_k_major=bkm, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bkm,
+        block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=bkm, block_k_dq=bk, block_q_dq=bq)
     pad = tp - t
     if pad:
         q = jnp.pad(q, [(0, 0), (0, 0), (0, pad), (0, 0)])
@@ -101,6 +106,12 @@ class ViTBlock(nn.Module):
                                     k.astype(jnp.bfloat16),
                                     v.astype(jnp.bfloat16),
                                     scale).astype(self.dtype)
+        elif self.attn_impl == "xla":
+            # XLA's fused attention path (jax.nn.dot_product_attention,
+            # BTHD layout) — an alternative to the Pallas kernel
+            attn = jax.nn.dot_product_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), scale=scale).transpose(0, 2, 1, 3)
         else:
             logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                                 preferred_element_type=jnp.float32)

@@ -41,11 +41,16 @@ class ShardedFusion:
                  image_hw: Tuple[int, int], lseg_apply: Callable,
                  base_size: int = 520, crop_size: int = 480,
                  min_depth: float = 0.1, max_depth: float = 6.0,
-                 payload_dtype=jnp.bfloat16, half_res_apply: bool = False):
+                 payload_dtype=jnp.bfloat16, half_res_apply: bool = False,
+                 transport: str = "frame"):
         """``payload_dtype``: wire format of the gathered feature payload —
         bf16 halves the dominant ICI traffic (docs/SCALING.md arithmetic);
         accumulation stays f32 inside fuse_points either way.  Pass
-        jnp.float32 for bit-exact parity with the single-device path."""
+        jnp.float32 for bit-exact parity with the single-device path.
+
+        ``transport``: "frame" feeds full RGB-D frames; "canvas" feeds the
+        lean CanvasBatch payload (pipeline/transport.py) — ``step`` then
+        takes (params, canvas_u8, z_mm, rgb_pts, pose, sample_idx, valid)."""
         self.mesh = mesh
         self.payload_dtype = payload_dtype
         self.axis = mesh.axis_names[0]
@@ -65,16 +70,10 @@ class ShardedFusion:
         axis = self.axis
         payload_dtype = self.payload_dtype
 
-        def shard_body(state, lseg_params, rgb_norm, depth, pose, sample_idx,
-                       frame_valid):
-            """Runs per device: local frames -> global payload -> local rows."""
-            if rgb_norm.dtype == jnp.uint8:
-                # raw frames off the loader: normalise on device
-                rgb_norm = rgb_norm.astype(jnp.float32) * (1.0 / 127.5) - 1.0
-            b = rgb_norm.shape[0]
+        def geometry(z, sample_idx, pose):
+            """Shared point geometry: rays, map grid ids, canvas coords."""
             px = (sample_idx % w).astype(jnp.float32)
             py = (sample_idx // w).astype(jnp.float32)
-            z = jnp.take_along_axis(depth.reshape(b, -1), sample_idx, axis=1)
             uv1 = jnp.stack([px + 0.5, py + 0.5, jnp.ones_like(px)], axis=-1)
             rays = jnp.einsum("ij,bnj->bni", inv_calib, uv1,
                               precision=jax.lax.Precision.HIGHEST)
@@ -92,17 +91,12 @@ class ShardedFusion:
             fx = jnp.trunc(uvw[..., 0] / uvw[..., 2] - 0.5).astype(jnp.int32)
             fy = jnp.trunc(uvw[..., 1] / uvw[..., 2] - 0.5).astype(jnp.int32)
             in_feat = (fx >= 0) & (fx < width) & (fy >= 0) & (fy < height)
-            feats = features_at_points(lseg_apply, lseg_params, rgb_norm,
-                                       fx, fy, base_size, crop_size,
-                                       half_res_apply=half_res_apply)
-            rgb_u8 = (rgb_norm * 0.5 + 0.5) * 255.0
-            rgbs = jnp.take_along_axis(rgb_u8.reshape(b, -1, 3),
-                                       sample_idx[..., None], axis=1)
             alpha = concept_fusion_alpha(pc_local)
-            valid = zmask & in_grid & in_feat & frame_valid[:, None]
+            return gid, fx, fy, zmask & in_grid & in_feat, alpha
 
+        def gather_and_fuse(state, gid, feats, rgbs, alpha, valid):
+            """All-gather the compact payload over ICI; fuse owned rows."""
             d = feats.shape[-1]
-            # compact payload, then gather every shard's points over ICI
             gid_f = jax.lax.all_gather(gid.reshape(-1, 3), axis,
                                        tiled=True)
             feats_f = jax.lax.all_gather(
@@ -123,6 +117,37 @@ class ShardedFusion:
             return fuse_points(state, vids, feats_f, rgbs_f, alpha_f,
                                valid_f & owned, gs=gs, vh=vh, n_rows=rows)
 
+        def shard_body(state, lseg_params, rgb_norm, depth, pose, sample_idx,
+                       frame_valid):
+            """Runs per device: local frames -> global payload -> local rows."""
+            if rgb_norm.dtype == jnp.uint8:
+                # raw frames off the loader: normalise on device
+                rgb_norm = rgb_norm.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+            b = rgb_norm.shape[0]
+            z = jnp.take_along_axis(depth.reshape(b, -1), sample_idx, axis=1)
+            gid, fx, fy, valid, alpha = geometry(z, sample_idx, pose)
+            feats = features_at_points(lseg_apply, lseg_params, rgb_norm,
+                                       fx, fy, base_size, crop_size,
+                                       half_res_apply=half_res_apply)
+            rgb_u8 = (rgb_norm * 0.5 + 0.5) * 255.0
+            rgbs = jnp.take_along_axis(rgb_u8.reshape(b, -1, 3),
+                                       sample_idx[..., None], axis=1)
+            return gather_and_fuse(state, gid, feats, rgbs, alpha,
+                                   valid & frame_valid[:, None])
+
+        def shard_body_canvas(state, lseg_params, canvas_u8, z_mm, rgb_pts,
+                              pose, sample_idx, frame_valid):
+            """Lean-transport variant (pipeline/transport.py CanvasBatch)."""
+            canvas = canvas_u8.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+            z = z_mm.astype(jnp.float32) * 1e-3
+            gid, fx, fy, valid, alpha = geometry(z, sample_idx, pose)
+            feats = features_at_points(lseg_apply, lseg_params, canvas,
+                                       fx, fy, base_size, crop_size,
+                                       half_res_apply=half_res_apply)
+            return gather_and_fuse(state, gid, feats,
+                                   rgb_pts.astype(jnp.float32), alpha,
+                                   valid & frame_valid[:, None])
+
         from jax.experimental.shard_map import shard_map
 
         pspec_state = VoxelFusionState(
@@ -130,11 +155,15 @@ class ShardedFusion:
             sum_w=P(axis), grid_pos=P(axis), n_slots=P(axis),
             n_dropped=P(axis))
         self._state_spec = pspec_state
+        self.transport = transport
+        if transport == "canvas":
+            body, n_data_args = shard_body_canvas, 6
+        else:
+            body, n_data_args = shard_body, 5
         self._step = jax.jit(
             shard_map(
-                shard_body, mesh=mesh,
-                in_specs=(pspec_state, P(), P(axis), P(axis), P(axis),
-                          P(axis), P(axis)),
+                body, mesh=mesh,
+                in_specs=(pspec_state, P()) + (P(axis),) * n_data_args,
                 out_specs=pspec_state,
                 check_rep=False,
             ),
@@ -181,11 +210,15 @@ class ShardedFusion:
             lambda spec: NamedSharding(self.mesh, spec), self._state_spec)
         return jax.tree.map(jax.device_put, state, shardings)
 
-    def step(self, lseg_params, rgb, depth, pose, sample_idx, frame_valid):
+    def step(self, lseg_params, *args):
         """One multi-chip map update over a global frame batch (batch must be
-        divisible by the mesh size)."""
-        self.state = self._step(self.state, lseg_params, rgb, depth, pose,
-                                sample_idx, frame_valid)
+        divisible by the mesh size).
+
+        frame transport:  step(params, rgb, depth, pose, sample_idx, valid)
+        canvas transport: step(params, canvas_u8, z_mm, rgb_pts, pose,
+                               sample_idx, valid)
+        """
+        self.state = self._step(self.state, lseg_params, *args)
         return self.state
 
     def export(self):

@@ -144,12 +144,12 @@ def measure_device(step, state, params, canvas_hw) -> dict:
 
     for _ in range(WARMUP_STEPS):
         state = one_step(state)
-    int(jax.device_get(state.n_slots))  # hard sync (fetch), not just ready
+    jax.block_until_ready(jax.tree.leaves(state))  # full-state sync
 
     t0 = time.perf_counter()
     for _ in range(TIMED_STEPS):
         state = one_step(state)
-    int(jax.device_get(state.n_slots))
+    jax.block_until_ready(jax.tree.leaves(state))
     elapsed = time.perf_counter() - t0
 
     chip = jax.devices()[0].device_kind
@@ -201,16 +201,22 @@ def measure_e2e(step, state, params, canvas_hw) -> float:
         pose_tfs, batch_size=BATCH, normalize=False, transform=transform)
     fvalid = jnp.ones((BATCH,), bool)
 
-    # warm the input path once (compile already done by measure_device)
+    # steady-state rate: the first batch absorbs the producer-thread spin-up
+    # (queue fill, page-cache warm) and is excluded from the timed window —
+    # a real build amortises it over thousands of frames
     done = 0
-    t0 = time.perf_counter()
+    t0 = None
     for batch in loader:
         state = step(state, params, jnp.asarray(batch.canvas),
                      jnp.asarray(batch.z_mm), jnp.asarray(batch.rgb_pts),
                      jnp.asarray(batch.pose_tf),
                      jnp.asarray(batch.sample_idx), fvalid)
+        if t0 is None:  # first (warmup) batch: start the clock after it
+            jax.block_until_ready(jax.tree.leaves(state))
+            t0 = time.perf_counter()
+            continue
         done += int((batch.frame_ids >= 0).sum())
-    int(jax.device_get(state.n_slots))
+    jax.block_until_ready(jax.tree.leaves(state))
     elapsed = time.perf_counter() - t0
     tmp.cleanup()
     return done / elapsed

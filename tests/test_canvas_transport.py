@@ -41,13 +41,21 @@ def tiny_lseg():
 
 
 class TestHostResize:
-    def test_matches_device_align_corners(self, rng):
+    def test_exact_matches_device_align_corners(self, rng):
         img = rng.integers(0, 255, (2, 37, 53, 3)).astype(np.uint8)
-        got = resize_canvas_u8(img, 24, 30).astype(np.float32)
+        got = resize_canvas_u8(img, 24, 30, exact=True).astype(np.float32)
         ref = np.asarray(resize_bilinear_align_corners(
             jnp.asarray(img, jnp.float32), 24, 30))
         # same bilinear weights; the only difference is the uint8 rounding
         assert np.abs(got - ref).max() <= 0.5 + 1e-3
+
+    def test_fast_path_within_one_level(self, rng):
+        """cv2.remap fast path: weights quantised to 1/32 -> at most one
+        uint8 level off the exact separable resize."""
+        img = rng.integers(0, 255, (2, 37, 53, 3)).astype(np.uint8)
+        fast = resize_canvas_u8(img, 24, 30).astype(int)
+        exact = resize_canvas_u8(img, 24, 30, exact=True).astype(int)
+        assert np.abs(fast - exact).max() <= 1
 
     def test_identity_when_same_size(self, rng):
         img = rng.integers(0, 255, (13, 17, 3)).astype(np.uint8)
