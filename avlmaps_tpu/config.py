@@ -85,6 +85,11 @@ class MapConfig:
     # frames, "canvas" ships the resized LSeg canvas + per-point depth/colour
     # gathers (~6.4x fewer bytes; see pipeline/transport.py)
     transport: str = "canvas"
+    # LSeg evaluation mode: "sliding" = the reference's overlapping crop
+    # grid (parity default); "whole" = one forward over the padded canvas
+    # (~2.4x fewer encoder FLOPs, canvas transport only, not numerically
+    # identical to the reference — see window.whole_canvas_features_at_points)
+    lseg_eval: str = "sliding"
     # learned local features for VisualMap (superpoint_v1.pth path); empty
     # string -> ORB fallback (reference uses SuperPoint via HLoc,
     # localization_utils.py:127-145)

@@ -27,7 +27,9 @@ from avlmaps_tpu.geometry.grid import (
 from avlmaps_tpu.geometry.projection import get_sim_cam_mat
 from avlmaps_tpu.geometry.transforms import pose_vec_to_tf
 from avlmaps_tpu.map.voxel_map import SparseVoxelMap, load_3d_map
-from avlmaps_tpu.models.lseg.window import plan_windows, features_at_points
+from avlmaps_tpu.models.lseg.window import (
+    plan_windows, features_at_points, whole_canvas_features_at_points,
+)
 from avlmaps_tpu.ops.voxel_fusion import (
     VoxelFusionState, init_fusion_state, fuse_points, export_fusion_state,
     restore_fusion_state, concept_fusion_alpha,
@@ -132,7 +134,8 @@ def make_frame_step_canvas(lseg_apply: Callable, *, gs: int, cs: float,
                            min_depth: float = 0.1, max_depth: float = 6.0,
                            n_rows: Optional[int] = None,
                            row_offset: int = 0,
-                           half_res_apply: bool = True) -> Callable:
+                           half_res_apply: bool = True,
+                           lseg_eval: str = "sliding") -> Callable:
     """Lean-transport variant of make_frame_step (pipeline.transport).
 
     Consumes a CanvasBatch — the pre-resized uint8 canvas plus depth/colour
@@ -141,6 +144,11 @@ def make_frame_step_canvas(lseg_apply: Callable, *, gs: int, cs: float,
     an identical LSeg input up to the canvas' uint8 re-quantisation.  The
     geometry below is the same program as make_frame_step with the full-res
     depth/RGB gathers and the device resize removed.
+
+    ``lseg_eval``: "sliding" = the reference's count-normalised overlapping
+    crop grid (lseg_utils.py:77-96, parity default); "whole" = one forward
+    over the padded canvas (window.whole_canvas_features_at_points, ~2.4x
+    fewer encoder FLOPs, not numerically identical to the reference).
     """
     h, w = image_hw
     height, width, _, _, _ = plan_windows(h, w, base_size, crop_size)
@@ -176,9 +184,13 @@ def make_frame_step_canvas(lseg_apply: Callable, *, gs: int, cs: float,
         fy = jnp.trunc(uvw[..., 1] / uvw[..., 2] - 0.5).astype(jnp.int32)
         in_feat = (fx >= 0) & (fx < width) & (fy >= 0) & (fy < height)
 
-        feats = features_at_points(lseg_apply, lseg_params, canvas, fx, fy,
-                                   base_size, crop_size,
-                                   half_res_apply=half_res_apply)
+        if lseg_eval == "whole":
+            feats = whole_canvas_features_at_points(
+                lseg_apply, lseg_params, canvas, fx, fy)
+        else:
+            feats = features_at_points(lseg_apply, lseg_params, canvas,
+                                       fx, fy, base_size, crop_size,
+                                       half_res_apply=half_res_apply)
 
         alpha = concept_fusion_alpha(pc_local)
         valid = zmask & in_grid & in_feat & frame_valid[:, None]
@@ -340,7 +352,8 @@ class VLMapBuilder:
                 calib_mat=cfg.calib_matrix(), image_hw=(h, w),
                 base_size=base_size, crop_size=crop_size,
                 min_depth=cfg.min_depth, max_depth=cfg.max_depth,
-                half_res_apply=self.half_res_apply)
+                half_res_apply=self.half_res_apply,
+                lseg_eval=getattr(cfg, "lseg_eval", "sliding"))
             height, width, _, _, _ = plan_windows(h, w, base_size, crop_size)
             transform = make_canvas_transform(
                 lambda b: sample_pixels(self.rng, h, w,

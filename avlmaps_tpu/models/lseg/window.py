@@ -155,6 +155,59 @@ def multi_scale_features(apply_fn: Callable, params, images: jnp.ndarray,
     return total
 
 
+def whole_canvas_features_at_points(apply_fn: Callable, params,
+                                    images: jnp.ndarray, px: jnp.ndarray,
+                                    py: jnp.ndarray,
+                                    pad_multiple: int = 32) -> jnp.ndarray:
+    """Single-forward fast mode: ONE evaluation of the whole canvas instead
+    of the reference's overlapping crop grid — ~2.4x fewer FLOPs at the
+    1080x720 geometry (749 vs 1802 ViT tokens).
+
+    The canvas is padded to a pad_multiple boundary (32 = patch 16 x the
+    DPT /2 stage) with the normalised-zero pixel and evaluated once; pixel
+    features are gathered at (px, py) directly (full-res model output) or
+    via the half-res align-corners bilinear map (upsample=False output).
+
+    NOT numerically equivalent to the sliding window: each pixel sees one
+    global receptive field instead of a count-normalised average over
+    480-crops, and the pos-embed is resized to the canvas grid.  For a
+    per-pixel (receptive-field-free) function the two modes agree exactly
+    (tested); for the trained LSeg the difference is a quality/throughput
+    trade-off — keep the default "sliding" mode for reference parity.
+    """
+    b, h, w, _ = images.shape
+    ph = -(-h // pad_multiple) * pad_multiple
+    pw = -(-w // pad_multiple) * pad_multiple
+    pad = _pad_value()
+    canvas = jnp.broadcast_to(jnp.asarray(pad), (b, ph, pw, 3))
+    canvas = canvas.at[:, :h, :w, :].set(images)
+    feats = apply_fn(params, canvas)  # (B, ph or ph/2, pw or pw/2, D)
+    fh, fw = feats.shape[1], feats.shape[2]
+
+    if (fh, fw) == (ph, pw):  # full-res output: direct gather
+        gx = jnp.clip(px, 0, pw - 1)
+        gy = jnp.clip(py, 0, ph - 1)
+        return jax.vmap(lambda m, r, c: m[r, c])(feats, gy, gx)
+    if (fh * 2, fw * 2) != (ph, pw):
+        raise ValueError(f"model output {(fh, fw)} is neither full nor half "
+                         f"of the padded canvas {(ph, pw)}")
+    # half-res align-corners sample (same map as the skipped 2x upsample)
+    sx = jnp.clip(px.astype(jnp.float32), 0, pw - 1) * ((fw - 1) / (pw - 1))
+    sy = jnp.clip(py.astype(jnp.float32), 0, ph - 1) * ((fh - 1) / (ph - 1))
+    x0 = jnp.clip(jnp.floor(sx), 0, fw - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(sy), 0, fh - 1).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, fw - 1)
+    y1 = jnp.minimum(y0 + 1, fh - 1)
+    fx = (sx - x0.astype(jnp.float32))[..., None]
+    fy = (sy - y0.astype(jnp.float32))[..., None]
+
+    def g(yy, xx):
+        return jax.vmap(lambda m, r, c: m[r, c])(feats, yy, xx)
+
+    return ((1 - fy) * (1 - fx) * g(y0, x0) + (1 - fy) * fx * g(y0, x1)
+            + fy * (1 - fx) * g(y1, x0) + fy * fx * g(y1, x1))
+
+
 def features_at_points(apply_fn: Callable, params, images: jnp.ndarray,
                        px: jnp.ndarray, py: jnp.ndarray,
                        base_size: int = 520, crop_size: int = 480,

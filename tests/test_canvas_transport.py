@@ -143,6 +143,61 @@ class TestCanvasStepParity:
         assert np.median(np.abs(cf - ff) / denom) < 0.05
 
 
+class TestWholeCanvasEval:
+    def test_per_pixel_function_matches_sliding(self, rng):
+        """For a receptive-field-free (per-pixel) model, the whole-canvas
+        single forward and the count-normalised sliding window are the SAME
+        function — exact agreement validates the coordinate/masking math."""
+        from avlmaps_tpu.models.lseg.window import (
+            features_at_points, whole_canvas_features_at_points,
+        )
+
+        def per_pixel_apply(params, x):  # (B, h, w, 3) -> (B, h, w, 8)
+            v = x * params
+            return jnp.concatenate(
+                [v, v[..., :1] * 2.0, v.sum(-1, keepdims=True),
+                 v[..., 1:2] - v[..., 2:3], jnp.cos(v[..., :1]),
+                 jnp.sin(v[..., 2:3])], axis=-1)
+
+        b, n = 2, 40
+        img = jnp.asarray(rng.normal(size=(b, H, W, 3)).astype(np.float32))
+        px = jnp.asarray(rng.integers(0, W, (b, n)).astype(np.int32))
+        py = jnp.asarray(rng.integers(0, H, (b, n)).astype(np.int32))
+        params = jnp.float32(0.7)
+        slide = features_at_points(per_pixel_apply, params, img, px, py,
+                                   base_size=W, crop_size=H)
+        whole = whole_canvas_features_at_points(per_pixel_apply, params,
+                                                img, px, py)
+        np.testing.assert_allclose(np.asarray(slide), np.asarray(whole),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_half_res_tiny16_build(self, tiny_lseg, rng):
+        """Whole-canvas mode through the canvas step with a real (tiny)
+        LSeg at half-res output: produces a populated map."""
+        model, params = tiny_lseg
+        half = lambda p, x: model.apply(p, x, upsample=False)  # noqa: E731
+        step = make_frame_step_canvas(half, gs=GS, cs=CS, vh=VH,
+                                      calib_mat=get_sim_cam_mat(H, W),
+                                      image_hw=(H, W), base_size=W,
+                                      crop_size=W, max_depth=6.0,
+                                      half_res_apply=True,
+                                      lseg_eval="whole")
+        b, n = 2, 64
+        canvas = jnp.asarray(rng.integers(0, 255, (b, H, W, 3)), jnp.uint8)
+        z_mm = jnp.asarray((rng.uniform(0.3, 0.9, (b, n)) * 1000.0
+                            ).astype(np.uint16))
+        rgb_pts = jnp.asarray(rng.integers(0, 255, (b, n, 3)), jnp.uint8)
+        pose = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+        idx = jnp.asarray(sample_pixels(np.random.default_rng(5), H, W, 16,
+                                        n, b))
+        state = init_fusion_state(GS, VH, 24, 4096)
+        state = step(state, params, canvas, z_mm, rgb_pts, pose, idx,
+                     jnp.ones((b,), bool))
+        feats, pos, weight, occ, rgbs = export_fusion_state(state, GS, VH)
+        assert feats.shape[0] > 0
+        assert np.isfinite(feats).all()
+
+
 class TestBuilderCanvasTransport:
     def test_build_via_loader_transform(self, tmp_path, tiny_lseg):
         """PrefetchLoader(transform=...) end-to-end on disk frames."""
