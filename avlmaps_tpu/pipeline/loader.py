@@ -57,7 +57,7 @@ class PrefetchLoader:
 
     def __init__(self, rgb_paths: Sequence, depth_paths: Sequence,
                  pose_tfs: Sequence[np.ndarray], batch_size: int = 4,
-                 depth: int = 2, normalize=None,
+                 depth: int = 4, normalize=None,
                  skip_ids: Optional[set] = None, depth_mm: bool = False,
                  transform=None):
         """``normalize``: None -> the LSeg host normalisation (float32

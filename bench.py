@@ -51,7 +51,7 @@ CAPACITY = 1_000_000
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 WARMUP_STEPS = 2
 TIMED_STEPS = 6
-E2E_FRAMES = int(os.environ.get("BENCH_E2E_FRAMES", "24"))
+E2E_FRAMES = int(os.environ.get("BENCH_E2E_FRAMES", "40"))
 
 # peak dense bf16 TFLOP/s per chip (public TPU specs)
 PEAK_TFLOPS = {
@@ -406,6 +406,16 @@ def main():
     except Exception as e:  # noqa: BLE001 - report device fps regardless
         dev.pop("state", None)
         print(f"e2e measurement failed: {e}", file=sys.stderr)
+    e2e_whole = None
+    if whole is not None:
+        try:
+            from avlmaps_tpu.ops.voxel_fusion import init_fusion_state
+
+            e2e_whole = measure_e2e(step_whole,
+                                    init_fusion_state(GS, VH, 512, CAPACITY),
+                                    params, canvas_hw)
+        except Exception as e:  # noqa: BLE001
+            print(f"whole-canvas e2e failed: {e}", file=sys.stderr)
     try:
         parity = kernel_parity()
     except Exception as e:  # noqa: BLE001
@@ -428,6 +438,7 @@ def main():
         "chip": dev.get("chip"),
         "device_fps_whole_canvas": round(whole["device_fps"], 3)
         if whole else None,
+        "e2e_fps_whole_canvas": round(e2e_whole, 3) if e2e_whole else None,
         "kernel_parity": parity.get("status"),
         "kernel_parity_detail": {k: v for k, v in parity.items()
                                  if k != "status"},
