@@ -94,6 +94,10 @@ class MapConfig:
     # string -> ORB fallback (reference uses SuperPoint via HLoc,
     # localization_utils.py:127-145)
     superpoint_ckpt: str = ""
+    # NetVLAD global retrieval for VisualMap (the hloc
+    # VGG16-NetVLAD-Pitts30K .mat path); empty string -> CLIP-global
+    # retrieval (reference uses NetVLAD, localization_utils.py:134-136)
+    netvlad_ckpt: str = ""
 
     @property
     def gs(self) -> int:

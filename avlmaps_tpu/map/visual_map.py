@@ -37,12 +37,22 @@ from avlmaps_tpu.geometry.transforms import pose_vec_to_tf
 class VisualMap:
     def __init__(self, map_config: MapConfig, data_dir: str = "",
                  clip_encoder=None, superpoint=None,
-                 superpoint_ckpt: Optional[str] = None):
+                 superpoint_ckpt: Optional[str] = None,
+                 netvlad_ckpt: Optional[str] = None):
         self.map_config = map_config
         self.data_dir = Path(data_dir) if data_dir else None
         self.descriptors: Optional[np.ndarray] = None
         self.poses: Optional[np.ndarray] = None  # (N, 4, 4) base tfs
         self.clip_encoder = clip_encoder
+        # global retrieval descriptor: the reference uses hloc NetVLAD
+        # (localization_utils.py:134-136); we default to CLIP-global and
+        # load the reference's descriptor class when its .mat is configured
+        if netvlad_ckpt is None:
+            netvlad_ckpt = getattr(map_config, "netvlad_ckpt", "")
+        if clip_encoder is None and netvlad_ckpt:
+            from avlmaps_tpu.models.netvlad import load_netvlad_encoder
+
+            self.clip_encoder = load_netvlad_encoder(netvlad_ckpt)
         # learned local features: an injected SuperPointExtractor, a
         # checkpoint path, or None -> ORB fallback (random SuperPoint
         # weights would be worse than ORB, so weights are required here)
@@ -84,8 +94,10 @@ class VisualMap:
         if cache.exists():
             with h5py.File(cache, "r") as f:
                 self.descriptors = f["descriptors"][:]
-            if self.descriptors.shape[0] == len(self.poses):
-                return
+            if (self.descriptors.shape[0] == len(self.poses)
+                    and self.descriptors.shape[1]
+                    == self._init_clip().feat_dim):
+                return  # cache valid for this encoder; else recompute
         rgb_paths = sorted((self.data_dir / "rgb").glob("*.png"))
         enc = self._init_clip()
         self.descriptors = np.zeros((len(rgb_paths), enc.feat_dim),
