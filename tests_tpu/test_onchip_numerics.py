@@ -90,3 +90,78 @@ class TestSuperPoint:
         out = ext.extract(rng.uniform(0, 1, (1, 48, 64)).astype(np.float32))
         assert out["keypoints"].shape[1] == 64
         assert np.isfinite(out["descriptors"]).all()
+
+
+class TestCanvasTransportOnChip:
+    def test_canvas_vs_frame_step(self, rng):
+        """The lean canvas step matches the frame step on compiled TPU
+        programs (geometry identical; canvas is the raw frame here)."""
+        from avlmaps_tpu.geometry.projection import get_sim_cam_mat
+        from avlmaps_tpu.map.vlmap_builder import (
+            make_frame_step, make_frame_step_canvas, sample_pixels)
+        from avlmaps_tpu.ops.voxel_fusion import (
+            export_fusion_state, init_fusion_state)
+        from avlmaps_tpu.models.lseg import LSegNet, LSegConfig
+
+        H, W, GS, CS, VH = 32, 64, 64, 0.1, 8
+        model = LSegNet(LSegConfig.tiny16())
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, W, W, 3), jnp.float32))
+        calib = get_sim_cam_mat(H, W)
+        b, n = 2, 64
+        rgb_u8 = rng.integers(0, 255, (b, H, W, 3)).astype(np.uint8)
+        depth = rng.uniform(0.3, 0.9, (b, H, W)).astype(np.float32)
+        depth_mm = np.clip(depth * 1000.0, 0, 65535).astype(np.uint16)
+        poses = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+        idx = sample_pixels(np.random.default_rng(3), H, W, 16, n, b)
+        fv = jnp.ones((b,), bool)
+
+        fstep = make_frame_step(model.apply, gs=GS, cs=CS, vh=VH,
+                                calib_mat=calib, image_hw=(H, W),
+                                base_size=W, crop_size=W, max_depth=6.0,
+                                rgb_uint8=True)
+        fs = fstep(init_fusion_state(GS, VH, 24, 4096), params,
+                   jnp.asarray(rgb_u8), jnp.asarray(depth_mm),
+                   jnp.asarray(poses), jnp.asarray(idx), fv)
+        f1, p1, w1, o1, _ = export_fusion_state(fs, GS, VH)
+
+        z = np.take_along_axis(depth.reshape(b, -1), idx, axis=1)
+        z_mm = np.clip(z * 1000.0, 0, 65535).astype(np.uint16)
+        rgb_pts = np.take_along_axis(rgb_u8.reshape(b, -1, 3),
+                                     idx[..., None], axis=1)
+        cstep = make_frame_step_canvas(model.apply, gs=GS, cs=CS, vh=VH,
+                                       calib_mat=calib, image_hw=(H, W),
+                                       base_size=W, crop_size=W,
+                                       max_depth=6.0, half_res_apply=False)
+        cs_ = cstep(init_fusion_state(GS, VH, 24, 4096), params,
+                    jnp.asarray(rgb_u8), jnp.asarray(z_mm),
+                    jnp.asarray(rgb_pts), jnp.asarray(poses),
+                    jnp.asarray(idx), fv)
+        f2, p2, w2, o2, _ = export_fusion_state(cs_, GS, VH)
+
+        np.testing.assert_array_equal(o1 >= 0, o2 >= 0)
+        k1, k2 = np.lexsort(p1.T), np.lexsort(p2.T)
+        np.testing.assert_array_equal(p1[k1], p2[k2])
+        np.testing.assert_allclose(w1[k1], w2[k2], rtol=1e-5)
+        np.testing.assert_allclose(f1[k1], f2[k2], rtol=1e-3, atol=1e-3)
+
+    def test_whole_canvas_per_pixel_parity(self, rng):
+        """Whole-canvas eval == sliding window for a per-pixel function,
+        compiled on the chip."""
+        from avlmaps_tpu.models.lseg.window import (
+            features_at_points, whole_canvas_features_at_points)
+
+        def per_pixel(params, x):
+            v = x * params
+            return jnp.concatenate([v, v.sum(-1, keepdims=True)], axis=-1)
+
+        b, n, H, W = 2, 40, 32, 64
+        img = jnp.asarray(rng.normal(size=(b, H, W, 3)).astype(np.float32))
+        px = jnp.asarray(rng.integers(0, W, (b, n)).astype(np.int32))
+        py = jnp.asarray(rng.integers(0, H, (b, n)).astype(np.int32))
+        s = features_at_points(per_pixel, jnp.float32(0.5), img, px, py,
+                               base_size=W, crop_size=H)
+        w = whole_canvas_features_at_points(per_pixel, jnp.float32(0.5),
+                                            img, px, py)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(w),
+                                   rtol=1e-5, atol=1e-5)
