@@ -41,6 +41,17 @@ class LSegConfig:
         return LSegConfig(vit=DenseViTConfig(dtype=dtype), dtype=dtype)
 
     @staticmethod
+    def medium(dtype=jnp.float32) -> "LSegConfig":
+        """Mid-scale config for deeper golden parity tests (pairs with
+        tools/torch_reference TorchLSegSpec.medium)."""
+        return LSegConfig(
+            vit=DenseViTConfig(patch_size=16, width=256, layers=12, heads=8,
+                               hooks=(2, 5, 8, 11), pretrain_grid=12,
+                               dtype=dtype),
+            features=64, reassemble_ch=(64, 128, 256, 256), out_dim=96,
+            dtype=dtype)
+
+    @staticmethod
     def tiny(dtype=jnp.float32) -> "LSegConfig":
         """Small config for tests (patch 8: output is 2x input size)."""
         return LSegConfig(

