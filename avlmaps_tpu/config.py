@@ -94,6 +94,10 @@ class MapConfig:
     # string -> ORB fallback (reference uses SuperPoint via HLoc,
     # localization_utils.py:127-145)
     superpoint_ckpt: str = ""
+    # learned matcher for VisualMap (superglue_{indoor,outdoor}.pth path);
+    # empty string -> device mutual-NN matching of SuperPoint descriptors
+    # (reference uses SuperGlue via HLoc, localization_utils.py:140-145)
+    superglue_ckpt: str = ""
     # NetVLAD global retrieval for VisualMap (the hloc
     # VGG16-NetVLAD-Pitts30K .mat path); empty string -> CLIP-global
     # retrieval (reference uses NetVLAD, localization_utils.py:134-136)

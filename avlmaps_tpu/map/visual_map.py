@@ -38,7 +38,8 @@ class VisualMap:
     def __init__(self, map_config: MapConfig, data_dir: str = "",
                  clip_encoder=None, superpoint=None,
                  superpoint_ckpt: Optional[str] = None,
-                 netvlad_ckpt: Optional[str] = None):
+                 netvlad_ckpt: Optional[str] = None,
+                 superglue=None, superglue_ckpt: Optional[str] = None):
         self.map_config = map_config
         self.data_dir = Path(data_dir) if data_dir else None
         self.descriptors: Optional[np.ndarray] = None
@@ -63,6 +64,18 @@ class VisualMap:
 
             sp_cfg, sp_vars = load_superpoint_checkpoint(superpoint_ckpt)
             self.superpoint = SuperPointExtractor(sp_cfg, params=sp_vars)
+        # learned matcher: SuperGlue when its checkpoint is configured,
+        # else the device mutual-NN matcher (reference: HLoc SuperGlue,
+        # localization_utils.py:140-145)
+        self.superglue = superglue
+        if superglue_ckpt is None:
+            superglue_ckpt = getattr(map_config, "superglue_ckpt", "")
+        if superglue is None and superglue_ckpt:
+            from avlmaps_tpu.models.superglue import (
+                SuperGlueMatcher, load_superglue_checkpoint)
+
+            sg_cfg, sg_vars = load_superglue_checkpoint(superglue_ckpt)
+            self.superglue = SuperGlueMatcher(sg_cfg, params=sg_vars)
 
     def _init_clip(self):
         if self.clip_encoder is None:
@@ -179,19 +192,29 @@ class VisualMap:
         return cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY).astype(np.float32) / 255.0
 
     def _match_superpoint(self, query_image: np.ndarray, frame_id: int):
-        """(ref_pts, query_pts) pixel pairs from SuperPoint + device MNN
-        (replaces the reference's SuperPoint+SuperGlue,
+        """(ref_pts, query_pts) pixel pairs from SuperPoint + SuperGlue
+        when its weights are configured, else SuperPoint + device MNN
+        (reference: SuperPoint+SuperGlue via HLoc,
         localization_utils.py:137-145,247-273)."""
         import jax.numpy as jnp
-        from avlmaps_tpu.models.superpoint import mutual_nearest_matches
 
         ref = self._sp_frame_features(frame_id)
         q = self.superpoint.extract(self._to_gray(query_image)[None])
         q = {k: v[0] for k, v in q.items()}
-        idx, _ = mutual_nearest_matches(
-            jnp.asarray(q["descriptors"]), jnp.asarray(ref["descriptors"]),
-            jnp.asarray(q["valid"]), jnp.asarray(ref["valid"]))
-        idx = np.asarray(idx)
+        if self.superglue is not None:
+            hw = query_image.shape[:2]
+            idx, _ = self.superglue.match(
+                {k: v[None] for k, v in q.items()},
+                {k: v[None] for k, v in ref.items()}, hw)
+            idx = np.asarray(idx)[0]
+        else:
+            from avlmaps_tpu.models.superpoint import mutual_nearest_matches
+
+            idx, _ = mutual_nearest_matches(
+                jnp.asarray(q["descriptors"]),
+                jnp.asarray(ref["descriptors"]),
+                jnp.asarray(q["valid"]), jnp.asarray(ref["valid"]))
+            idx = np.asarray(idx)
         sel = idx >= 0
         return ref["keypoints"][idx[sel]], q["keypoints"][sel]
 

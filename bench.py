@@ -247,15 +247,15 @@ def measure_queries() -> dict:
     texts = jnp.asarray(rng.normal(size=(8, n_cat, 512)).astype(np.float32))
 
     @jax.jit
-    def one_query(text):
+    def one_query(feats, text):
         s = score_features(feats, text, normalize_map=True,
                            normalize_text=True)
         return jnp.argmax(s, axis=1)
 
-    masks = [one_query(texts[i]) for i in range(2)]  # warm/compile
+    masks = [one_query(feats, texts[i]) for i in range(2)]  # warm/compile
     jax.block_until_ready(masks)
     t0 = time.perf_counter()
-    masks = [one_query(texts[i]) for i in range(8)]
+    masks = [one_query(feats, texts[i]) for i in range(8)]
     jax.block_until_ready(masks)
     dt = (time.perf_counter() - t0) / 8
 

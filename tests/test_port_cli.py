@@ -48,12 +48,20 @@ def ported(tmp_path_factory):
                          desc_dim=32)
     torch.save(sp.state_dict(), root / "superpoint_v1.pth")
 
+    # SuperGlue flat state dict
+    from tools.torch_reference.superglue_torch import (
+        TorchSuperGlueSpec, build_torch_superglue)
+
+    sg = build_torch_superglue(TorchSuperGlueSpec.tiny(), seed=0)
+    torch.save(sg.state_dict(), root / "superglue_indoor.pth")
+
     old_argv = sys.argv
     sys.argv = ["port_checkpoints.py",
                 "--lseg", str(root / "demo_e200.ckpt"),
                 "--lseg-layers", "4",
                 "--audioclip", str(root / "AudioCLIP-Partial-Training.pt"),
                 "--superpoint", str(root / "superpoint_v1.pth"),
+                "--superglue", str(root / "superglue_indoor.pth"),
                 "--out", str(out)]
     try:
         port_main()
@@ -118,3 +126,34 @@ def test_superpoint_msgpack_roundtrip(ported):
     ext2 = SuperPointExtractor(cfg, params=variables)
     feats = ext2.extract(img)
     assert np.isfinite(feats["descriptors"]).all()
+
+
+def test_superglue_msgpack_roundtrip(ported):
+    from flax import serialization
+    from avlmaps_tpu.models.superglue import (
+        SuperGlueConfig, SuperGlueMatcher)
+
+    out, _ = ported
+    cfg = SuperGlueConfig.tiny()
+    rng = np.random.default_rng(0)
+    k, d = 16, cfg.desc_dim
+    desc = rng.normal(size=(1, k, d)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    feats = {
+        "keypoints": rng.uniform(0, 32, (1, k, 2)).astype(np.float32),
+        "scores": rng.uniform(0.1, 1, (1, k)).astype(np.float32),
+        "descriptors": desc,
+        "valid": np.ones((1, k), bool),
+    }
+    template = SuperGlueMatcher(cfg)
+    template.match(feats, feats, (32, 32))  # materialise param template
+    variables = serialization.from_bytes(
+        template.params, (out / "superglue.msgpack").read_bytes())
+    matcher = SuperGlueMatcher(cfg, params=variables)
+    m, s = matcher.match(feats, feats, (32, 32))
+    # identical sets: anything the (untrained-weight) matcher does match
+    # must be the identity, and scores stay finite
+    m = np.asarray(m)[0]
+    sel = m >= 0
+    assert np.array_equal(m[sel], np.arange(k)[sel])
+    assert np.isfinite(np.asarray(s)).all()

@@ -120,3 +120,55 @@ def test_localize_image_uses_refinement(scene, vmap):
     np.testing.assert_allclose(
         base_tf[1, 3],
         cam_tf[1, 3] - vmap.map_config.pose_info.camera_height)
+
+
+def test_superglue_refine_recovers_translation(scene):
+    """SuperPoint + SuperGlue path through refine_pose.  An untrained tiny
+    SuperGlue is a poor matcher, so the test injects a matcher whose
+    decision comes out of the real SuperGlue decision rule applied to a
+    descriptor-similarity assignment — this exercises the full wiring
+    (feature dicts, hw plumbing, index selection) with a matcher of
+    SuperGlue's interface."""
+    import jax.numpy as jnp
+
+    from avlmaps_tpu.models.superpoint import (
+        SuperPointConfig, SuperPointExtractor)
+    from avlmaps_tpu.models.superglue import (
+        log_optimal_transport, match_from_assignment)
+    from avlmaps_tpu.geometry.transforms import pose_vec_to_tf
+
+    class SimilaritySuperGlue:
+        """SuperGlueMatcher-interface stub: unary descriptor similarity
+        through the real Sinkhorn + mutual-max decision."""
+
+        def match(self, f0, f1, hw):
+            assert len(hw) == 2  # image shape must reach the matcher
+            d0 = jnp.asarray(f0["descriptors"])
+            d1 = jnp.asarray(f1["descriptors"])
+            v0 = jnp.asarray(f0["valid"])
+            v1 = jnp.asarray(f1["valid"])
+            # sharp temperature: untrained SuperPoint descriptors have
+            # weak margins, and this stub has no learned calibration
+            scores = 100.0 * jnp.einsum("bnd,bmd->bnm", d0, d1)
+            Z = log_optimal_transport(scores, jnp.asarray(1.0), v0, v1,
+                                      iters=20)
+            return match_from_assignment(Z, v0, v1, threshold=0.05)
+
+    root, query = scene
+    cfg = load_config()
+    cfg.map_config.cam_calib_mat = tuple(get_sim_cam_mat(H, W).reshape(-1))
+    sp = SuperPointExtractor(SuperPointConfig(
+        channels=(8, 8, 16, 16), det_ch=32, desc_ch=32, desc_dim=32,
+        max_keypoints=512, score_threshold=0.0))
+    m = VisualMap(cfg.map_config, str(root), superpoint=sp,
+                  superglue=SimilaritySuperGlue())
+    m.data_dir = Path(root)
+    m.poses = np.stack([pose_vec_to_tf([0, 0, 0, 0, 0, 0, 1.0])])
+    m.descriptors = np.ones((1, 8), np.float32)
+
+    cam_tf = m.refine_pose(query, 0, get_sim_cam_mat(H, W))
+    assert cam_tf is not None, "SuperGlue-path PnP refinement failed"
+    expected = m._ref_cam_tf(0)
+    delta = cam_tf[:3, 3] - expected[:3, 3]
+    np.testing.assert_allclose(delta, [TX, 0, 0], atol=0.06)
+    np.testing.assert_allclose(cam_tf[:3, :3], expected[:3, :3], atol=0.05)

@@ -35,6 +35,8 @@ def main() -> None:
     parser.add_argument("--audioclip",
                         help="AudioCLIP-Partial-Training.pt path")
     parser.add_argument("--superpoint", help="superpoint_v1.pth path")
+    parser.add_argument("--superglue",
+                        help="superglue_{indoor,outdoor}.pth path")
     parser.add_argument("--wav2clip",
                         help="wav2clip resnet18 state-dict path")
     parser.add_argument("--lseg-layers", type=int, default=24,
@@ -72,6 +74,15 @@ def main() -> None:
         save_tree(sp_vars, out / "superpoint.msgpack")
         print(f"  superpoint config: channels={sp_cfg.channels} "
               f"desc={sp_cfg.desc_dim}")
+    if args.superglue:
+        from avlmaps_tpu.models.superglue.port import (
+            load_superglue_checkpoint,
+        )
+
+        sg_cfg, sg_vars = load_superglue_checkpoint(args.superglue)
+        save_tree(sg_vars, out / "superglue.msgpack")
+        print(f"  superglue config: desc={sg_cfg.desc_dim} "
+              f"layers={sg_cfg.gnn_layers}")
     if args.wav2clip:
         import torch
 
@@ -82,7 +93,7 @@ def main() -> None:
         sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
         save_tree(port_wav2clip_state_dict(sd), out / "wav2clip.msgpack")
     if not (args.lseg or args.clip or args.audioclip or args.superpoint
-            or args.wav2clip):
+            or args.superglue or args.wav2clip):
         parser.error("provide at least one checkpoint path")
 
 
