@@ -153,10 +153,10 @@ class VLMap(Map):
                     "init_categories(categories: List[str]) to initialize "
                     "categories.")
             enc = self._init_clip()
-            scores_mat = enc.get_lseg_score(
+            # fused score+argmax: the (N, C) score matrix stays on device
+            return enc.get_lseg_argmax(
                 [language_desc], self.grid_feat, use_multiple_templates=True,
-                add_other=True)
-            cat_id = 0
+                add_other=True) == 0
         return np.argmax(scores_mat, axis=1) == cat_id
 
     def customize_obstacle_map(self, potential_obstacle_names: List[str],
@@ -171,10 +171,9 @@ class VLMap(Map):
         all_obstacles_mask = self.obstacles_cropped == 0
         # add_other=True: the reference scores with an appended 'other'
         # class absorbing non-obstacle voxels (index_utils.py:152-158)
-        scores = enc.get_lseg_score(
+        predict = enc.get_lseg_argmax(
             list(potential_obstacle_names), self.grid_feat,
             use_multiple_templates=True, add_other=True)
-        predict = np.argmax(scores, axis=1)
         obs_inds = [i for i, name in enumerate(potential_obstacle_names)
                     if name in obstacle_names]
         pts_mask = np.isin(predict, obs_inds)

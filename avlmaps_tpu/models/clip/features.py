@@ -19,7 +19,7 @@ from avlmaps_tpu.models.clip.model import (
     Clip, ClipConfig, CLIP_VARIANTS, preprocess_images,
 )
 from avlmaps_tpu.models.clip.tokenizer import ClipTokenizer, default_tokenizer
-from avlmaps_tpu.ops.similarity import score_features
+from avlmaps_tpu.ops.similarity import score_argmax, score_features
 
 # The 64 prompt-ensembling templates published with OpenAI CLIP's prompt
 # engineering notebook (same set the reference embeds at clip_utils.py:10-74).
@@ -240,10 +240,44 @@ class ClipEncoder:
         else:
             text_feats = self.get_text_feats(landmarks_other)
 
-        flat = map_feats.reshape(-1, map_feats.shape[-1])
         scores = np.asarray(jax.device_get(score_features(
-            jnp.asarray(flat), jnp.asarray(text_feats))))
+            self._map_feats_device(map_feats), jnp.asarray(text_feats))))
         if use_multiple_templates and avg_mode == 1:
             scores = scores.reshape(-1, len(landmarks_other),
                                     len(MULTIPLE_TEMPLATES)).mean(axis=2)
         return scores
+
+    def _map_feats_device(self, map_feats: np.ndarray) -> jnp.ndarray:
+        """Device-resident flattened map features, cached across queries —
+        repeated index queries over the same map must not re-upload the
+        multi-GB (N, D) matrix every call."""
+        if getattr(self, "_map_dev_src", None) is not map_feats:
+            flat = map_feats.reshape(-1, map_feats.shape[-1])
+            self._map_dev = jnp.asarray(flat)
+            self._map_dev_src = map_feats
+        return self._map_dev
+
+    def get_lseg_argmax(self, landmarks: List[str], map_feats: np.ndarray,
+                        use_multiple_templates: bool = False,
+                        avg_mode: int = 0, add_other: bool = True
+                        ) -> np.ndarray:
+        """Per-voxel best-landmark index, (N,) int32 — the fused-kernel
+        fast path for the reference's score-then-np.argmax pattern
+        (clip_utils.py:196-242 + vlmap.py:123-125): the (N, C) score
+        matrix never leaves the device (only N int32 come back)."""
+        if use_multiple_templates and avg_mode == 1:
+            # template-averaged scores can't fuse; fall back
+            scores = self.get_lseg_score(landmarks, map_feats,
+                                         use_multiple_templates, avg_mode,
+                                         add_other)
+            return np.argmax(scores, axis=1).astype(np.int32)
+        landmarks_other = list(landmarks)
+        if add_other and landmarks_other[-1] != "other":
+            landmarks_other = landmarks_other + ["other"]
+        if use_multiple_templates:
+            text_feats = self.get_text_feats_multiple_templates(
+                landmarks_other)
+        else:
+            text_feats = self.get_text_feats(landmarks_other)
+        return np.asarray(jax.device_get(score_argmax(
+            self._map_feats_device(map_feats), jnp.asarray(text_feats))))

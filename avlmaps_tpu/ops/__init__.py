@@ -8,6 +8,7 @@ from avlmaps_tpu.ops.voxel_fusion import (
     concept_fusion_alpha,
 )
 from avlmaps_tpu.ops.similarity import (
+    score_argmax,
     score_features,
     score_features_hbm,
     topk_categories,
@@ -34,7 +35,8 @@ from avlmaps_tpu.ops.morphology import (
 __all__ = [
     "VoxelFusionState", "init_fusion_state", "fuse_points",
     "export_fusion_state", "concept_fusion_alpha",
-    "score_features", "score_features_hbm", "topk_categories",
+    "score_argmax", "score_features", "score_features_hbm",
+    "topk_categories",
     "heatmap_from_mask_3d", "heatmap_from_mask_2d",
     "distance_transform_edt_jax", "radial_decay_heatmap",
     "pool_3d_label_to_2d", "pool_3d_value_to_2d_max", "pool_3d_rgb_to_2d",

@@ -61,14 +61,9 @@ def score_features(map_feats: jnp.ndarray, text_feats: jnp.ndarray,
     """
     n, d = map_feats.shape
     c = text_feats.shape[0]
-    n_pad = _round_up(max(n, 8), _TILE_N)
-    c_pad = _round_up(max(c, 8), _LANE)
-    d_pad = _round_up(d, _LANE)
+    x, t, n_rows, c_pad, d_pad = _pad_operands(map_feats, text_feats)
 
-    x = jnp.zeros((n_pad, d_pad), map_feats.dtype).at[:n, :d].set(map_feats)
-    t = jnp.zeros((d_pad, c_pad), text_feats.dtype).at[:d, :c].set(text_feats.T)
-
-    grid = (n_pad // _TILE_N,)
+    grid = (pl.cdiv(n_rows, _TILE_N),)
     out = pl.pallas_call(
         _score_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -83,17 +78,111 @@ def score_features(map_feats: jnp.ndarray, text_feats: jnp.ndarray,
             out_specs=pl.BlockSpec((_TILE_N, c_pad), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, c_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rows, c_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * d_pad * c_pad,
-            bytes_accessed=n_pad * d_pad * 4 + d_pad * c_pad * 4
-            + n_pad * c_pad * 4,
+            flops=2 * n_rows * d_pad * c_pad,
+            bytes_accessed=n_rows * d_pad * 4 + d_pad * c_pad * 4
+            + n_rows * c_pad * 4,
             transcendentals=0,
         ),
         interpret=pallas_interpret_mode(),
     )(jnp.array([1 if normalize_map else 0], jnp.int32),
       jnp.array([1 if normalize_text else 0], jnp.int32), x, t)
     return out[:n, :c]
+
+
+def _pad_operands(map_feats: jnp.ndarray, text_feats: jnp.ndarray):
+    """Shape the operands for the score kernels WITHOUT copying the big
+    (N, D) map side in the common case.
+
+    The Pallas grid handles a ragged final row tile, so the map only needs
+    sublane/lane alignment (N % 8, D % 128) — true for every production
+    config (D = 512/768, slot counts are multiples of 8).  Only when
+    misaligned (tiny tests) is the 2·N·D-byte pad copy paid; the (D, C)
+    text side is tiny and always padded.
+    """
+    n, d = map_feats.shape
+    c = text_feats.shape[0]
+    c_pad = _round_up(max(c, 8), _LANE)
+    d_pad = _round_up(d, _LANE)
+    if pallas_interpret_mode() or n % 8 or d != d_pad:
+        n_rows = _round_up(max(n, 8), _TILE_N)
+        x = jnp.zeros((n_rows, d_pad),
+                      map_feats.dtype).at[:n, :d].set(map_feats)
+    else:
+        n_rows = n
+        x = map_feats
+    t = jnp.zeros((d_pad, c_pad),
+                  text_feats.dtype).at[:d, :c].set(text_feats.T)
+    return x, t, n_rows, c_pad, d_pad
+
+
+def _score_argmax_kernel(n_cat: int, norm_map_ref, norm_text_ref, feats_ref,
+                         text_ref, out_ref):
+    x = feats_ref[:].astype(jnp.float32)
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
+    xn = jnp.where(norm_map_ref[0] == 1, x * inv, x)
+
+    t = text_ref[:].astype(jnp.float32)
+    tsq = jnp.sum(t * t, axis=0, keepdims=True)
+    tinv = jax.lax.rsqrt(jnp.maximum(tsq, 1e-12))
+    tn = jnp.where(norm_text_ref[0] == 1, t * tinv, t)
+
+    s = jnp.dot(xn, tn, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_cat, s, -jnp.inf)  # padded categories never win
+    # first-index-of-max, NOT jnp.argmax: Mosaic's argmax breaks ties to the
+    # last index while the reference's np.argmax (vlmap.py:123) takes the
+    # first — and all-zero rows (empty-weight voxels) tie every category
+    m = jnp.max(s, axis=1, keepdims=True)
+    first = jnp.min(jnp.where(s >= m, col, jnp.int32(2 ** 30)), axis=1)
+    out_ref[:] = first.astype(jnp.int32)[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("normalize_map",
+                                             "normalize_text"))
+def score_argmax(map_feats: jnp.ndarray, text_feats: jnp.ndarray,
+                 normalize_map: bool = False,
+                 normalize_text: bool = False) -> jnp.ndarray:
+    """Fused cosine score + per-row argmax: (N, D) x (C, D) -> (N,) int32.
+
+    The index_map hot path (reference vlmap.py:104-125 scores then
+    np.argmax on the host) reads the map features from HBM once and never
+    materialises the (N, C) score matrix — the argmax happens in VMEM per
+    tile.  Ties break to the lowest index, matching np.argmax.
+    """
+    n = map_feats.shape[0]
+    c = text_feats.shape[0]
+    x, t, n_rows, c_pad, d_pad = _pad_operands(map_feats, text_feats)
+
+    grid = (pl.cdiv(n_rows, _TILE_N),)
+    out = pl.pallas_call(
+        functools.partial(_score_argmax_kernel, c),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((_TILE_N, d_pad), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d_pad, c_pad), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((_TILE_N, 1), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_rows, 1), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_rows * d_pad * c_pad,
+            bytes_accessed=n_rows * d_pad * 4 + d_pad * c_pad * 4
+            + n_rows * 4,
+            transcendentals=0,
+        ),
+        interpret=pallas_interpret_mode(),
+    )(jnp.array([1 if normalize_map else 0], jnp.int32),
+      jnp.array([1 if normalize_text else 0], jnp.int32), x, t)
+    return out[:n, 0]
 
 
 def score_features_hbm(map_feats, text_feats, **kw):

@@ -232,31 +232,31 @@ def measure_e2e(step, state, params, canvas_hw) -> float:
 def measure_queries() -> dict:
     """Open-vocabulary indexing throughput (BASELINE.md metric #2):
     score a 1M-voxel map against a 21-category (+other) text matrix with
-    the fused normalize+matmul kernel and take the per-voxel argmax — the
-    reference's index_map hot path (avlmaps/map/vlmap.py:104-125,
+    the fused normalize+matmul+argmax kernel (ops.similarity.score_argmax)
+    — the reference's index_map hot path (avlmaps/map/vlmap.py:104-125,
     utils/clip_utils.py:196-242, CPU numpy there).  Also measures the
     reference-style numpy matmul once on this host for the ratio."""
     import jax
     import jax.numpy as jnp
 
-    from avlmaps_tpu.ops.similarity import score_features
+    from avlmaps_tpu.ops.similarity import score_argmax
 
     n_vox, n_cat = 1_000_000, 22
     rng = np.random.default_rng(2)
     feats = jnp.asarray(rng.normal(size=(n_vox, 512)).astype(np.float32))
     texts = jnp.asarray(rng.normal(size=(8, n_cat, 512)).astype(np.float32))
 
-    @jax.jit
     def one_query(feats, text):
-        s = score_features(feats, text, normalize_map=True,
-                           normalize_text=True)
-        return jnp.argmax(s, axis=1)
+        return score_argmax(feats, text, normalize_map=True,
+                            normalize_text=True)
 
-    masks = [one_query(feats, texts[i]) for i in range(2)]  # warm/compile
-    jax.block_until_ready(masks)
+    # warm/compile; the np.asarray also primes the tunnel's D2H channel —
+    # before the first device_get, block_until_ready can return early and
+    # timings read as pure dispatch
+    np.asarray(one_query(feats, texts[0])[:1])
     t0 = time.perf_counter()
-    masks = [one_query(feats, texts[i]) for i in range(8)]
-    jax.block_until_ready(masks)
+    for i in range(8):
+        jax.block_until_ready(one_query(feats, texts[i]))
     dt = (time.perf_counter() - t0) / 8
 
     # host-side numpy reference (one rep is enough — seconds per query)

@@ -51,6 +51,48 @@ class TestSimilarity:
             np.asarray(topk_categories(jnp.asarray(scores))),
             scores.argmax(axis=1))
 
+    def test_fused_score_argmax(self, rng):
+        from avlmaps_tpu.ops.similarity import score_argmax
+
+        n, d, c = 3000, 512, 11
+        feats = rng.normal(size=(n, d)).astype(np.float32) * 2
+        # all-negative scores: padded categories must never win the argmax
+        text = -np.abs(rng.normal(size=(c, d)).astype(np.float32))
+        feats = np.abs(feats)
+        got = np.asarray(score_argmax(jnp.asarray(feats), jnp.asarray(text),
+                                      normalize_map=True,
+                                      normalize_text=True))
+        fn = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+        tn = text / np.linalg.norm(text, axis=1, keepdims=True)
+        assert (fn @ tn.T).max() < 0  # the masking actually matters here
+        np.testing.assert_array_equal(got, (fn @ tn.T).argmax(axis=1))
+
+    def test_fused_score_argmax_tie_break_first(self, rng):
+        from avlmaps_tpu.ops.similarity import score_argmax
+
+        # zero rows tie every category; np.argmax semantics = first index
+        feats = np.zeros((16, 32), np.float32)
+        feats[8:] = rng.normal(size=(8, 32)).astype(np.float32)
+        text = rng.normal(size=(4, 32)).astype(np.float32)
+        got = np.asarray(score_argmax(jnp.asarray(feats), jnp.asarray(text),
+                                      normalize_map=True,
+                                      normalize_text=True))
+        fn = np.divide(feats, np.linalg.norm(feats, axis=1, keepdims=True),
+                       out=np.zeros_like(feats),
+                       where=np.linalg.norm(feats, axis=1,
+                                            keepdims=True) > 0)
+        tn = text / np.linalg.norm(text, axis=1, keepdims=True)
+        np.testing.assert_array_equal(got, (fn @ tn.T).argmax(axis=1))
+
+    def test_fused_score_argmax_odd_shapes(self, rng):
+        from avlmaps_tpu.ops.similarity import score_argmax
+
+        got = np.asarray(score_argmax(
+            jnp.asarray(rng.normal(size=(13, 7)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(3, 7)).astype(np.float32))))
+        assert got.shape == (13,) and got.dtype == np.int32
+        assert (got >= 0).all() and (got < 3).all()
+
 
 class TestHeatmap3D:
     def test_matches_bruteforce(self, rng):

@@ -165,3 +165,62 @@ class TestCanvasTransportOnChip:
                                             img, px, py)
         np.testing.assert_allclose(np.asarray(s), np.asarray(w),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestSuperGlueOnChip:
+    def test_sinkhorn_matches_f64_host(self, rng):
+        """Compiled masked Sinkhorn on the chip vs a float64 host loop."""
+        from avlmaps_tpu.models.superglue import log_optimal_transport
+        import jax.numpy as jnp
+
+        m, n = 96, 80
+        scores = rng.normal(size=(1, m, n)).astype(np.float32)
+        v0 = np.ones((1, m), bool); v0[0, 90:] = False
+        v1 = np.ones((1, n), bool)
+        iters = 20
+        Z = np.asarray(log_optimal_transport(
+            jnp.asarray(scores), jnp.asarray(1.0), jnp.asarray(v0),
+            jnp.asarray(v1), iters))
+
+        # host float64 unpadded oracle
+        mv = 90
+        s = np.zeros((mv + 1, n + 1))
+        s[:mv, :n] = scores[0, :mv].astype(np.float64)
+        s[mv, :] = 1.0; s[:, n] = 1.0
+        norm = -np.log(mv + n)
+        log_mu = np.concatenate([np.full(mv, norm), [np.log(n) + norm]])
+        log_nu = np.concatenate([np.full(n, norm), [np.log(mv) + norm]])
+        u = np.zeros(mv + 1); v = np.zeros(n + 1)
+        from scipy.special import logsumexp as lse
+        for _ in range(iters):
+            u = log_mu - lse(s + v[None, :], axis=1)
+            v = log_nu - lse(s + u[:, None], axis=0)
+        want = s + u[:, None] + v[None, :] - norm
+        np.testing.assert_allclose(Z[0, :mv, :n], want[:mv, :n],
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(Z[0, -1, :n], want[-1, :n],
+                                   rtol=2e-4, atol=2e-4)
+
+
+class TestScoreArgmax:
+    def test_fused_vs_host(self, rng):
+        """Compiled fused score+argmax (ragged un-padded map path) vs
+        host numpy, and agreement with the two-step kernel."""
+        from avlmaps_tpu.ops.similarity import score_argmax, score_features
+        import jax.numpy as jnp
+
+        n, d, c = 100_008, 512, 22  # n % 8 == 0, not % 1024: ragged grid
+        feats = rng.normal(size=(n, d)).astype(np.float32) * 2
+        text = rng.normal(size=(c, d)).astype(np.float32)
+        got = np.asarray(score_argmax(jnp.asarray(feats), jnp.asarray(text),
+                                      normalize_map=True,
+                                      normalize_text=True))
+        fn = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+        tn = text / np.linalg.norm(text, axis=1, keepdims=True)
+        want = (fn @ tn.T).argmax(axis=1)
+        # float rounding can flip near-tied rows; demand near-exact
+        assert (got == want).mean() > 0.9999
+        two_step = np.asarray(jnp.argmax(score_features(
+            jnp.asarray(feats), jnp.asarray(text), normalize_map=True,
+            normalize_text=True), axis=1))
+        np.testing.assert_array_equal(got, two_step)
