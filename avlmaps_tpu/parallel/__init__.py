@@ -13,7 +13,8 @@ device parallelism is an unused nn.DataParallel).  The TPU design:
 """
 
 from avlmaps_tpu.parallel.sharded import (
-    ShardedFusion, make_mesh, export_sharded,
+    ShardedFusion, make_mesh, export_sharded, sharded_score_argmax,
 )
 
-__all__ = ["ShardedFusion", "make_mesh", "export_sharded"]
+__all__ = ["ShardedFusion", "make_mesh", "export_sharded",
+           "sharded_score_argmax"]

@@ -148,8 +148,6 @@ class ShardedFusion:
                                    rgb_pts.astype(jnp.float32), alpha,
                                    valid & frame_valid[:, None])
 
-        from jax.experimental.shard_map import shard_map
-
         pspec_state = VoxelFusionState(
             occupied_flat=P(axis), sum_wfeat=P(axis), sum_wrgb=P(axis),
             sum_w=P(axis), grid_pos=P(axis), n_slots=P(axis),
@@ -161,11 +159,11 @@ class ShardedFusion:
         else:
             body, n_data_args = shard_body, 5
         self._step = jax.jit(
-            shard_map(
+            jax.shard_map(
                 body, mesh=mesh,
                 in_specs=(pspec_state, P()) + (P(axis),) * n_data_args,
                 out_specs=pspec_state,
-                check_rep=False,
+                check_vma=False,
             ),
             donate_argnums=(0,))
 
@@ -315,3 +313,40 @@ def export_sharded(state: VoxelFusionState, *, n_dev: int, gs: int, vh: int,
             np.concatenate(weights).astype(np.float32),
             occupied,
             np.concatenate(rgbs))
+
+
+def sharded_score_argmax(mesh: Mesh, map_feats, text_feats,
+                         normalize_map: bool = True,
+                         normalize_text: bool = True) -> np.ndarray:
+    """Multi-chip open-vocabulary indexing: (N, D) voxel features row-
+    sharded over the mesh, (C, D) text replicated; every device runs the
+    fused score+argmax Pallas kernel on its shard.
+
+    There are NO collectives on the hot path — the argmax is per-voxel, so
+    the row sharding makes each device's work independent (the reference's
+    equivalent is a single-host numpy matmul, clip_utils.py:196-242).
+    Returns the (N,) int32 best-category labels on the host.
+    """
+    from functools import partial
+
+    from avlmaps_tpu.ops.similarity import score_argmax
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    n = map_feats.shape[0]
+    pad = (-n) % (n_dev * 8)  # equal shards, sublane-aligned rows
+    feats = np.asarray(map_feats, np.float32)
+    if pad:
+        feats = np.concatenate(
+            [feats, np.zeros((pad, feats.shape[1]), np.float32)])
+    f = jax.device_put(jnp.asarray(feats),
+                       NamedSharding(mesh, P(axis, None)))
+    t = jax.device_put(jnp.asarray(text_feats, jnp.float32),
+                       NamedSharding(mesh, P()))
+    fn = jax.shard_map(
+        partial(score_argmax, normalize_map=normalize_map,
+                normalize_text=normalize_text),
+        mesh=mesh, in_specs=(P(axis, None), P()), out_specs=P(axis),
+        check_vma=False)  # pallas_call out_shape carries no vma info
+    out = np.asarray(jax.device_get(jax.jit(fn)(f, t)))
+    return out[:n]

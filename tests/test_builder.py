@@ -436,3 +436,22 @@ class TestShardedBuilderE2E:
         assert m_full.num_occupied >= m_half.num_occupied
         # resumed map keeps the first half's mass: weights only grow
         assert m_full.weight.sum() > m_half.weight.sum()
+
+
+class TestShardedQuery:
+    def test_sharded_argmax_matches_single_device(self, rng):
+        from avlmaps_tpu.parallel import make_mesh, sharded_score_argmax
+        from avlmaps_tpu.ops.similarity import score_argmax
+        import jax.numpy as jnp
+
+        n, d, c = 4099, 64, 7  # deliberately not divisible by 8 devices
+        feats = rng.normal(size=(n, d)).astype(np.float32)
+        feats[100:140] = 0.0  # tie rows must agree across paths too
+        text = rng.normal(size=(c, d)).astype(np.float32)
+        mesh = make_mesh(8)
+        got = sharded_score_argmax(mesh, feats, text)
+        want = np.asarray(score_argmax(jnp.asarray(feats),
+                                       jnp.asarray(text),
+                                       normalize_map=True,
+                                       normalize_text=True))
+        np.testing.assert_array_equal(got, want)

@@ -90,6 +90,9 @@ def evaluate(vmap, queries, intr):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--superpoint-ckpt", type=Path, default=None)
+    ap.add_argument("--superglue-ckpt", type=Path, default=None,
+                    help="superglue_{indoor,outdoor}.pth; adds a "
+                    "superpoint_superglue row to the report")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=Path, default=None)
     args = ap.parse_args(argv)
@@ -111,8 +114,9 @@ def main(argv=None) -> int:
     cfg = load_config()
     cfg.map_config.cam_calib_mat = tuple(intr.reshape(-1))
 
-    def make_vmap(superpoint=None):
-        m = VisualMap(cfg.map_config, str(root), superpoint=superpoint)
+    def make_vmap(superpoint=None, superglue=None):
+        m = VisualMap(cfg.map_config, str(root), superpoint=superpoint,
+                      superglue=superglue)
         m.data_dir = root
         m.poses = np.stack([pose_vec_to_tf([0, 0, 0, 0, 0, 0, 1.0])])
         m.descriptors = np.ones((1, 8), np.float32)
@@ -134,6 +138,14 @@ def main(argv=None) -> int:
         "orb": evaluate(make_vmap(None), queries, intr),
         "superpoint_mnn": evaluate(make_vmap(sp), queries, intr),
     }
+    if args.superglue_ckpt:
+        from avlmaps_tpu.models.superglue import (
+            SuperGlueMatcher, load_superglue_checkpoint)
+
+        sg_cfg, sg_vars = load_superglue_checkpoint(str(args.superglue_ckpt))
+        sg = SuperGlueMatcher(sg_cfg, params=sg_vars)
+        report["superpoint_superglue"] = evaluate(
+            make_vmap(sp, superglue=sg), queries, intr)
     print(json.dumps(report, indent=2))
     if args.out:
         args.out.write_text(json.dumps(report, indent=2))
