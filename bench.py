@@ -275,6 +275,35 @@ def measure_queries() -> dict:
     }
 
 
+def measure_audio() -> dict:
+    """AudioCLIP sound-encoding throughput (driver config #3): the
+    reference encodes 5 s 44.1 kHz clips in batches of 10 through
+    ESResNeXt-FBSP on the host/GPU (avlmaps/utils/audio_utils.py:612-625,
+    sound_map.py:41-47); here the full tower runs jitted on the chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from avlmaps_tpu.models.audioclip import AudioClip, AudioClipConfig
+
+    cfg = AudioClipConfig()
+    model = AudioClip(cfg)
+    B, L = 10, 220500  # reference batch size x 5 s @ 44.1 kHz
+    rng = np.random.default_rng(3)
+    clips = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+    params = jax.jit(lambda k, x: model.init(
+        k, x, method=AudioClip.encode_audio))(jax.random.PRNGKey(0), clips)
+    fwd = jax.jit(lambda p, x: model.apply(
+        p, x, method=AudioClip.encode_audio))
+    np.asarray(fwd(params, clips)[:1])  # compile + prime D2H sync
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        jax.block_until_ready(fwd(params, clips))
+    dt = (time.perf_counter() - t0) / reps
+    return {"audio_clips_per_sec": B / dt,
+            "audio_batch_ms": dt * 1e3}
+
+
 def kernel_parity() -> dict:
     """On-chip numerics: compiled kernels vs f32 references (VERDICT item
     2).  Runs on whatever backend bench runs on — the real chip."""
@@ -471,6 +500,11 @@ def main():
         queries = measure_queries()
     except Exception as e:  # noqa: BLE001 - secondary metric only
         print(f"query measurement failed: {e}", file=sys.stderr)
+    audio = {}
+    try:
+        audio = measure_audio()
+    except Exception as e:  # noqa: BLE001 - secondary metric only
+        print(f"audio measurement failed: {e}", file=sys.stderr)
     try:
         baseline = get_baseline()
         vs = dev["device_fps"] / baseline["reference_fps"]
@@ -491,6 +525,8 @@ def main():
         if whole else None,
         "e2e_fps_whole_canvas": round(e2e_whole, 3) if e2e_whole else None,
         "query_qps": round(queries["query_qps"], 2) if queries else None,
+        "audio_clips_per_sec": round(audio["audio_clips_per_sec"], 2)
+        if audio else None,
         "query_vs_host_numpy": round(queries["query_vs_host_numpy"], 1)
         if queries else None,
         "kernel_parity": parity.get("status"),
