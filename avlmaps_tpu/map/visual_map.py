@@ -58,6 +58,8 @@ class VisualMap:
         # checkpoint path, or None -> ORB fallback (random SuperPoint
         # weights would be worse than ORB, so weights are required here)
         self.superpoint = superpoint
+        if superpoint_ckpt is None:
+            superpoint_ckpt = getattr(map_config, "superpoint_ckpt", "")
         if superpoint is None and superpoint_ckpt:
             from avlmaps_tpu.models.superpoint import (
                 SuperPointExtractor, load_superpoint_checkpoint)
@@ -107,10 +109,14 @@ class VisualMap:
         if cache.exists():
             with h5py.File(cache, "r") as f:
                 self.descriptors = f["descriptors"][:]
-            if (self.descriptors.shape[0] == len(self.poses)
-                    and self.descriptors.shape[1]
-                    == self._init_clip().feat_dim):
-                return  # cache valid for this encoder; else recompute
+            # validate against an ALREADY-constructed encoder's dim only:
+            # instantiating a CLIP tower just to read feat_dim would cost
+            # seconds + model memory on every warm-cache load
+            dim_ok = (self.clip_encoder is None
+                      or self.descriptors.shape[1]
+                      == self.clip_encoder.feat_dim)
+            if self.descriptors.shape[0] == len(self.poses) and dim_ok:
+                return  # cache valid; else recompute
         rgb_paths = sorted((self.data_dir / "rgb").glob("*.png"))
         enc = self._init_clip()
         self.descriptors = np.zeros((len(rgb_paths), enc.feat_dim),
@@ -141,29 +147,47 @@ class VisualMap:
         cam[1, 3] += self.map_config.pose_info.camera_height
         return cam
 
-    def _ref_frame_features(self, frame_id: int):
-        """Cached (keypoints, descriptors, depth) of a mapping frame — the
-        directory listing and the reference-side ORB pass are per-scene
-        constants, not per-query work."""
-        import cv2
-
-        from avlmaps_tpu.pipeline.loader import load_rgb, load_depth
-
-        if not hasattr(self, "_ref_cache"):
-            self._ref_cache = {}
+    def _ensure_paths(self) -> bool:
+        if not hasattr(self, "_rgb_paths"):
             self._rgb_paths = sorted((self.data_dir / "rgb").glob("*.png"))
             self._depth_paths = sorted(
                 (self.data_dir / "depth").glob("*.npy"))
+        return bool(self._rgb_paths)
+
+    def _ref_depth(self, frame_id: int) -> Optional[np.ndarray]:
+        """Cached depth image of a mapping frame (no feature work)."""
+        from avlmaps_tpu.pipeline.loader import load_depth
+
+        if not hasattr(self, "_depth_cache"):
+            self._depth_cache = {}
+        if frame_id in self._depth_cache:
+            return self._depth_cache[frame_id]
+        self._ensure_paths()
+        if frame_id >= len(self._depth_paths):
+            return None
+        depth = np.asarray(load_depth(self._depth_paths[frame_id]),
+                           np.float64)
+        if depth.ndim == 3:
+            depth = depth[..., 0]
+        self._depth_cache[frame_id] = depth
+        return depth
+
+    def _ref_frame_features(self, frame_id: int):
+        """Cached (keypoints, descriptors, depth) of a mapping frame — the
+        ORB pass is a per-scene constant, only paid on the ORB path."""
+        import cv2
+
+        from avlmaps_tpu.pipeline.loader import load_rgb
+
+        if not hasattr(self, "_ref_cache"):
+            self._ref_cache = {}
         if frame_id in self._ref_cache:
             return self._ref_cache[frame_id]
-        if frame_id >= len(self._rgb_paths) \
-                or frame_id >= len(self._depth_paths):
+        self._ensure_paths()
+        ref_depth = self._ref_depth(frame_id)
+        if ref_depth is None or frame_id >= len(self._rgb_paths):
             return None
         ref_img = load_rgb(self._rgb_paths[frame_id])
-        ref_depth = np.asarray(load_depth(self._depth_paths[frame_id]),
-                               np.float64)
-        if ref_depth.ndim == 3:
-            ref_depth = ref_depth[..., 0]
         orb = cv2.ORB_create(nfeatures=2000)
         gray = cv2.cvtColor(ref_img, cv2.COLOR_RGB2GRAY)
         kr, dr = orb.detectAndCompute(gray, None)
@@ -178,7 +202,7 @@ class VisualMap:
             self._sp_cache = {}
         if frame_id in self._sp_cache:
             return self._sp_cache[frame_id]
-        self._ref_frame_features(frame_id)  # primes paths + depth cache
+        self._ensure_paths()
         img = load_rgb(self._rgb_paths[frame_id])
         out = self.superpoint.extract(self._to_gray(img)[None])
         feats = {k: v[0] for k, v in out.items()}
@@ -249,10 +273,9 @@ class VisualMap:
         """
         import cv2
 
-        ref = self._ref_frame_features(frame_id)
-        if ref is None:
+        ref_depth = self._ref_depth(frame_id)
+        if ref_depth is None:
             return None
-        _, _, ref_depth = ref
 
         if self.superpoint is not None:
             ref_pts, q_pts = self._match_superpoint(query_image, frame_id)

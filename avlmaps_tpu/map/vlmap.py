@@ -42,7 +42,62 @@ def load_lseg_params(path: str, model):
     return load_lseg_checkpoint(str(path))
 
 
-class VLMap(Map):
+class OpenVocabIndexMixin:
+    """Shared open-vocabulary indexing over ``self.grid_feat``: CLIP init
+    (checkpoint-aware), category pre-scoring, and the fused-argmax query
+    path.  Used by both the single-floor :class:`VLMap` and the
+    multi-floor :class:`~.vlmap_builder_multi_floor.VLMapMultiFloor` so
+    the two can't drift (reference vlmap.py:67-125 /
+    vlmap_multi_floor.py:111-144 duplicate the same logic)."""
+
+    def _init_clip(self, clip_version: str = "ViT-B/32"):
+        """Lazy CLIP init (reference vlmap.py:67-90); loads the OpenAI .pt
+        when a checkpoint path is configured, random weights otherwise."""
+        if self.clip_encoder is not None:
+            return self.clip_encoder
+        from avlmaps_tpu.models.clip import ClipEncoder
+
+        if getattr(self, "clip_ckpt", ""):
+            self.clip_encoder = ClipEncoder.from_checkpoint(self.clip_ckpt)
+        else:
+            self.clip_encoder = ClipEncoder(clip_version)
+        return self.clip_encoder
+
+    def init_categories(self, categories: List[str]) -> np.ndarray:
+        """Pre-score the map against a fixed category list
+        (reference vlmap.py:92-102)."""
+        self.categories = list(categories)
+        enc = self._init_clip()
+        self.scores_mat = enc.get_lseg_score(
+            self.categories, self.grid_feat, use_multiple_templates=True,
+            add_other=True)
+        return self.scores_mat
+
+    def index_map(self, language_desc: str,
+                  with_init_cat: bool = True) -> np.ndarray:
+        """Per-voxel boolean mask for a language query
+        (reference vlmap.py:104-125)."""
+        if with_init_cat and self.scores_mat is not None and self.categories:
+            cat_id = find_similar_category_id(language_desc, self.categories)
+            return np.argmax(self.scores_mat, axis=1) == cat_id
+        if with_init_cat:
+            raise Exception(
+                "Categories are not preloaded. Call "
+                "init_categories(categories: List[str]) to initialize "
+                "categories.")
+        enc = self._init_clip()
+        if hasattr(enc, "get_lseg_argmax"):
+            # fused score+argmax: the (N, C) score matrix stays on device
+            return enc.get_lseg_argmax(
+                [language_desc], self.grid_feat,
+                use_multiple_templates=True, add_other=True) == 0
+        scores = enc.get_lseg_score(  # injected/stub encoder fallback
+            [language_desc], self.grid_feat, use_multiple_templates=True,
+            add_other=True)
+        return np.argmax(scores, axis=1) == 0
+
+
+class VLMap(OpenVocabIndexMixin, Map):
     def __init__(self, map_config: MapConfig, data_dir: str = "",
                  clip_encoder=None, lseg_ckpt: str = "",
                  clip_ckpt: str = ""):
@@ -55,19 +110,6 @@ class VLMap(Map):
         self._lseg = None  # (apply_fn, params) injected for map creation
 
     # -- model wiring --------------------------------------------------------
-
-    def _init_clip(self, clip_version: str = "ViT-B/32"):
-        """Lazy CLIP init (reference vlmap.py:67-90); loads the OpenAI .pt
-        when a checkpoint path is configured, random weights otherwise."""
-        if self.clip_encoder is not None:
-            return self.clip_encoder
-        from avlmaps_tpu.models.clip import ClipEncoder
-
-        if self.clip_ckpt:
-            self.clip_encoder = ClipEncoder.from_checkpoint(self.clip_ckpt)
-        else:
-            self.clip_encoder = ClipEncoder(clip_version)
-        return self.clip_encoder
 
     def set_lseg(self, apply_fn, params, feat_dim: int = 512):
         self._lseg = (apply_fn, params, feat_dim)
@@ -127,37 +169,7 @@ class VLMap(Map):
          self.occupied_ids, self.grid_rgb) = load_3d_map(self.map_save_path)
         return True
 
-    # -- indexing ------------------------------------------------------------
-
-    def init_categories(self, categories: List[str]) -> np.ndarray:
-        """Pre-score the map against a fixed category list
-        (reference vlmap.py:92-102)."""
-        self.categories = list(categories)
-        enc = self._init_clip()
-        self.scores_mat = enc.get_lseg_score(
-            self.categories, self.grid_feat, use_multiple_templates=True,
-            add_other=True)
-        return self.scores_mat
-
-    def index_map(self, language_desc: str,
-                  with_init_cat: bool = True) -> np.ndarray:
-        """Per-voxel boolean mask for a language query
-        (reference vlmap.py:104-125)."""
-        if with_init_cat and self.scores_mat is not None and self.categories:
-            cat_id = find_similar_category_id(language_desc, self.categories)
-            scores_mat = self.scores_mat
-        else:
-            if with_init_cat:
-                raise Exception(
-                    "Categories are not preloaded. Call "
-                    "init_categories(categories: List[str]) to initialize "
-                    "categories.")
-            enc = self._init_clip()
-            # fused score+argmax: the (N, C) score matrix stays on device
-            return enc.get_lseg_argmax(
-                [language_desc], self.grid_feat, use_multiple_templates=True,
-                add_other=True) == 0
-        return np.argmax(scores_mat, axis=1) == cat_id
+    # -- indexing: init_categories / index_map from OpenVocabIndexMixin ------
 
     def customize_obstacle_map(self, potential_obstacle_names: List[str],
                                obstacle_names: List[str],
@@ -171,9 +183,14 @@ class VLMap(Map):
         all_obstacles_mask = self.obstacles_cropped == 0
         # add_other=True: the reference scores with an appended 'other'
         # class absorbing non-obstacle voxels (index_utils.py:152-158)
-        predict = enc.get_lseg_argmax(
-            list(potential_obstacle_names), self.grid_feat,
-            use_multiple_templates=True, add_other=True)
+        if hasattr(enc, "get_lseg_argmax"):
+            predict = enc.get_lseg_argmax(
+                list(potential_obstacle_names), self.grid_feat,
+                use_multiple_templates=True, add_other=True)
+        else:  # injected/stub encoder fallback
+            predict = np.argmax(enc.get_lseg_score(
+                list(potential_obstacle_names), self.grid_feat,
+                use_multiple_templates=True, add_other=True), axis=1)
         obs_inds = [i for i, name in enumerate(potential_obstacle_names)
                     if name in obstacle_names]
         pts_mask = np.isin(predict, obs_inds)

@@ -36,6 +36,7 @@ from avlmaps_tpu.ops.voxel_fusion import (
     init_fusion_state, fuse_points, export_fusion_state, concept_fusion_alpha,
 )
 from avlmaps_tpu.models.lseg.window import plan_windows, features_at_points
+from avlmaps_tpu.map.vlmap import OpenVocabIndexMixin
 from avlmaps_tpu.pipeline.loader import PrefetchLoader, load_depth
 
 # global frame: y up, x right, z backward; camera z forward -> rotate 180
@@ -224,12 +225,13 @@ class VLMapBuilderMultiFloor:
         return grid_feat, grid_pos, weight, occupied_ids, grid_rgb
 
 
-class VLMapMultiFloor:
+class VLMapMultiFloor(OpenVocabIndexMixin):
     """Query-side wrapper for the multi-floor artifact with the same
     open-vocabulary indexing API as the single-floor VLMap
     (reference vlmap_multi_floor.py:111-144)."""
 
-    def __init__(self, map_config, data_dir: str = "", clip_encoder=None):
+    def __init__(self, map_config, data_dir: str = "", clip_encoder=None,
+                 clip_ckpt: str = ""):
         self.map_config = map_config
         self.data_dir = Path(data_dir) if data_dir else None
         self.grid_feat = None
@@ -243,6 +245,7 @@ class VLMapMultiFloor:
         self.scores_mat = None
         self.categories = None
         self.clip_encoder = clip_encoder
+        self.clip_ckpt = clip_ckpt
 
     def load_map(self, data_dir) -> bool:
         path = Path(data_dir) / "vlmap_multi_floor" \
@@ -264,46 +267,9 @@ class VLMapMultiFloor:
 
     # -- open-vocabulary indexing (reference vlmap_multi_floor.py:86-144) --
 
-    def _init_clip(self, clip_version: str = "ViT-B/32"):
-        if self.clip_encoder is None:
-            from avlmaps_tpu.models.clip import ClipEncoder
-
-            self.clip_encoder = ClipEncoder(clip_version)
-        return self.clip_encoder
-
-    def init_categories(self, categories) -> np.ndarray:
-        """Pre-score the whole-building map against a fixed category list
-        (reference :111-122)."""
-        self.categories = list(categories)
-        enc = self._init_clip()
-        self.scores_mat = enc.get_lseg_score(
-            self.categories, self.grid_feat, use_multiple_templates=True,
-            add_other=True)
-        return self.scores_mat
-
-    def index_map(self, language_desc: str,
-                  with_init_cat: bool = True) -> np.ndarray:
-        """Per-voxel boolean mask for a language query (reference
-        :123-144)."""
-        from avlmaps_tpu.utils.category_matching import (
-            find_similar_category_id)
-
-        if with_init_cat and self.scores_mat is not None and self.categories:
-            cat_id = find_similar_category_id(language_desc,
-                                              self.categories)
-            scores_mat = self.scores_mat
-        else:
-            if with_init_cat:
-                raise Exception(
-                    "Categories are not preloaded. Call "
-                    "init_categories(categories: List[str]) to initialize "
-                    "categories.")
-            enc = self._init_clip()
-            scores_mat = enc.get_lseg_score(
-                [language_desc], self.grid_feat,
-                use_multiple_templates=True, add_other=True)
-            cat_id = 0
-        return np.argmax(scores_mat, axis=1) == cat_id
+    # _init_clip / init_categories / index_map come from
+    # OpenVocabIndexMixin — shared with the single-floor VLMap (same
+    # fused-argmax device path and clip_ckpt plumbing).
 
     def get_pos(self, name: str):
         """Top-down contours/centers/bboxes of a category's islands over the

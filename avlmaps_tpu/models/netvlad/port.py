@@ -11,7 +11,11 @@ for models/netvlad/model.py:
   (kernel HWIO — matconvnet's native layout, no transpose needed — and
   bias) fill ``backbone/conv_i`` in order;
 * the VLAD core's soft-assignment 1x1 conv (D, K) + bias fills ``assign``
-  and its cluster centers fill ``centers`` (stored as (D, K) -> (K, D));
+  and its cluster centers fill ``centers`` (stored as (D, K) -> (K, D)).
+  matconvnet files store the NEGATED centers — hloc loads them as
+  ``center_w = -mat.net.layers[i].weights[1]`` (hloc extractors/netvlad.py)
+  — so the porter negates to recover the true centers the residual
+  ``agg - mass*centers`` expects;
 * the trailing WPCA 1x1 conv (K*D -> 4096) + bias fills ``whiten``;
 * ``net.meta.normalization.averageImage`` becomes the input mean.
 
@@ -101,7 +105,7 @@ def load_netvlad_mat(path: str) -> Tuple[dict, np.ndarray, NetVLADConfig]:
     params = {"params": {
         "backbone": backbone,
         "assign": {"kernel": assign[0], "bias": assign_b},
-        "centers": centers.T,  # (K, D)
+        "centers": -centers.T,  # (K, D); file stores negated centers
         "whiten": {"kernel": whiten[0],
                    "bias": (whiten[1] if whiten[1] is not None
                             else np.zeros(cfg.whiten_dim, np.float32))},

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -95,15 +95,19 @@ class _Propagation(nn.Module):
         q = nn.Dense(d, dtype=cfg.dtype, name="q")(x)
         kk = nn.Dense(d, dtype=cfg.dtype, name="k")(src)
         v = nn.Dense(d, dtype=cfg.dtype, name="v")(src)
-        q = q.reshape(b, k, h, hd)
-        kk = kk.reshape(b, src.shape[1], h, hd)
-        v = v.reshape(b, src.shape[1], h, hd)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, kk,
+        # STRIDED head grouping: the torch layout views (b, d, n) as
+        # (b, head_dim, heads, n), so head h owns channels c % heads == h —
+        # NOT contiguous blocks.  The (hd, h) reshape below reproduces it,
+        # and the inverse reshape feeds `merge` in the same order.
+        q = q.reshape(b, k, hd, h)
+        kk = kk.reshape(b, src.shape[1], hd, h)
+        v = v.reshape(b, src.shape[1], hd, h)
+        logits = jnp.einsum("bqdh,bkdh->bhqk", q, kk,
                             preferred_element_type=jnp.float32)
         logits = logits.astype(jnp.float32) / (hd ** 0.5)
         logits = jnp.where(src_valid[:, None, None, :], logits, NEG)
         prob = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
-        msg = jnp.einsum("bhqk,bkhd->bqhd", prob, v).reshape(b, k, d)
+        msg = jnp.einsum("bhqk,bkdh->bqdh", prob, v).reshape(b, k, d)
         msg = nn.Dense(d, dtype=cfg.dtype, name="merge")(msg)
         y = jnp.concatenate([x, msg], axis=-1)
         y = jax.nn.relu(nn.Dense(2 * d, dtype=cfg.dtype, name="mlp0")(y))
@@ -118,13 +122,17 @@ class SuperGlueNet(nn.Module):
     @nn.compact
     def __call__(self, kpts0, scores0, desc0, valid0,
                  kpts1, scores1, desc1, valid1,
-                 hw: Tuple[int, int]) -> jnp.ndarray:
+                 hw0: Tuple[int, int],
+                 hw1: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
         """``desc*`` are the L2-normalised SuperPoint descriptors (B, K, D);
-        padded entries must be finite (zeros are fine)."""
+        padded entries must be finite (zeros are fine).  Each keypoint set
+        is normalised by ITS OWN image shape (``hw1`` defaults to ``hw0``),
+        like the torch original."""
         cfg = self.cfg
         kenc = _KeypointEncoder(cfg, name="kenc")
-        d0 = desc0.astype(cfg.dtype) + kenc(kpts0, scores0, hw)
-        d1 = desc1.astype(cfg.dtype) + kenc(kpts1, scores1, hw)
+        d0 = desc0.astype(cfg.dtype) + kenc(kpts0, scores0, hw0)
+        d1 = desc1.astype(cfg.dtype) + kenc(kpts1, scores1,
+                                            hw1 if hw1 is not None else hw0)
         for pair in range(cfg.gnn_layers):
             self_prop = _Propagation(cfg, name=f"g{2 * pair}")
             cross_prop = _Propagation(cfg, name=f"g{2 * pair + 1}")
@@ -216,12 +224,12 @@ class SuperGlueMatcher:
         self.model = SuperGlueNet(cfg)
         self.params = params
         self._seed = seed
-        self._fwd = jax.jit(self.model.apply, static_argnums=(9,))
+        self._fwd = jax.jit(self.model.apply, static_argnums=(9, 10))
 
-    def _ensure_params(self, feats0, feats1, hw):
+    def _ensure_params(self, feats0, feats1, hw0, hw1):
         if self.params is None:
             self.params = jax.jit(
-                self.model.init, static_argnums=(9,))(
+                self.model.init, static_argnums=(9, 10))(
                 jax.random.PRNGKey(self._seed),
                 jnp.asarray(feats0["keypoints"], jnp.float32),
                 jnp.asarray(feats0["scores"], jnp.float32),
@@ -230,15 +238,19 @@ class SuperGlueMatcher:
                 jnp.asarray(feats1["keypoints"], jnp.float32),
                 jnp.asarray(feats1["scores"], jnp.float32),
                 jnp.asarray(feats1["descriptors"], jnp.float32),
-                jnp.asarray(feats1["valid"], bool), tuple(hw))
+                jnp.asarray(feats1["valid"], bool), hw0, hw1)
 
-    def match(self, feats0, feats1, hw: Tuple[int, int]):
+    def match(self, feats0, feats1, hw: Tuple[int, int],
+              hw1: Optional[Tuple[int, int]] = None):
         """feats: dicts with keypoints (B,K,2), scores (B,K),
         descriptors (B,K,D), valid (B,K) — the SuperPointExtractor output.
+        ``hw``: image shape of set 0; ``hw1``: of set 1 (defaults to hw).
 
         Returns (matches0 (B, K0) int32, mscores0 (B, K0)).
         """
-        self._ensure_params(feats0, feats1, hw)
+        hw0 = tuple(hw)
+        hw1 = tuple(hw1) if hw1 is not None else hw0
+        self._ensure_params(feats0, feats1, hw0, hw1)
         Z = self._fwd(self.params,
                       jnp.asarray(feats0["keypoints"], jnp.float32),
                       jnp.asarray(feats0["scores"], jnp.float32),
@@ -247,7 +259,7 @@ class SuperGlueMatcher:
                       jnp.asarray(feats1["keypoints"], jnp.float32),
                       jnp.asarray(feats1["scores"], jnp.float32),
                       jnp.asarray(feats1["descriptors"], jnp.float32),
-                      jnp.asarray(feats1["valid"], bool), tuple(hw))
+                      jnp.asarray(feats1["valid"], bool), hw0, hw1)
         return match_from_assignment(Z,
                                      jnp.asarray(feats0["valid"], bool),
                                      jnp.asarray(feats1["valid"], bool),

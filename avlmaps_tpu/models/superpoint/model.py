@@ -131,14 +131,21 @@ def select_keypoints(scores: jnp.ndarray, max_kp: int, radius: int,
 def sample_descriptors(desc_map: jnp.ndarray, xy: jnp.ndarray
                        ) -> jnp.ndarray:
     """Bilinear-sample the 1/8-res descriptor map at full-res pixel coords
-    and re-normalise (SuperPoint's grid_sample semantics, align_corners
-    False: cell centres at 8i+3.5).
+    and re-normalise.
+
+    Exactly MagicLeap's mapping (superpoint.py sample_descriptors):
+    ``g = 2*(x - 3.5)/(8*wc - 4.5) - 1`` through ``grid_sample`` with
+    ``align_corners=True`` gives cell coord ``(x - 3.5)*(wc - 1)/(8*wc -
+    4.5)`` — NOT ``(x - 3.5)/8``; the difference grows toward the
+    right/bottom edge (~0.4 cells at the border).  Border clamping here
+    matches grid_sample's zeros padding after the final L2 renorm (an
+    out-of-range neighbour only rescales the in-range contribution).
 
     desc_map: (B, Hc, Wc, D); xy: (B, K, 2) full-res (x, y).
     """
     bsz, hc, wc, d = desc_map.shape
-    sx = (xy[..., 0] - 3.5) / 8.0
-    sy = (xy[..., 1] - 3.5) / 8.0
+    sx = (xy[..., 0] - 3.5) * ((wc - 1) / (8.0 * wc - 4.5))
+    sy = (xy[..., 1] - 3.5) * ((hc - 1) / (8.0 * hc - 4.5))
     x0 = jnp.clip(jnp.floor(sx), 0, wc - 1).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor(sy), 0, hc - 1).astype(jnp.int32)
     x1 = jnp.minimum(x0 + 1, wc - 1)

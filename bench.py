@@ -206,7 +206,6 @@ def measure_e2e(step, state, params, canvas_hw) -> float:
         sorted((root / "rgb").glob("*.png")),
         sorted((root / "depth").glob("*.npy")),
         pose_tfs, batch_size=BATCH, normalize=False, transform=transform)
-    fvalid = jnp.ones((BATCH,), bool)
 
     # steady-state rate: the first batch absorbs the producer-thread spin-up
     # (queue fill, page-cache warm) and is excluded from the timed window —
@@ -217,7 +216,8 @@ def measure_e2e(step, state, params, canvas_hw) -> float:
         state = step(state, params, jnp.asarray(batch.canvas),
                      jnp.asarray(batch.z_mm), jnp.asarray(batch.rgb_pts),
                      jnp.asarray(batch.pose_tf),
-                     jnp.asarray(batch.sample_idx), fvalid)
+                     jnp.asarray(batch.sample_idx),
+                     jnp.asarray(batch.frame_ids >= 0))
         if t0 is None:  # first (warmup) batch: start the clock after it
             jax.block_until_ready(jax.tree.leaves(state))
             t0 = time.perf_counter()

@@ -155,9 +155,10 @@ class TestNetVLADPorter:
             params["params"]["assign"]["kernel"],
             layers[4]["weights"][0].reshape(CFG.dim, CFG.clusters),
             rtol=1e-6)
+        # the .mat stores NEGATED centers (hloc: center_w = -weights[1])
         np.testing.assert_allclose(
             params["params"]["centers"],
-            layers[4]["weights"][2].T, rtol=1e-6)
+            -layers[4]["weights"][2].T, rtol=1e-6)
 
         enc = load_netvlad_encoder(str(mat))
         img = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)

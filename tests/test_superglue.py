@@ -47,7 +47,9 @@ class TestTorchGoldenParity:
             export_reference_state_dict,
         )
 
-        tm = build_torch_superglue(TorchSuperGlueSpec.tiny(), seed=0)
+        # gain sharpens attention so head-layout errors can't hide
+        tm = build_torch_superglue(TorchSuperGlueSpec.tiny(), seed=0,
+                                   gain=3.0)
         sd = export_reference_state_dict(tm)
         cfg = config_from_state_dict(sd, sinkhorn_iters=TINY.sinkhorn_iters)
         assert cfg.desc_dim == TINY.desc_dim
@@ -62,8 +64,9 @@ class TestTorchGoldenParity:
         tm, model, variables = pair
         rng = np.random.default_rng(0)
         k0, k1 = 24, 30
+        hw1 = (64, 80)  # different ref-image shape: per-set normalisation
         f0 = _rand_feats(rng, k0, TINY.desc_dim)
-        f1 = _rand_feats(rng, k1, TINY.desc_dim)
+        f1 = _rand_feats(rng, k1, TINY.desc_dim, hw=hw1)
         with torch.no_grad():
             Zt, matches_t, mscores_t = tm(
                 torch.from_numpy(f0["keypoints"]),
@@ -71,7 +74,7 @@ class TestTorchGoldenParity:
                 torch.from_numpy(f0["descriptors"]),
                 torch.from_numpy(f1["keypoints"]),
                 torch.from_numpy(f1["scores"]),
-                torch.from_numpy(f1["descriptors"]), HW)
+                torch.from_numpy(f1["descriptors"]), HW, hw1)
         Z = model.apply(variables,
                         jnp.asarray(f0["keypoints"]),
                         jnp.asarray(f0["scores"]),
@@ -80,7 +83,7 @@ class TestTorchGoldenParity:
                         jnp.asarray(f1["keypoints"]),
                         jnp.asarray(f1["scores"]),
                         jnp.asarray(f1["descriptors"]),
-                        jnp.asarray(f1["valid"]), HW)
+                        jnp.asarray(f1["valid"]), HW, hw1)
         np.testing.assert_allclose(np.asarray(Z), Zt.numpy(),
                                    rtol=2e-3, atol=2e-3)
         m, s = match_from_assignment(Z, jnp.asarray(f0["valid"]),

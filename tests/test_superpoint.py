@@ -74,17 +74,23 @@ class TestKeypointSelection:
 
 
 class TestDescriptorSampling:
+    # MagicLeap's grid_sample mapping: cell coord s relates to pixel x by
+    # x = 3.5 + s * (8*wc - 4.5) / (wc - 1)
+    @staticmethod
+    def _px(s, wc):
+        return 3.5 + s * (8 * wc - 4.5) / (wc - 1)
+
     def test_cell_centre_is_exact(self, rng):
         desc_map = rng.normal(size=(1, 4, 4, 8)).astype(np.float32)
         n = desc_map / np.linalg.norm(desc_map, axis=-1, keepdims=True)
-        # pixel (8i + 3.5) maps exactly onto cell i
-        xy = jnp.asarray([[[3.5 + 8 * 2, 3.5 + 8 * 1]]], jnp.float32)
+        xy = jnp.asarray([[[self._px(2, 4), self._px(1, 4)]]], jnp.float32)
         out = np.asarray(sample_descriptors(jnp.asarray(desc_map), xy))
         np.testing.assert_allclose(out[0, 0], n[0, 1, 2], rtol=1e-5)
 
     def test_interpolates_between_cells(self, rng):
         desc_map = rng.normal(size=(1, 2, 2, 4)).astype(np.float32)
-        xy = jnp.asarray([[[7.5, 3.5]]], jnp.float32)  # halfway in x
+        xy = jnp.asarray([[[self._px(0.5, 2), self._px(0, 2)]]],
+                         jnp.float32)  # halfway in x, cell 0 in y
         out = np.asarray(sample_descriptors(jnp.asarray(desc_map), xy))
         mid = (desc_map[0, 0, 0] + desc_map[0, 0, 1]) / 2
         mid = mid / np.linalg.norm(mid)
@@ -129,3 +135,31 @@ class TestExtractor:
         assert out["descriptors"].shape == (2, k, TINY.desc_dim)
         kp = out["keypoints"][out["valid"]]
         assert (kp[:, 0] < 41).all() and (kp[:, 1] < 30).all()
+
+
+def test_sample_descriptors_matches_torch_grid_sample():
+    """Descriptor sampling equals MagicLeap's normalize + grid_sample
+    (align_corners=True) for interior keypoints."""
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.default_rng(0)
+    hc, wc, d = 6, 8, 16
+    desc_map = rng.normal(size=(1, hc, wc, d)).astype(np.float32)
+    # interior coords (outside-border handling differs only by a rescale
+    # that the final L2 renorm cancels)
+    k = 64
+    xy = np.stack([rng.uniform(4.0, wc * 8 - 5.0, k),
+                   rng.uniform(4.0, hc * 8 - 5.0, k)],
+                  axis=-1).astype(np.float32)[None]
+    got = np.asarray(sample_descriptors(jnp.asarray(desc_map),
+                                        jnp.asarray(xy)))
+
+    kp = torch.from_numpy(xy.copy()) - 8 / 2 + 0.5
+    kp /= torch.tensor([(wc * 8 - 8 / 2 - 0.5), (hc * 8 - 8 / 2 - 0.5)])
+    kp = kp * 2 - 1
+    dm = torch.from_numpy(desc_map.transpose(0, 3, 1, 2))
+    want = torch.nn.functional.grid_sample(
+        dm, kp.view(1, 1, -1, 2), mode="bilinear", align_corners=True)
+    want = torch.nn.functional.normalize(
+        want.reshape(1, d, -1), p=2, dim=1).permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -150,16 +150,20 @@ class TorchSuperGlue(nn.Module):
         self.bin_score = nn.Parameter(torch.tensor(1.0))
 
     def forward(self, kpts0, scores0, desc0, kpts1, scores1, desc1,
-                hw: Tuple[int, int]):
+                hw: Tuple[int, int], hw1: Tuple[int, int] = None):
         """kpts (b, n, 2) xy pixels, scores (b, n), desc (b, n, d).
+        ``hw``/``hw1``: per-image shapes (hw1 defaults to hw), as the
+        original normalizes each set by its own image.
 
         Returns (Z (b, m+1, n+1) log assignment, matches0 (b, m) int64,
         mscores0 (b, m)).
         """
+        if hw1 is None:
+            hw1 = hw
         d0 = desc0.transpose(1, 2)  # (b, d, n)
         d1 = desc1.transpose(1, 2)
         d0 = d0 + self.kenc(normalize_keypoints(kpts0, hw), scores0)
-        d1 = d1 + self.kenc(normalize_keypoints(kpts1, hw), scores1)
+        d1 = d1 + self.kenc(normalize_keypoints(kpts1, hw1), scores1)
         d0, d1 = self.gnn(d0, d1)
         m0, m1 = self.final_proj(d0), self.final_proj(d1)
         scores = torch.einsum("bdn,bdm->bnm", m0, m1)
@@ -178,10 +182,19 @@ class TorchSuperGlue(nn.Module):
         return Z, matches0, mscores0
 
 
-def build_torch_superglue(spec: TorchSuperGlueSpec, seed: int = 0
-                          ) -> TorchSuperGlue:
+def build_torch_superglue(spec: TorchSuperGlueSpec, seed: int = 0,
+                          gain: float = 1.0) -> TorchSuperGlue:
+    """``gain`` scales the attention q/k/v conv weights: near-init weights
+    produce near-uniform attention that can mask head-layout bugs in
+    parity tests — gain ~3 sharpens the logits so per-head routing errors
+    show up as large output differences."""
     torch.manual_seed(seed)
     model = TorchSuperGlue(spec).eval()
+    with torch.no_grad():
+        if gain != 1.0:
+            for layer in model.gnn.layers:
+                for proj in layer.attn.proj:
+                    proj.weight.mul_(gain)
     # give BN running stats non-trivial values so folding is exercised
     with torch.no_grad():
         g = torch.Generator().manual_seed(seed + 1)
