@@ -206,6 +206,7 @@ class VisualMap:
         img = load_rgb(self._rgb_paths[frame_id])
         out = self.superpoint.extract(self._to_gray(img)[None])
         feats = {k: v[0] for k, v in out.items()}
+        feats["hw"] = img.shape[:2]
         self._sp_cache[frame_id] = feats
         return feats
 
@@ -226,10 +227,10 @@ class VisualMap:
         q = self.superpoint.extract(self._to_gray(query_image)[None])
         q = {k: v[0] for k, v in q.items()}
         if self.superglue is not None:
-            hw = query_image.shape[:2]
             idx, _ = self.superglue.match(
                 {k: v[None] for k, v in q.items()},
-                {k: v[None] for k, v in ref.items()}, hw)
+                {k: v[None] for k, v in ref.items() if k != "hw"},
+                query_image.shape[:2], hw1=ref["hw"])
             idx = np.asarray(idx)[0]
         else:
             from avlmaps_tpu.models.superpoint import mutual_nearest_matches

@@ -141,8 +141,8 @@ def test_superglue_refine_recovers_translation(scene):
         """SuperGlueMatcher-interface stub: unary descriptor similarity
         through the real Sinkhorn + mutual-max decision."""
 
-        def match(self, f0, f1, hw):
-            assert len(hw) == 2  # image shape must reach the matcher
+        def match(self, f0, f1, hw, hw1=None):
+            assert len(hw) == 2 and (hw1 is None or len(hw1) == 2)
             d0 = jnp.asarray(f0["descriptors"])
             d1 = jnp.asarray(f1["descriptors"])
             v0 = jnp.asarray(f0["valid"])
