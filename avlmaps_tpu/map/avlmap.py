@@ -44,8 +44,10 @@ class AVLMap:
             from avlmaps_tpu.models.clip import ClipEncoder
 
             area_clip_encoder = ClipEncoder.from_checkpoint(clip_ckpt)
+        # share the checkpoint-loaded CLIP tower with VLMap — otherwise its
+        # lazy _init_clip would torch.load the same .pt a second time
         self.vlmap = VLMap(config.map_config, data_dir=data_dir,
-                           clip_encoder=clip_encoder,
+                           clip_encoder=clip_encoder or area_clip_encoder,
                            lseg_ckpt=lseg_ckpt, clip_ckpt=clip_ckpt)
         self.sound_map = SoundMap(data_dir, config.sound_config,
                                   config.sound_data_collect_params,

@@ -132,6 +132,12 @@ class VisualMap:
         """Indices of the most similar mapping frames (reference
         localize_agent retrieval einsum, localization_utils.py:408-447)."""
         enc = self._init_clip()
+        if (self.descriptors is not None and self.data_dir is not None
+                and self.descriptors.shape[1] != enc.feat_dim):
+            # stale cache from a different retrieval encoder (e.g. NetVLAD
+            # 4096-d vs CLIP 512-d): drop it and recompute for this one
+            self._cache_path().unlink(missing_ok=True)
+            self.create_and_load_map(self.data_dir)
         q = enc.get_img_feats(image)
         sims = (self.descriptors @ q.T).flatten()
         return np.argsort(sims)[::-1][:topk]
@@ -203,6 +209,8 @@ class VisualMap:
         if frame_id in self._sp_cache:
             return self._sp_cache[frame_id]
         self._ensure_paths()
+        if frame_id >= len(self._rgb_paths):
+            return None  # degrade like the ORB path, not IndexError
         img = load_rgb(self._rgb_paths[frame_id])
         out = self.superpoint.extract(self._to_gray(img)[None])
         feats = {k: v[0] for k, v in out.items()}
@@ -224,6 +232,8 @@ class VisualMap:
         import jax.numpy as jnp
 
         ref = self._sp_frame_features(frame_id)
+        if ref is None:
+            return np.zeros((0, 2)), np.zeros((0, 2))
         q = self.superpoint.extract(self._to_gray(query_image)[None])
         q = {k: v[0] for k, v in q.items()}
         if self.superglue is not None:

@@ -37,6 +37,75 @@ from avlmaps_tpu.ops.voxel_fusion import (
 from avlmaps_tpu.utils.profiling import RateMeter
 
 
+def make_point_geometry(*, gs: int, cs: float, vh: int,
+                        calib_mat: np.ndarray, image_hw: Tuple[int, int],
+                        base_size: int, crop_size: int, min_depth: float,
+                        max_depth: float, n_rows: Optional[int] = None,
+                        row_offset: int = 0):
+    """Shared per-point geometry for the frame-step factories.
+
+    One implementation of the reference's backproject -> map-frame ->
+    voxel-id -> canvas-projection chain (avlmaps/map/vlmap_builder.py:
+    126-160, mapping_utils.py:226-251) used by make_frame_step,
+    make_frame_step_canvas and the sharded bodies — the truncation/+0.5
+    pixel conventions live HERE only.
+
+    Returns ``(geometry, rows)`` where
+    ``geometry(z, sample_idx, pose) -> (vids, fx, fy, alpha, valid)``:
+    shard-local linear voxel ids (row-rebased and clipped), canvas feature
+    coords, ConceptFusion alpha and the combined depth/grid/canvas/ownership
+    validity mask.
+    """
+    h, w = image_hw
+    height, width, _, _, _ = plan_windows(h, w, base_size, crop_size)
+    feat_intr = jnp.asarray(get_sim_cam_mat(height, width), jnp.float32)
+    inv_calib = jnp.asarray(np.linalg.inv(calib_mat), jnp.float32)
+    rows = gs if n_rows is None else n_rows
+
+    def geometry(z, sample_idx, pose):
+        px = (sample_idx % w).astype(jnp.float32)
+        py = (sample_idx // w).astype(jnp.float32)
+
+        # backproject the sampled pixels (reference depth2pc at the +0.5
+        # pixel centres, mapping_utils.py:226-251)
+        uv1 = jnp.stack([px + 0.5, py + 0.5, jnp.ones_like(px)], axis=-1)
+        rays = jnp.einsum("ij,bnj->bni", inv_calib, uv1,
+                          precision=jax.lax.Precision.HIGHEST)
+        pc_local = rays * z[..., None]  # (B, N, 3)
+        zmask = (z > min_depth) & (z < max_depth)
+
+        # to map frame (reference pc_transform chain, vlmap_builder.py:131-133)
+        pc_global = jnp.einsum("bij,bnj->bni", pose[:, :3, :3], pc_local,
+                               precision=jax.lax.Precision.HIGHEST) \
+            + pose[:, None, :3, 3]
+
+        gid = jax.vmap(lambda pt: base_pos_to_grid_id_jax(gs, cs, pt))(
+            pc_global)
+        in_grid = jax.vmap(lambda g: out_of_range_mask_jax(g, gs, vh))(gid)
+
+        # pixel features looked up via the canvas intrinsics projection
+        # (reference pix_feats_intr, vlmap_builder.py:126,141-143)
+        uvw = jnp.einsum("ij,bnj->bni", feat_intr, pc_local,
+                         precision=jax.lax.Precision.HIGHEST)
+        fx = jnp.trunc(uvw[..., 0] / uvw[..., 2] - 0.5).astype(jnp.int32)
+        fy = jnp.trunc(uvw[..., 1] / uvw[..., 2] - 0.5).astype(jnp.int32)
+        in_feat = (fx >= 0) & (fx < width) & (fy >= 0) & (fy < height)
+
+        alpha = concept_fusion_alpha(pc_local)
+
+        # row sharding: keep only rows this shard owns, re-base the row
+        local_row = gid[..., 0] - row_offset
+        owned = (local_row >= 0) & (local_row < rows)
+        lgid = jnp.concatenate([local_row[..., None], gid[..., 1:]], axis=-1)
+        vids = jax.vmap(lambda g: voxel_linear_id_jax(g, gs, vh))(lgid)
+        vids = jnp.clip(vids, 0, rows * gs * vh - 1)
+
+        valid = zmask & in_grid & in_feat & owned
+        return vids, fx, fy, alpha, valid
+
+    return geometry, rows
+
+
 def make_frame_step(lseg_apply: Callable, *, gs: int, cs: float, vh: int,
                     calib_mat: np.ndarray, image_hw: Tuple[int, int],
                     base_size: int = 520, crop_size: int = 480,
@@ -53,11 +122,10 @@ def make_frame_step(lseg_apply: Callable, *, gs: int, cs: float, vh: int,
     ``rgb_uint8=True`` accepts raw uint8 RGB and normalises on device
     (pairs with PrefetchLoader(normalize=False): 4x less H2D traffic).
     """
-    h, w = image_hw
-    height, width, _, _, _ = plan_windows(h, w, base_size, crop_size)
-    feat_intr = jnp.asarray(get_sim_cam_mat(height, width), jnp.float32)
-    inv_calib = jnp.asarray(np.linalg.inv(calib_mat), jnp.float32)
-    rows = gs if n_rows is None else n_rows
+    geometry, rows = make_point_geometry(
+        gs=gs, cs=cs, vh=vh, calib_mat=calib_mat, image_hw=image_hw,
+        base_size=base_size, crop_size=crop_size, min_depth=min_depth,
+        max_depth=max_depth, n_rows=n_rows, row_offset=row_offset)
 
     def step(state: VoxelFusionState, lseg_params, rgb_norm: jnp.ndarray,
              depth: jnp.ndarray, pose: jnp.ndarray, sample_idx: jnp.ndarray,
@@ -68,34 +136,9 @@ def make_frame_step(lseg_apply: Callable, *, gs: int, cs: float, vh: int,
         if depth.dtype == jnp.uint16:  # loader depth_mm mode
             depth = depth.astype(jnp.float32) * 1e-3
         b = rgb_norm.shape[0]
-        px = (sample_idx % w).astype(jnp.float32)
-        py = (sample_idx // w).astype(jnp.float32)
         z = jnp.take_along_axis(depth.reshape(b, -1), sample_idx,
                                 axis=1)  # (B, N)
-
-        # backproject the sampled pixels (reference depth2pc at the +0.5
-        # pixel centres, mapping_utils.py:226-251)
-        uv1 = jnp.stack([px + 0.5, py + 0.5, jnp.ones_like(px)], axis=-1)
-        rays = jnp.einsum("ij,bnj->bni", inv_calib, uv1,
-                          precision=jax.lax.Precision.HIGHEST)
-        pc_local = rays * z[..., None]  # (B, N, 3)
-        zmask = (z > min_depth) & (z < max_depth)
-
-        # to map frame (reference pc_transform chain, vlmap_builder.py:131-133)
-        pc_global = jnp.einsum("bij,bnj->bni", pose[:, :3, :3], pc_local,
-                               precision=jax.lax.Precision.HIGHEST) \
-            + pose[:, None, :3, 3]
-
-        gid = jax.vmap(lambda p: base_pos_to_grid_id_jax(gs, cs, p))(pc_global)
-        in_grid = jax.vmap(lambda g: out_of_range_mask_jax(g, gs, vh))(gid)
-
-        # pixel features looked up via the canvas intrinsics projection
-        # (reference pix_feats_intr, vlmap_builder.py:126,141-143)
-        uvw = jnp.einsum("ij,bnj->bni", feat_intr, pc_local,
-                         precision=jax.lax.Precision.HIGHEST)
-        fx = jnp.trunc(uvw[..., 0] / uvw[..., 2] - 0.5).astype(jnp.int32)
-        fy = jnp.trunc(uvw[..., 1] / uvw[..., 2] - 0.5).astype(jnp.int32)
-        in_feat = (fx >= 0) & (fx < width) & (fy >= 0) & (fy < height)
+        vids, fx, fy, alpha, valid = geometry(z, sample_idx, pose)
 
         feats = features_at_points(lseg_apply, lseg_params, rgb_norm, fx, fy,
                                    base_size, crop_size,
@@ -107,17 +150,7 @@ def make_frame_step(lseg_apply: Callable, *, gs: int, cs: float, vh: int,
         flat_rgb = rgb_u8.reshape(b, -1, 3)
         rgbs = jnp.take_along_axis(flat_rgb, sample_idx[..., None], axis=1)
 
-        alpha = concept_fusion_alpha(pc_local)
-        valid = zmask & in_grid & in_feat & frame_valid[:, None]
-
-        # row sharding: keep only rows this shard owns, re-base the row
-        local_row = gid[..., 0] - row_offset
-        owned = (local_row >= 0) & (local_row < rows)
-        valid = valid & owned
-        lgid = jnp.concatenate([local_row[..., None], gid[..., 1:]], axis=-1)
-        vids = jax.vmap(lambda g: voxel_linear_id_jax(g, gs, vh))(lgid)
-        vids = jnp.clip(vids, 0, rows * gs * vh - 1)
-
+        valid = valid & frame_valid[:, None]
         d = feats.shape[-1]
         return fuse_points(
             state, vids.reshape(-1), feats.reshape(-1, d),
@@ -150,11 +183,10 @@ def make_frame_step_canvas(lseg_apply: Callable, *, gs: int, cs: float,
     over the padded canvas (window.whole_canvas_features_at_points, ~2.4x
     fewer encoder FLOPs, not numerically identical to the reference).
     """
-    h, w = image_hw
-    height, width, _, _, _ = plan_windows(h, w, base_size, crop_size)
-    feat_intr = jnp.asarray(get_sim_cam_mat(height, width), jnp.float32)
-    inv_calib = jnp.asarray(np.linalg.inv(calib_mat), jnp.float32)
-    rows = gs if n_rows is None else n_rows
+    geometry, rows = make_point_geometry(
+        gs=gs, cs=cs, vh=vh, calib_mat=calib_mat, image_hw=image_hw,
+        base_size=base_size, crop_size=crop_size, min_depth=min_depth,
+        max_depth=max_depth, n_rows=n_rows, row_offset=row_offset)
 
     def step(state: VoxelFusionState, lseg_params, canvas_u8: jnp.ndarray,
              z_mm: jnp.ndarray, rgb_pts: jnp.ndarray, pose: jnp.ndarray,
@@ -162,27 +194,7 @@ def make_frame_step_canvas(lseg_apply: Callable, *, gs: int, cs: float,
              frame_valid: jnp.ndarray) -> VoxelFusionState:
         canvas = canvas_u8.astype(jnp.float32) * (1.0 / 127.5) - 1.0
         z = z_mm.astype(jnp.float32) * 1e-3  # (B, N) metres
-        px = (sample_idx % w).astype(jnp.float32)
-        py = (sample_idx // w).astype(jnp.float32)
-
-        uv1 = jnp.stack([px + 0.5, py + 0.5, jnp.ones_like(px)], axis=-1)
-        rays = jnp.einsum("ij,bnj->bni", inv_calib, uv1,
-                          precision=jax.lax.Precision.HIGHEST)
-        pc_local = rays * z[..., None]
-        zmask = (z > min_depth) & (z < max_depth)
-
-        pc_global = jnp.einsum("bij,bnj->bni", pose[:, :3, :3], pc_local,
-                               precision=jax.lax.Precision.HIGHEST) \
-            + pose[:, None, :3, 3]
-
-        gid = jax.vmap(lambda p: base_pos_to_grid_id_jax(gs, cs, p))(pc_global)
-        in_grid = jax.vmap(lambda g: out_of_range_mask_jax(g, gs, vh))(gid)
-
-        uvw = jnp.einsum("ij,bnj->bni", feat_intr, pc_local,
-                         precision=jax.lax.Precision.HIGHEST)
-        fx = jnp.trunc(uvw[..., 0] / uvw[..., 2] - 0.5).astype(jnp.int32)
-        fy = jnp.trunc(uvw[..., 1] / uvw[..., 2] - 0.5).astype(jnp.int32)
-        in_feat = (fx >= 0) & (fx < width) & (fy >= 0) & (fy < height)
+        vids, fx, fy, alpha, valid = geometry(z, sample_idx, pose)
 
         if lseg_eval == "whole":
             feats = whole_canvas_features_at_points(
@@ -192,16 +204,7 @@ def make_frame_step_canvas(lseg_apply: Callable, *, gs: int, cs: float,
                                        fx, fy, base_size, crop_size,
                                        half_res_apply=half_res_apply)
 
-        alpha = concept_fusion_alpha(pc_local)
-        valid = zmask & in_grid & in_feat & frame_valid[:, None]
-
-        local_row = gid[..., 0] - row_offset
-        owned = (local_row >= 0) & (local_row < rows)
-        valid = valid & owned
-        lgid = jnp.concatenate([local_row[..., None], gid[..., 1:]], axis=-1)
-        vids = jax.vmap(lambda g: voxel_linear_id_jax(g, gs, vh))(lgid)
-        vids = jnp.clip(vids, 0, rows * gs * vh - 1)
-
+        valid = valid & frame_valid[:, None]
         d = feats.shape[-1]
         return fuse_points(
             state, vids.reshape(-1), feats.reshape(-1, d),
@@ -457,7 +460,8 @@ class VLMapBuilder:
             base_size=base_size, crop_size=crop_size,
             min_depth=cfg.min_depth, max_depth=cfg.max_depth,
             half_res_apply=self.half_res_apply,
-            transport=self.transport)
+            transport=self.transport,
+            lseg_eval=getattr(cfg, "lseg_eval", "sliding"))
         if saved is not None:
             fusion.restore(*saved)
 

@@ -218,8 +218,11 @@ def load_audioclip_checkpoint(path: str,
 
 
 def load_audioclip_checkpoint_with_config(path: str):
-    """(config, flax variables) from AudioCLIP-Partial-Training.pt — the
-    pair AudioClipEncoder needs."""
+    """(config, flax variables) from AudioCLIP-Partial-Training.pt or a
+    pre-ported .msgpack (+ .config.json sidecar) — the pair
+    AudioClipEncoder needs."""
+    if str(path).endswith(".msgpack"):
+        return load_audioclip_msgpack(path)
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
@@ -227,3 +230,49 @@ def load_audioclip_checkpoint_with_config(path: str):
         sd = sd["state_dict"]
     cfg = config_from_state_dict(sd)
     return cfg, port_audioclip_state_dict(sd, cfg)
+
+
+def config_to_jsonable(cfg: "AudioClipConfig") -> dict:
+    """AudioClipConfig (nested dataclasses) -> plain-JSON dict."""
+    import dataclasses
+
+    def strip(d):
+        return {k: strip(v) if isinstance(v, dict) else v
+                for k, v in d.items() if k != "dtype"}
+
+    return strip(dataclasses.asdict(cfg))
+
+
+def config_from_jsonable(d: dict) -> "AudioClipConfig":
+    from avlmaps_tpu.models.audioclip.esresnet import ESResNeXtConfig
+    from avlmaps_tpu.models.audioclip.modified_resnet import (
+        ModifiedResNetConfig)
+
+    def tup(v):
+        return tuple(v) if isinstance(v, list) else v
+
+    audio = ESResNeXtConfig(**{k: tup(v) for k, v in d["audio"].items()})
+    vision = ModifiedResNetConfig(**{k: tup(v)
+                                     for k, v in d["vision"].items()})
+    rest = {k: tup(v) for k, v in d.items()
+            if k not in ("audio", "vision")}
+    return AudioClipConfig(audio=audio, vision=vision, **rest)
+
+
+def load_audioclip_msgpack(path: str):
+    """Pre-ported audioclip.msgpack (+ .config.json sidecar) ->
+    (config, flax variables)."""
+    import json
+    from pathlib import Path
+
+    from flax import serialization
+
+    p = Path(path)
+    cfg_path = p.with_suffix(".config.json")
+    if not cfg_path.exists():
+        raise FileNotFoundError(
+            f"{cfg_path} not found — re-run tools/port_checkpoints.py "
+            "(it writes the config sidecar next to the msgpack)")
+    cfg = config_from_jsonable(json.loads(cfg_path.read_text()))
+    variables = serialization.msgpack_restore(p.read_bytes())
+    return cfg, variables

@@ -97,8 +97,11 @@ def port_clip_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def load_clip_checkpoint(path: str):
-    """Load an OpenAI CLIP .pt (jit archive or plain state dict) and return
-    (config, flax variables)."""
+    """Load an OpenAI CLIP .pt (jit archive or plain state dict) OR a
+    pre-ported .msgpack (tools/port_checkpoints.py output, with its
+    .config.json sidecar) and return (config, flax variables)."""
+    if str(path).endswith(".msgpack"):
+        return load_clip_msgpack(path)
     import torch
 
     try:
@@ -110,3 +113,37 @@ def load_clip_checkpoint(path: str):
             sd = sd["state_dict"]
     cfg = config_from_state_dict(sd)
     return cfg, port_clip_state_dict(sd)
+
+
+def config_to_jsonable(cfg) -> dict:
+    """ClipConfig -> plain-JSON dict (dtype dropped; restored as f32)."""
+    import dataclasses
+
+    return {k: v for k, v in dataclasses.asdict(cfg).items()
+            if k != "dtype"}
+
+
+def config_from_jsonable(d: dict):
+    from avlmaps_tpu.models.clip.model import ClipConfig
+
+    return ClipConfig(**{k: tuple(v) if isinstance(v, list) else v
+                         for k, v in d.items()})
+
+
+def load_clip_msgpack(path: str):
+    """Pre-ported clip.msgpack (+ clip.config.json sidecar from
+    tools/port_checkpoints.py) -> (config, flax variables)."""
+    import json
+    from pathlib import Path
+
+    from flax import serialization
+
+    p = Path(path)
+    cfg_path = p.with_suffix(".config.json")
+    if not cfg_path.exists():
+        raise FileNotFoundError(
+            f"{cfg_path} not found — re-run tools/port_checkpoints.py "
+            "(it writes the config sidecar next to the msgpack)")
+    cfg = config_from_jsonable(json.loads(cfg_path.read_text()))
+    variables = serialization.msgpack_restore(p.read_bytes())
+    return cfg, variables

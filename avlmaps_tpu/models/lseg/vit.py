@@ -99,8 +99,12 @@ class ViTBlock(nn.Module):
 
         q, k, v = split_heads(q), split_heads(k), split_heads(v)
         scale = 1.0 / np.sqrt(hd)
+        # the Pallas kernel computes in bf16 — only take it when the model
+        # is ALREADY bf16; an f32-configured model (golden/parity runs)
+        # must not silently degrade on TPU, so it falls to the f32 einsum
         use_flash = (self.attn_impl == "flash"
-                     and jax.default_backend() == "tpu")
+                     and jax.default_backend() == "tpu"
+                     and self.dtype == jnp.bfloat16)
         if use_flash:
             attn = _flash_attention(q.astype(jnp.bfloat16),
                                     k.astype(jnp.bfloat16),

@@ -203,6 +203,9 @@ def decayed_point_heatmap_2d(shape, points_rc, confidences,
     if not tracks:
         return np.zeros((h, w), np.float32)
     t_max = max(max(t.shape[0] for t in tracks), 1)
+    # bucket the track axis to a power of two as well — otherwise every
+    # distinct longest-track length forces a fresh compile of the scan
+    t_max = 1 << max(t_max - 1, 0).bit_length()
     far = np.float32(_FAR)
     seeds = np.full((len(tracks), t_max, 2), far, np.float32)
     for i, t in enumerate(tracks):

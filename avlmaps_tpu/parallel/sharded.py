@@ -42,7 +42,7 @@ class ShardedFusion:
                  base_size: int = 520, crop_size: int = 480,
                  min_depth: float = 0.1, max_depth: float = 6.0,
                  payload_dtype=jnp.bfloat16, half_res_apply: bool = False,
-                 transport: str = "frame"):
+                 transport: str = "frame", lseg_eval: str = "sliding"):
         """``payload_dtype``: wire format of the gathered feature payload —
         bf16 halves the dominant ICI traffic (docs/SCALING.md arithmetic);
         accumulation stays f32 inside fuse_points either way.  Pass
@@ -53,6 +53,13 @@ class ShardedFusion:
         takes (params, canvas_u8, z_mm, rgb_pts, pose, sample_idx, valid)."""
         self.mesh = mesh
         self.payload_dtype = payload_dtype
+        # lseg_eval: "sliding" (reference-parity crop grid) or "whole"
+        # (one forward over the padded canvas; canvas transport only) --
+        # same semantics as make_frame_step_canvas
+        if lseg_eval not in ("sliding", "whole"):
+            raise ValueError(f"unknown lseg_eval {lseg_eval!r}")
+        if lseg_eval == "whole" and transport != "canvas":
+            raise ValueError("lseg_eval='whole' requires canvas transport")
         self.axis = mesh.axis_names[0]
         self.n_dev = mesh.devices.size
         if gs % self.n_dev:
@@ -141,9 +148,16 @@ class ShardedFusion:
             canvas = canvas_u8.astype(jnp.float32) * (1.0 / 127.5) - 1.0
             z = z_mm.astype(jnp.float32) * 1e-3
             gid, fx, fy, valid, alpha = geometry(z, sample_idx, pose)
-            feats = features_at_points(lseg_apply, lseg_params, canvas,
-                                       fx, fy, base_size, crop_size,
-                                       half_res_apply=half_res_apply)
+            if lseg_eval == "whole":
+                from avlmaps_tpu.models.lseg.window import (
+                    whole_canvas_features_at_points)
+
+                feats = whole_canvas_features_at_points(
+                    lseg_apply, lseg_params, canvas, fx, fy)
+            else:
+                feats = features_at_points(lseg_apply, lseg_params, canvas,
+                                           fx, fy, base_size, crop_size,
+                                           half_res_apply=half_res_apply)
             return gather_and_fuse(state, gid, feats,
                                    rgb_pts.astype(jnp.float32), alpha,
                                    valid & frame_valid[:, None])

@@ -244,3 +244,58 @@ class TestBuilderCanvasTransport:
         assert seen == nf
         feats, pos, weight, occ, rgbs = export_fusion_state(state, GS, VH)
         assert feats.shape[0] > 0
+
+
+class TestShardedWholeCanvas:
+    def test_sharded_whole_matches_single_device(self, tiny_lseg, rng):
+        """lseg_eval='whole' reaches the sharded canvas body: the 8-device
+        build equals the single-device whole-canvas step (f32 wire)."""
+        from avlmaps_tpu.parallel.sharded import ShardedFusion, make_mesh
+
+        model, params = tiny_lseg
+        half = lambda p, x: model.apply(p, x, upsample=False)  # noqa: E731
+        calib = get_sim_cam_mat(H, W)
+        step = make_frame_step_canvas(half, gs=GS, cs=CS, vh=VH,
+                                      calib_mat=calib, image_hw=(H, W),
+                                      base_size=W, crop_size=W,
+                                      half_res_apply=True,
+                                      lseg_eval="whole")
+        n_dev, n = 8, 64
+        b = n_dev
+        canvas = jnp.asarray(rng.integers(0, 255, (b, H, W, 3)), jnp.uint8)
+        z_mm = jnp.asarray((rng.uniform(0.3, 0.9, (b, n)) * 1000.0
+                            ).astype(np.uint16))
+        rgb_pts = jnp.asarray(rng.integers(0, 255, (b, n, 3)), jnp.uint8)
+        pose = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+        idx = jnp.asarray(sample_pixels(np.random.default_rng(5), H, W, 16,
+                                        n, b))
+        fvalid = jnp.ones((b,), bool)
+
+        state = init_fusion_state(GS, VH, 24, 4096)
+        state = step(state, params, canvas, z_mm, rgb_pts, pose, idx, fvalid)
+        f1, p1, w1, o1, _ = export_fusion_state(state, GS, VH)
+
+        mesh = make_mesh(n_dev)
+        fusion = ShardedFusion(mesh, gs=GS, cs=CS, vh=VH, feat_dim=24,
+                               capacity=4096 * n_dev, calib_mat=calib,
+                               image_hw=(H, W), lseg_apply=half,
+                               base_size=W, crop_size=W,
+                               half_res_apply=True,
+                               payload_dtype=jnp.float32,
+                               transport="canvas", lseg_eval="whole")
+        fusion.step(params, canvas, z_mm, rgb_pts, pose, idx, fvalid)
+        f2, p2, w2, o2, _ = fusion.export()
+
+        np.testing.assert_array_equal(o1 >= 0, o2 >= 0)
+        k1, k2 = np.lexsort(p1.T), np.lexsort(p2.T)
+        np.testing.assert_array_equal(p1[k1], p2[k2])
+        np.testing.assert_allclose(f1[k1], f2[k2], rtol=1e-3, atol=1e-3)
+
+    def test_whole_requires_canvas_transport(self):
+        from avlmaps_tpu.parallel.sharded import ShardedFusion, make_mesh
+
+        with pytest.raises(ValueError):
+            ShardedFusion(make_mesh(8), gs=GS, cs=CS, vh=VH, feat_dim=8,
+                          capacity=64, calib_mat=get_sim_cam_mat(H, W),
+                          image_hw=(H, W), lseg_apply=lambda p, x: x,
+                          transport="frame", lseg_eval="whole")

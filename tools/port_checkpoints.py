@@ -14,6 +14,7 @@ directly (LSegNet.apply / ClipEncoder(params=...) / AudioClipEncoder).
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 from pathlib import Path
 
@@ -53,18 +54,26 @@ def main() -> None:
     if args.clip:
         from avlmaps_tpu.models.clip.port import load_clip_checkpoint
 
+        from avlmaps_tpu.models.clip.port import config_to_jsonable
+
         cfg, variables = load_clip_checkpoint(args.clip)
         save_tree(variables, out / "clip.msgpack")
+        (out / "clip.config.json").write_text(
+            json.dumps(config_to_jsonable(cfg)))
         print(f"  clip config: embed={cfg.embed_dim} "
               f"vision={cfg.vision_width}x{cfg.vision_layers} "
               f"text={cfg.text_width}x{cfg.text_layers}")
     if args.audioclip:
         from avlmaps_tpu.models.audioclip.port import (
-            load_audioclip_checkpoint,
+            config_to_jsonable as ac_config_to_jsonable,
+            load_audioclip_checkpoint_with_config,
         )
 
-        save_tree(load_audioclip_checkpoint(args.audioclip),
-                  out / "audioclip.msgpack")
+        ac_cfg, ac_vars = load_audioclip_checkpoint_with_config(
+            args.audioclip)
+        save_tree(ac_vars, out / "audioclip.msgpack")
+        (out / "audioclip.config.json").write_text(
+            json.dumps(ac_config_to_jsonable(ac_cfg)))
     if args.superpoint:
         from avlmaps_tpu.models.superpoint.port import (
             load_superpoint_checkpoint,
