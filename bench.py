@@ -254,9 +254,12 @@ def measure_queries() -> dict:
     # before the first device_get, block_until_ready can return early and
     # timings read as pure dispatch
     np.asarray(one_query(feats, texts[0])[:1])
+    # dispatch a stream of queries and block once: amortises the tunnel
+    # round-trip like a real interactive session (per-call sync would
+    # measure mostly RTT)
     t0 = time.perf_counter()
-    for i in range(8):
-        jax.block_until_ready(one_query(feats, texts[i]))
+    outs = [one_query(feats, texts[i]) for i in range(8)]
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / 8
 
     # host-side numpy reference (one rep is enough — seconds per query)
