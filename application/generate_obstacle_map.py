@@ -26,7 +26,9 @@ def main() -> None:
     import cv2
 
     config = load_config(args.config)
-    dataset = Path(args.data_dir) / "vlmaps_dataset"
+    dataset = Path(args.data_dir) / "avlmaps_dataset"
+    if not dataset.exists():  # same fallback as create_map/index_map
+        dataset = Path(args.data_dir) / "vlmaps_dataset"
     data_dirs = sorted([x for x in dataset.iterdir() if x.is_dir()])
 
     robot = LangRobot(config)

@@ -44,6 +44,13 @@ class AVLMap:
             from avlmaps_tpu.models.clip import ClipEncoder
 
             area_clip_encoder = ClipEncoder.from_checkpoint(clip_ckpt)
+        elif area_clip_encoder is None and getattr(
+                config.map_config, "clip_variant", "ViT-B/32") != "ViT-B/32":
+            # non-default variant (e.g. "tiny" for CI/demo builds): share
+            # one encoder across area/visual/vlmap
+            from avlmaps_tpu.models.clip import ClipEncoder
+
+            area_clip_encoder = ClipEncoder(config.map_config.clip_variant)
         # share the checkpoint-loaded CLIP tower with VLMap — otherwise its
         # lazy _init_clip would torch.load the same .pt a second time
         self.vlmap = VLMap(config.map_config, data_dir=data_dir,

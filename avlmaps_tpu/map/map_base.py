@@ -171,6 +171,12 @@ class Map:
 
     def generate_cropped_obstacle_map(self, obstacle_map) -> np.ndarray:
         x_idx, y_idx = np.where(obstacle_map == 0)
+        if x_idx.size == 0:
+            # no obstacles in the height band (sparse/degenerate scene):
+            # crop to the full grid instead of crashing (the reference
+            # would raise on .min() of an empty index set, map.py:97-101)
+            x_idx = np.arange(obstacle_map.shape[0])
+            y_idx = np.arange(obstacle_map.shape[1])
         self.rmin, self.rmax = int(x_idx.min()), int(x_idx.max())
         self.cmin, self.cmax = int(y_idx.min()), int(y_idx.max())
         self.obstacles_cropped = obstacle_map[self.rmin:self.rmax + 1,

@@ -52,7 +52,8 @@ class OpenVocabIndexMixin:
 
     def _init_clip(self, clip_version: str = "ViT-B/32"):
         """Lazy CLIP init (reference vlmap.py:67-90); loads the OpenAI .pt
-        when a checkpoint path is configured, random weights otherwise."""
+        when a checkpoint path is configured, random weights otherwise
+        (variant from map_config.clip_variant when set)."""
         if self.clip_encoder is not None:
             return self.clip_encoder
         from avlmaps_tpu.models.clip import ClipEncoder
@@ -60,7 +61,9 @@ class OpenVocabIndexMixin:
         if getattr(self, "clip_ckpt", ""):
             self.clip_encoder = ClipEncoder.from_checkpoint(self.clip_ckpt)
         else:
-            self.clip_encoder = ClipEncoder(clip_version)
+            variant = getattr(getattr(self, "map_config", None),
+                              "clip_variant", "") or clip_version
+            self.clip_encoder = ClipEncoder(variant)
         return self.clip_encoder
 
     def init_categories(self, categories: List[str]) -> np.ndarray:
@@ -124,15 +127,21 @@ class VLMap(OpenVocabIndexMixin, Map):
             import jax.numpy as jnp
             from avlmaps_tpu.models.lseg import LSegNet, LSegConfig
 
-            cfg = LSegConfig.vitl16(dtype=jnp.bfloat16)
+            arch = getattr(self.map_config, "lseg_arch", "vitl16")
+            factory = getattr(LSegConfig, arch, None)
+            if factory is None:
+                raise ValueError(f"unknown lseg_arch {arch!r}")
+            cfg = factory(dtype=jnp.bfloat16 if arch == "vitl16"
+                          else jnp.float32)
             model = LSegNet(cfg)
+            crop = getattr(self.map_config, "lseg_crop_size", 480)
             if self.lseg_ckpt:
                 params = load_lseg_params(self.lseg_ckpt, model)
             else:
                 params = jax.jit(model.init)(
-                    jax.random.PRNGKey(0), jnp.zeros((1, 480, 480, 3),
+                    jax.random.PRNGKey(0), jnp.zeros((1, crop, crop, 3),
                                                      jnp.float32))
-            self._lseg = (model.apply, params, 512)
+            self._lseg = (model.apply, params, cfg.out_dim)
         return self._lseg
 
     # -- create / load -------------------------------------------------------

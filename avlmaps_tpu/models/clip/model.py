@@ -54,6 +54,13 @@ CLIP_VARIANTS = {
     "ViT-L/16": ClipConfig(embed_dim=768, image_size=384, patch_size=16,
                            vision_width=1024, vision_layers=24,
                            text_width=768, text_heads=12),
+    # test/demo-scale variant: real tokenizer vocab, toy towers — lets the
+    # application CLIs run end-to-end on a laptop/CI without checkpoints.
+    # embed_dim 24 matches LSegConfig.tiny16's out_dim so tiny LSeg map
+    # features score against tiny CLIP text like 512-d does at full scale
+    "tiny": ClipConfig(embed_dim=24, image_size=32, patch_size=8,
+                       vision_width=32, vision_layers=2,
+                       text_width=32, text_layers=2, text_heads=2),
 }
 
 CLIP_FEAT_DIMS = {

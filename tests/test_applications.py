@@ -1,0 +1,94 @@
+"""Application CLIs end-to-end on a tiny synthetic scene: create_map ->
+index_map (headless one-shot) -> generate_obstacle_map, through argparse +
+YAML config plumbing with the toy model variants (lseg_arch=tiny16,
+clip_variant=tiny) — the same wiring a user of the reference's
+application/ scripts drives (reference application/create_map.py /
+index_map.py / generate_obstacle_map.py)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+H, W = 32, 32
+
+
+@pytest.fixture(scope="module")
+def scene_root(tmp_path_factory):
+    import cv2
+
+    rng = np.random.default_rng(0)
+    root = tmp_path_factory.mktemp("cli")
+    scene = root / "avlmaps_dataset" / "scene_000"
+    (scene / "rgb").mkdir(parents=True)
+    (scene / "depth").mkdir()
+    poses = []
+    for i in range(3):
+        rgb = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        cv2.imwrite(str(scene / "rgb" / f"{i:06d}.png"), rgb)
+        np.save(scene / "depth" / f"{i:06d}.npy",
+                rng.uniform(0.3, 1.5, (H, W)).astype(np.float32))
+        poses.append([0.05 * i, 0, 0, 0, 0, 0, 1.0])
+    np.savetxt(scene / "poses.txt", np.asarray(poses))
+
+    cfg = root / "tiny.yaml"
+    cfg.write_text(
+        "map_config:\n"
+        "  grid_size: 100\n"
+        "  capacity: 20000\n"
+        "  depth_sample_rate: 4\n"
+        "  max_pts_per_frame: 256\n"
+        "  lseg_base_size: 32\n"
+        "  lseg_crop_size: 32\n"
+        "  lseg_arch: tiny16\n"
+        "  clip_variant: tiny\n")
+
+    # build once for the whole module (each test must be independent)
+    from application.create_map import main
+
+    _run_cli(main, ["create_map.py", "--data-dir", str(root),
+                    "--config", str(cfg)])
+    return root, cfg
+
+
+def _run_cli(main, argv):
+    old = sys.argv
+    sys.argv = argv
+    try:
+        main()
+    finally:
+        sys.argv = old
+
+
+def test_create_map_cli(scene_root):
+    root, cfg = scene_root
+    scene = root / "avlmaps_dataset" / "scene_000"
+    assert (scene / "vlmap" / "vlmaps.h5df").exists()
+    assert (scene / "area_map" / "clip_sparse_map.h5df").exists()
+    assert (scene / "visual_map" / "global_descriptors.h5df").exists()
+    assert (scene / "audio_video").exists()  # empty sound db written
+
+
+def test_index_map_cli_headless(scene_root):
+    from application.index_map import main
+
+    root, cfg = scene_root
+    out = root / "heat.png"
+    _run_cli(main, ["index_map.py", "--data-dir", str(root),
+                    "--config", str(cfg), "--type", "object",
+                    "--query", "chair", "--out", str(out)])
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_generate_obstacle_map_cli(scene_root):
+    from application.generate_obstacle_map import main
+
+    root, cfg = scene_root
+    prefix = root / "obstacles"
+    _run_cli(main, ["generate_obstacle_map.py", "--data-dir", str(root),
+                    "--config", str(cfg), "--out-prefix", str(prefix)])
+    outs = list(root.glob("obstacles*"))
+    assert outs, "no obstacle map artifact written"
