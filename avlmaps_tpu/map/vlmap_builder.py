@@ -37,32 +37,27 @@ from avlmaps_tpu.ops.voxel_fusion import (
 from avlmaps_tpu.utils.profiling import RateMeter
 
 
-def make_point_geometry(*, gs: int, cs: float, vh: int,
-                        calib_mat: np.ndarray, image_hw: Tuple[int, int],
-                        base_size: int, crop_size: int, min_depth: float,
-                        max_depth: float, n_rows: Optional[int] = None,
-                        row_offset: int = 0):
-    """Shared per-point geometry for the frame-step factories.
+def make_unproject(*, gs: int, cs: float, vh: int, calib_mat: np.ndarray,
+                   image_hw: Tuple[int, int], base_size: int,
+                   crop_size: int, min_depth: float, max_depth: float):
+    """THE implementation of the reference's backproject -> map-frame ->
+    voxel-grid-id -> canvas-projection chain (avlmaps/map/vlmap_builder.py:
+    126-160, mapping_utils.py:226-251), shared by the single-device frame
+    steps AND the sharded bodies — the truncation/+0.5 pixel conventions
+    live here only.
 
-    One implementation of the reference's backproject -> map-frame ->
-    voxel-id -> canvas-projection chain (avlmaps/map/vlmap_builder.py:
-    126-160, mapping_utils.py:226-251) used by make_frame_step,
-    make_frame_step_canvas and the sharded bodies — the truncation/+0.5
-    pixel conventions live HERE only.
-
-    Returns ``(geometry, rows)`` where
-    ``geometry(z, sample_idx, pose) -> (vids, fx, fy, alpha, valid)``:
-    shard-local linear voxel ids (row-rebased and clipped), canvas feature
-    coords, ConceptFusion alpha and the combined depth/grid/canvas/ownership
-    validity mask.
+    Returns ``unproject(z, sample_idx, pose) -> (gid, fx, fy, alpha,
+    valid)``: global (B, N, 3) grid ids, canvas feature coords,
+    ConceptFusion alpha and the depth/grid/canvas validity mask (no row
+    ownership — that is transport/sharding policy, see
+    make_point_geometry and parallel/sharded.py).
     """
     h, w = image_hw
     height, width, _, _, _ = plan_windows(h, w, base_size, crop_size)
     feat_intr = jnp.asarray(get_sim_cam_mat(height, width), jnp.float32)
     inv_calib = jnp.asarray(np.linalg.inv(calib_mat), jnp.float32)
-    rows = gs if n_rows is None else n_rows
 
-    def geometry(z, sample_idx, pose):
+    def unproject(z, sample_idx, pose):
         px = (sample_idx % w).astype(jnp.float32)
         py = (sample_idx // w).astype(jnp.float32)
 
@@ -92,16 +87,38 @@ def make_point_geometry(*, gs: int, cs: float, vh: int,
         in_feat = (fx >= 0) & (fx < width) & (fy >= 0) & (fy < height)
 
         alpha = concept_fusion_alpha(pc_local)
+        return gid, fx, fy, alpha, zmask & in_grid & in_feat
 
+    return unproject
+
+
+def make_point_geometry(*, gs: int, cs: float, vh: int,
+                        calib_mat: np.ndarray, image_hw: Tuple[int, int],
+                        base_size: int, crop_size: int, min_depth: float,
+                        max_depth: float, n_rows: Optional[int] = None,
+                        row_offset: int = 0):
+    """make_unproject + static row ownership for the frame-step factories.
+
+    Returns ``(geometry, rows)`` where
+    ``geometry(z, sample_idx, pose) -> (vids, fx, fy, alpha, valid)``:
+    shard-local linear voxel ids (row-rebased and clipped) and the
+    combined depth/grid/canvas/ownership validity mask.
+    """
+    unproject = make_unproject(
+        gs=gs, cs=cs, vh=vh, calib_mat=calib_mat, image_hw=image_hw,
+        base_size=base_size, crop_size=crop_size, min_depth=min_depth,
+        max_depth=max_depth)
+    rows = gs if n_rows is None else n_rows
+
+    def geometry(z, sample_idx, pose):
+        gid, fx, fy, alpha, valid = unproject(z, sample_idx, pose)
         # row sharding: keep only rows this shard owns, re-base the row
         local_row = gid[..., 0] - row_offset
         owned = (local_row >= 0) & (local_row < rows)
         lgid = jnp.concatenate([local_row[..., None], gid[..., 1:]], axis=-1)
         vids = jax.vmap(lambda g: voxel_linear_id_jax(g, gs, vh))(lgid)
         vids = jnp.clip(vids, 0, rows * gs * vh - 1)
-
-        valid = zmask & in_grid & in_feat & owned
-        return vids, fx, fy, alpha, valid
+        return vids, fx, fy, alpha, valid & owned
 
     return geometry, rows
 

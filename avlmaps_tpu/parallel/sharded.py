@@ -17,13 +17,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from avlmaps_tpu.geometry.grid import (
-    base_pos_to_grid_id_jax, out_of_range_mask_jax, voxel_linear_id_jax,
-)
-from avlmaps_tpu.geometry.projection import get_sim_cam_mat
-from avlmaps_tpu.models.lseg.window import plan_windows, features_at_points
+from avlmaps_tpu.geometry.grid import voxel_linear_id_jax
+from avlmaps_tpu.models.lseg.window import features_at_points
 from avlmaps_tpu.ops.voxel_fusion import (
-    VoxelFusionState, init_fusion_state, fuse_points, concept_fusion_alpha,
+    VoxelFusionState, init_fusion_state, fuse_points,
 )
 
 
@@ -69,37 +66,23 @@ class ShardedFusion:
         self.cap_per_dev = capacity // self.n_dev
         self.feat_dim = feat_dim
 
-        h, w = image_hw
-        height, width, _, _, _ = plan_windows(h, w, base_size, crop_size)
-        feat_intr = jnp.asarray(get_sim_cam_mat(height, width), jnp.float32)
-        inv_calib = jnp.asarray(np.linalg.inv(calib_mat), jnp.float32)
         rows = self.rows_per_dev
         axis = self.axis
         payload_dtype = self.payload_dtype
 
+        # the unproject chain is the SAME program as the single-device
+        # steps (vlmap_builder.make_unproject); only ownership differs —
+        # here it is decided after the all_gather by a dynamic axis_index
+        from avlmaps_tpu.map.vlmap_builder import make_unproject
+
+        unproject = make_unproject(
+            gs=gs, cs=cs, vh=vh, calib_mat=calib_mat, image_hw=image_hw,
+            base_size=base_size, crop_size=crop_size, min_depth=min_depth,
+            max_depth=max_depth)
+
         def geometry(z, sample_idx, pose):
-            """Shared point geometry: rays, map grid ids, canvas coords."""
-            px = (sample_idx % w).astype(jnp.float32)
-            py = (sample_idx // w).astype(jnp.float32)
-            uv1 = jnp.stack([px + 0.5, py + 0.5, jnp.ones_like(px)], axis=-1)
-            rays = jnp.einsum("ij,bnj->bni", inv_calib, uv1,
-                              precision=jax.lax.Precision.HIGHEST)
-            pc_local = rays * z[..., None]
-            zmask = (z > min_depth) & (z < max_depth)
-            pc_global = jnp.einsum("bij,bnj->bni", pose[:, :3, :3], pc_local,
-                                   precision=jax.lax.Precision.HIGHEST) \
-                + pose[:, None, :3, 3]
-            gid = jax.vmap(lambda p: base_pos_to_grid_id_jax(gs, cs, p))(
-                pc_global)
-            in_grid = jax.vmap(lambda g: out_of_range_mask_jax(g, gs, vh))(
-                gid)
-            uvw = jnp.einsum("ij,bnj->bni", feat_intr, pc_local,
-                             precision=jax.lax.Precision.HIGHEST)
-            fx = jnp.trunc(uvw[..., 0] / uvw[..., 2] - 0.5).astype(jnp.int32)
-            fy = jnp.trunc(uvw[..., 1] / uvw[..., 2] - 0.5).astype(jnp.int32)
-            in_feat = (fx >= 0) & (fx < width) & (fy >= 0) & (fy < height)
-            alpha = concept_fusion_alpha(pc_local)
-            return gid, fx, fy, zmask & in_grid & in_feat, alpha
+            gid, fx, fy, alpha, valid = unproject(z, sample_idx, pose)
+            return gid, fx, fy, valid, alpha
 
         def gather_and_fuse(state, gid, feats, rgbs, alpha, valid):
             """All-gather the compact payload over ICI; fuse owned rows."""
