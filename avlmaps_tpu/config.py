@@ -90,11 +90,12 @@ class MapConfig:
     # (~2.4x fewer encoder FLOPs, canvas transport only, not numerically
     # identical to the reference — see window.whole_canvas_features_at_points)
     lseg_eval: str = "sliding"
-    # model scales: "vitl16" is the reference architecture; "tiny16" /
-    # "tiny" are toy towers for CI and end-to-end demos without
-    # checkpoints (application CLIs run in seconds instead of hours)
+    # model scales: "vitl16" is the reference architecture; "tiny16" is a
+    # toy tower for CI and end-to-end demos without checkpoints
+    # (application CLIs run in seconds instead of hours).  clip_variant:
+    # empty -> the default ViT-B/32; "tiny" pairs with lseg_arch tiny16.
     lseg_arch: str = "vitl16"
-    clip_variant: str = "ViT-B/32"
+    clip_variant: str = ""
     # learned local features for VisualMap (superpoint_v1.pth path); empty
     # string -> ORB fallback (reference uses SuperPoint via HLoc,
     # localization_utils.py:127-145)

@@ -45,9 +45,9 @@ class AVLMap:
 
             area_clip_encoder = ClipEncoder.from_checkpoint(clip_ckpt)
         elif area_clip_encoder is None and getattr(
-                config.map_config, "clip_variant", "ViT-B/32") != "ViT-B/32":
-            # non-default variant (e.g. "tiny" for CI/demo builds): share
-            # one encoder across area/visual/vlmap
+                config.map_config, "clip_variant", ""):
+            # explicit variant (e.g. "tiny" for CI/demo builds): share one
+            # encoder across area/visual/vlmap
             from avlmaps_tpu.models.clip import ClipEncoder
 
             area_clip_encoder = ClipEncoder(config.map_config.clip_variant)

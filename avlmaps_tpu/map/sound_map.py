@@ -66,16 +66,8 @@ class SoundMap:
         cc = self.collect_config
         _, seq_dirs = setup_audio_paths(data_dir)
         seq_dirs = seq_dirs[:cc.considered_seq_num_per_scene]
-        if not seq_dirs:  # scene without audio: no AudioCLIP init needed
-            self.audio_database = {}
-            save_path = (Path(data_dir) / "audio_video" /
-                         f"audio_data{self.manual_str}"
-                         f"_{self.difficulty_level}.pkl")
-            os.makedirs(save_path.parent, exist_ok=True)
-            with open(save_path, "wb") as f:
-                pickle.dump(self.audio_database, f)
-            return self.audio_database
-        enc = self._init_audioclip()
+        if seq_dirs:  # scene without audio: skip the AudioCLIP init
+            enc = self._init_audioclip()
 
         features: List[np.ndarray] = []
         locations: List[List[np.ndarray]] = []

@@ -128,9 +128,11 @@ class VLMap(OpenVocabIndexMixin, Map):
             from avlmaps_tpu.models.lseg import LSegNet, LSegConfig
 
             arch = getattr(self.map_config, "lseg_arch", "vitl16")
-            factory = getattr(LSegConfig, arch, None)
-            if factory is None:
+            # allowlist of archs whose output geometry the evaluators
+            # accept (patch-16: output == crop, or half of it)
+            if arch not in ("vitl16", "medium", "tiny16"):
                 raise ValueError(f"unknown lseg_arch {arch!r}")
+            factory = getattr(LSegConfig, arch)
             cfg = factory(dtype=jnp.bfloat16 if arch == "vitl16"
                           else jnp.float32)
             model = LSegNet(cfg)

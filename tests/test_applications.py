@@ -36,8 +36,12 @@ def scene_root(tmp_path_factory):
 
     cfg = root / "tiny.yaml"
     cfg.write_text(
+        # grid size flows from params.gs (AVLMapsConfig.__post_init__
+        # propagates it over map_config.grid_size, like the reference's
+        # ${params.gs} interpolation)
+        "params:\n"
+        "  gs: 100\n"
         "map_config:\n"
-        "  grid_size: 100\n"
         "  capacity: 20000\n"
         "  depth_sample_rate: 4\n"
         "  max_pts_per_frame: 256\n"
