@@ -86,10 +86,29 @@ class VisualMap:
             self.clip_encoder = ClipEncoder("ViT-B/32")
         return self.clip_encoder
 
-    def _cache_path(self) -> Path:
+    def _cache_dir(self) -> Path:
         d = self.data_dir / "visual_map"
         os.makedirs(d, exist_ok=True)
-        return d / "global_descriptors.h5df"
+        return d
+
+    def _cache_candidates(self) -> list:
+        """Readable descriptor caches, preferred first.  Caches are stored
+        PER ENCODER DIM (``global_descriptors_<dim>.h5df``) so switching the
+        retrieval encoder (e.g. NetVLAD 4096-d <-> CLIP 512-d) never
+        destroys another encoder's artifact (ADVICE r2); the unsuffixed
+        legacy name is still read."""
+        d = self._cache_dir()
+        paths = []
+        if self.clip_encoder is not None:
+            paths.append(
+                d / f"global_descriptors_{self.clip_encoder.feat_dim}.h5df")
+        else:
+            paths.extend(sorted(d.glob("global_descriptors_*.h5df")))
+        paths.append(d / "global_descriptors.h5df")
+        return paths
+
+    def _cache_write_path(self, feat_dim: int) -> Path:
+        return self._cache_dir() / f"global_descriptors_{feat_dim}.h5df"
 
     def create_and_load_map(self, data_dir: Union[Path, str],
                             batch_size: int = 64) -> None:
@@ -99,24 +118,25 @@ class VisualMap:
         from avlmaps_tpu.pipeline.loader import load_rgb
 
         self.data_dir = Path(data_dir)
-        cache = self._cache_path()
         pose_path = self.data_dir / "poses.txt"
         base_poses = np.loadtxt(pose_path)
         if base_poses.ndim == 1:
             base_poses = base_poses[None]
         self.poses = np.stack([pose_vec_to_tf(v) for v in base_poses])
 
-        if cache.exists():
+        for cache in self._cache_candidates():
+            if not cache.exists():
+                continue
             with h5py.File(cache, "r") as f:
-                self.descriptors = f["descriptors"][:]
+                descs = f["descriptors"][:]
             # validate against an ALREADY-constructed encoder's dim only:
             # instantiating a CLIP tower just to read feat_dim would cost
             # seconds + model memory on every warm-cache load
             dim_ok = (self.clip_encoder is None
-                      or self.descriptors.shape[1]
-                      == self.clip_encoder.feat_dim)
-            if self.descriptors.shape[0] == len(self.poses) and dim_ok:
-                return  # cache valid; else recompute
+                      or descs.shape[1] == self.clip_encoder.feat_dim)
+            if descs.shape[0] == len(self.poses) and dim_ok:
+                self.descriptors = descs
+                return  # cache valid; else try the next candidate
         rgb_paths = sorted((self.data_dir / "rgb").glob("*.png"))
         enc = self._init_clip()
         self.descriptors = np.zeros((len(rgb_paths), enc.feat_dim),
@@ -125,7 +145,7 @@ class VisualMap:
             chunk = [load_rgb(p) for p in rgb_paths[s0:s0 + batch_size]]
             self.descriptors[s0:s0 + len(chunk)] = \
                 enc.get_imgs_feats_batch(chunk, batch_size)
-        with h5py.File(cache, "w") as f:
+        with h5py.File(self._cache_write_path(enc.feat_dim), "w") as f:
             f.create_dataset("descriptors", data=self.descriptors)
 
     def retrieve(self, image: np.ndarray, topk: int = 1) -> np.ndarray:
@@ -134,9 +154,9 @@ class VisualMap:
         enc = self._init_clip()
         if (self.descriptors is not None and self.data_dir is not None
                 and self.descriptors.shape[1] != enc.feat_dim):
-            # stale cache from a different retrieval encoder (e.g. NetVLAD
-            # 4096-d vs CLIP 512-d): drop it and recompute for this one
-            self._cache_path().unlink(missing_ok=True)
+            # descriptors from a different retrieval encoder (e.g. NetVLAD
+            # 4096-d vs CLIP 512-d): load-or-compute THIS encoder's cache —
+            # per-dim cache files, so the other encoder's artifact survives
             self.create_and_load_map(self.data_dir)
         q = enc.get_img_feats(image)
         sims = (self.descriptors @ q.T).flatten()

@@ -285,9 +285,12 @@ class VLMapBuilder:
         self.half_res_apply = half_res_apply
         # "frame" ships full RGB-D frames; "canvas" ships the resized canvas
         # + per-point gathers (pipeline.transport — ~6.4x less H2D traffic).
-        # None -> the map_config's transport knob (default "frame").
+        # None -> the map_config's transport knob.  The fallback matches
+        # MapConfig's default ("canvas"): one default, stated in README
+        # ("Parity deviations") — pass transport="frame" for strict
+        # bit-parity with the frame path's uint8 handling.
         self.transport = transport if transport is not None else \
-            getattr(map_config, "transport", "frame")
+            getattr(map_config, "transport", "canvas")
         self.rng = np.random.default_rng(seed)
         self.map_save_dir = self.data_dir / "vlmap"
         self.map_save_path = self.map_save_dir / "vlmaps.h5df"
@@ -346,8 +349,7 @@ class VLMapBuilder:
 
         probe = np.asarray(load_depth(self.depth_paths[0]))
         h, w = probe.shape[:2]
-        max_pts = min(cfg.max_pts_per_frame,
-                      max(h * w // cfg.depth_sample_rate, 1))
+        max_pts = cfg.point_budget(h, w)
 
         if self.mesh is not None:
             return self._create_sharded(gs, cs, vh, h, w, max_pts, saved,

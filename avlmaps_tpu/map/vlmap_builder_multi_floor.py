@@ -138,8 +138,7 @@ class VLMapBuilderMultiFloor:
 
         probe = np.asarray(load_depth(self.depth_paths[0]), np.float32)
         h, w = probe.shape[:2]
-        max_pts = min(cfg.max_pts_per_frame,
-                      max(h * w // cfg.depth_sample_rate, 1))
+        max_pts = cfg.point_budget(h, w)
 
         calib = cfg.calib_matrix()
         inv_calib = jnp.asarray(np.linalg.inv(calib), jnp.float32)

@@ -91,6 +91,19 @@ MULTIPLE_TEMPLATES = [
 ]
 
 
+def _array_fingerprint(a: np.ndarray, samples: int = 64) -> bytes:
+    """Cheap content fingerprint: hash of ``samples`` evenly-spaced rows.
+    O(samples*D) regardless of N — catches in-place mutation of a cached
+    map without touching the multi-GB array."""
+    import hashlib
+
+    flat = a.reshape(-1, a.shape[-1]) if a.ndim > 1 else a.reshape(-1, 1)
+    idx = np.linspace(0, flat.shape[0] - 1, min(samples, flat.shape[0]),
+                      dtype=np.int64)
+    return hashlib.blake2b(np.ascontiguousarray(flat[idx]).tobytes(),
+                           digest_size=16).digest()
+
+
 class ClipEncoder:
     """Stateful convenience wrapper: config + params + jitted forwards.
 
@@ -250,12 +263,26 @@ class ClipEncoder:
     def _map_feats_device(self, map_feats: np.ndarray) -> jnp.ndarray:
         """Device-resident flattened map features, cached across queries —
         repeated index queries over the same map must not re-upload the
-        multi-GB (N, D) matrix every call."""
-        if getattr(self, "_map_dev_src", None) is not map_feats:
+        multi-GB (N, D) matrix every call.
+
+        The cache key is (object id, shape, content fingerprint): a few
+        sampled rows are hashed so in-place mutation of the same array is
+        detected and re-uploads instead of silently reusing stale device
+        features (ADVICE r2).  Call :meth:`drop_map_cache` to release the
+        HBM copy when done querying a map."""
+        key = (id(map_feats), map_feats.shape,
+               _array_fingerprint(map_feats))
+        if getattr(self, "_map_dev_key", None) != key:
             flat = map_feats.reshape(-1, map_feats.shape[-1])
             self._map_dev = jnp.asarray(flat)
-            self._map_dev_src = map_feats
+            self._map_dev_key = key
         return self._map_dev
+
+    def drop_map_cache(self) -> None:
+        """Release the cached device copy of the last-queried map (frees
+        the multi-GB HBM buffer; the next query re-uploads)."""
+        self._map_dev = None
+        self._map_dev_key = None
 
     def get_lseg_argmax(self, landmarks: List[str], map_feats: np.ndarray,
                         use_multiple_templates: bool = False,

@@ -41,7 +41,14 @@ def _dense(sd: Dict[str, Any], conv: str, bn: str | None = None,
 
 
 def config_from_state_dict(sd: Dict[str, Any], heads: int = 4,
-                           sinkhorn_iters: int = 20) -> SuperGlueConfig:
+                           sinkhorn_iters: int = 100) -> SuperGlueConfig:
+    """Infer the SuperGlueConfig from a checkpoint's tensor shapes.
+
+    ``sinkhorn_iters`` defaults to 100 — the MagicLeap/HLoc value the
+    reference pipeline runs with (ADVICE r2).  Pass a smaller count as an
+    explicit speed knob; the golden test asserts 20 vs 100 agree to float
+    tolerance on converged problems, but near-threshold scores can differ.
+    """
     desc_dim = _t(sd["final_proj.weight"]).shape[0]
     enc_idx = sorted({int(m.group(1)) for k in sd
                       if (m := re.match(r"kenc\.encoder\.(\d+)\.weight$",
@@ -86,9 +93,13 @@ def port_superglue_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": params}
 
 
-def load_superglue_checkpoint(path: str
+def load_superglue_checkpoint(path: str, sinkhorn_iters: int = 100
                               ) -> Tuple[SuperGlueConfig, Dict[str, Any]]:
-    """Load superglue_*.pth -> (config, flax variables)."""
+    """Load superglue_*.pth -> (config, flax variables).
+
+    ``sinkhorn_iters``: 100 matches the MagicLeap/HLoc pipeline the
+    reference runs; lower it explicitly to trade match-score convergence
+    for speed."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
@@ -96,4 +107,5 @@ def load_superglue_checkpoint(path: str
         sd = sd.state_dict()
     if "state_dict" in sd:
         sd = sd["state_dict"]
-    return config_from_state_dict(sd), port_superglue_state_dict(sd)
+    return (config_from_state_dict(sd, sinkhorn_iters=sinkhorn_iters),
+            port_superglue_state_dict(sd))

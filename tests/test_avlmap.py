@@ -93,7 +93,7 @@ class TestAVLMapIntegration:
         d = Path(avlmap.vlmap.data_dir)
         assert (d / "vlmap" / "vlmaps.h5df").exists()
         assert (d / "area_map" / "clip_sparse_map.h5df").exists()
-        assert (d / "visual_map" / "global_descriptors.h5df").exists()
+        assert list((d / "visual_map").glob("global_descriptors*.h5df"))
         assert (d / "audio_video"
                 / "audio_data_level_3.pkl").exists()
 

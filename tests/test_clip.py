@@ -324,3 +324,24 @@ def test_encoder_wrapper_text_feats():
         np.random.default_rng(0).normal(size=(50, 16)).astype(np.float32),
         add_other=True)
     assert scores.shape == (50, 3)  # + "other"
+
+
+def test_map_feats_cache_detects_mutation():
+    """ADVICE r2: the device map-feature cache must not serve stale features
+    after in-place mutation of the same host array, and must be releasable."""
+    enc = ClipEncoder.__new__(ClipEncoder)
+    rng = np.random.default_rng(1)
+    feats = rng.normal(size=(128, 16)).astype(np.float32)
+
+    dev1 = enc._map_feats_device(feats)
+    dev1_again = enc._map_feats_device(feats)
+    assert dev1 is dev1_again  # unchanged array -> cached device copy
+
+    feats[:] *= 2.0  # in-place mutation, same object id/shape
+    dev2 = enc._map_feats_device(feats)
+    np.testing.assert_allclose(np.asarray(dev2), feats, rtol=1e-6)
+
+    enc.drop_map_cache()
+    assert enc._map_dev is None
+    dev3 = enc._map_feats_device(feats)
+    np.testing.assert_allclose(np.asarray(dev3), feats, rtol=1e-6)

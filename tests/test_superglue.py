@@ -169,3 +169,29 @@ def test_matcher_wrapper_shapes():
     m = np.asarray(m)[0]
     assert np.all(m[10:] == -1)  # invalid queries never match
     assert np.all((m == -1) | ((m >= 0) & (m < k1)))
+
+
+def test_sinkhorn_20_vs_100_converged():
+    """ADVICE r2: ported checkpoints default to the MagicLeap 100-iteration
+    Sinkhorn; assert 20 iterations has already converged to the 100-iter
+    assignment on a typical problem (so 20 remains a safe speed knob)."""
+    from avlmaps_tpu.models.superglue import log_optimal_transport
+
+    rng = np.random.default_rng(4)
+    k = 48
+    scores = rng.normal(scale=1.0, size=(1, k, k)).astype(np.float32)
+    valid = jnp.ones((1, k), bool)
+    z20 = log_optimal_transport(jnp.asarray(scores), jnp.asarray(1.0),
+                                valid, valid, iters=20)
+    z100 = log_optimal_transport(jnp.asarray(scores), jnp.asarray(1.0),
+                                 valid, valid, iters=100)
+    np.testing.assert_allclose(np.asarray(z20), np.asarray(z100),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_ported_config_defaults_to_100_iters():
+    from avlmaps_tpu.models.superglue import config_from_state_dict
+    from tools.torch_reference.superglue_torch import build_torch_superglue
+
+    sd = build_torch_superglue(TINY, seed=0).state_dict()
+    assert config_from_state_dict(sd).sinkhorn_iters == 100

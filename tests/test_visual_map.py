@@ -172,3 +172,43 @@ def test_superglue_refine_recovers_translation(scene):
     delta = cam_tf[:3, 3] - expected[:3, 3]
     np.testing.assert_allclose(delta, [TX, 0, 0], atol=0.06)
     np.testing.assert_allclose(cam_tf[:3, :3], expected[:3, :3], atol=0.05)
+
+
+def test_encoder_switch_preserves_other_cache(scene, tmp_path):
+    """Switching retrieval encoders must not destroy another encoder's
+    descriptor cache (ADVICE r2): caches are per-dim files."""
+    import shutil
+
+    root, query = scene
+    work = tmp_path / "scene"
+    shutil.copytree(root, work)
+
+    class FakeEnc:
+        def __init__(self, dim):
+            self.feat_dim = dim
+
+        def get_imgs_feats_batch(self, imgs, bs):
+            return np.full((len(imgs), self.feat_dim), 1.0, np.float32)
+
+        def get_img_feats(self, img):
+            return np.full((1, self.feat_dim), 1.0, np.float32)
+
+    cfg = load_config()
+    m_a = VisualMap(cfg.map_config, clip_encoder=FakeEnc(16))
+    m_a.create_and_load_map(work)
+    cache_a = work / "visual_map" / "global_descriptors_16.h5df"
+    assert cache_a.exists()
+    before = cache_a.read_bytes()
+
+    # second encoder with a different dim: builds its own cache file
+    m_b = VisualMap(cfg.map_config, clip_encoder=FakeEnc(32))
+    m_b.create_and_load_map(work)
+    assert (work / "visual_map" / "global_descriptors_32.h5df").exists()
+    assert cache_a.read_bytes() == before  # untouched
+
+    # retrieve() with mismatched in-memory descriptors recomputes for the
+    # active encoder without unlinking anything
+    m_b.descriptors = np.ones((1, 16), np.float32)
+    m_b.retrieve(np.zeros((8, 8, 3), np.uint8))
+    assert m_b.descriptors.shape[1] == 32
+    assert cache_a.read_bytes() == before

@@ -97,8 +97,7 @@ def oracle_build_map(torch_model, scene: Path, cfg, base2cam, base_tf,
 
     probe = np.asarray(load_depth(depth_paths[0]), np.float32)
     h, w = probe.shape[:2]
-    max_pts = min(cfg.max_pts_per_frame,
-                  max(h * w // cfg.depth_sample_rate, 1))
+    max_pts = cfg.point_budget(h, w)
     base_size = getattr(cfg, "lseg_base_size", 520)
     crop_size = getattr(cfg, "lseg_crop_size", 480)
     height, width, _, _, crops = plan_windows(h, w, base_size, crop_size)
