@@ -19,8 +19,41 @@ from avlmaps_tpu.config import load_config
 from avlmaps_tpu.map.avlmap import AVLMap
 
 
+def render_query_image(sim, pose_vec) -> np.ndarray:
+    """Render the query image at a chosen pose in the simulator — the
+    reference's image-query behaviour (application/index_map.py:100-111
+    spins up habitat and grabs color_sensor at the clicked agent state).
+
+    ``sim`` is any Simulator-protocol backend (HabitatSimulator live, or a
+    fake in tests); ``pose_vec`` is (px, py, pz, qx, qy, qz, qw)."""
+    from avlmaps_tpu.geometry.transforms import pose_vec_to_tf
+
+    sim.set_agent_tf(pose_vec_to_tf(np.asarray(pose_vec, np.float64)))
+    obs = sim.get_observation()
+    if not obs or "color_sensor" not in obs:
+        raise RuntimeError("simulator returned no colour observation")
+    return np.asarray(obs["color_sensor"])[..., :3]
+
+
+def _query_image(query: str, sim=None) -> np.ndarray:
+    """Resolve an image query: a file path (headless default), or
+    ``pose:px,py,pz,qx,qy,qz,qw`` rendered live in the simulator when one
+    is available (reference renders at an interactively chosen pose)."""
+    if query.startswith("pose:"):
+        if sim is None:
+            raise RuntimeError(
+                "pose: image queries need a simulator (habitat-sim not "
+                "available / --scene-dir not set); pass an image path "
+                "instead")
+        vec = [float(v) for v in query[5:].split(",")]
+        return render_query_image(sim, vec)
+    from avlmaps_tpu.pipeline.loader import load_rgb
+
+    return load_rgb(query)
+
+
 def run_query(avlmap: AVLMap, index_type: str, query: str,
-              decay_rate: float):
+              decay_rate: float, sim=None):
     if index_type == "object":
         return avlmap.index_object(query, decay_rate=decay_rate)
     if index_type == "sound":
@@ -28,9 +61,8 @@ def run_query(avlmap: AVLMap, index_type: str, query: str,
     if index_type == "area":
         return avlmap.index_area(query, decay_rate=decay_rate)
     if index_type == "image":
-        from avlmaps_tpu.pipeline.loader import load_rgb
-
-        return avlmap.index_image(load_rgb(query), decay_rate=decay_rate)
+        return avlmap.index_image(_query_image(query, sim),
+                                  decay_rate=decay_rate)
     raise ValueError(f"unknown index type {index_type!r}")
 
 
@@ -76,6 +108,9 @@ def main() -> None:
                         default="topdown",
                         help="3d renders the point-cloud heatmap (open3d "
                              "window / offscreen PNG / .ply)")
+    parser.add_argument("--scene-dir", default="",
+                        help="Matterport3D scene dir: enables live-rendered "
+                             "pose:... image queries (needs habitat-sim)")
     args = parser.parse_args()
 
     config = load_config(args.config)
@@ -89,8 +124,30 @@ def main() -> None:
     avlmap = AVLMap(config, data_dir=str(scene))
     avlmap.load_map(scene)
 
+    sim = None
+
+    def get_sim():
+        """Lazy habitat sim for live-rendered image queries (reference
+        application/index_map.py:100-111); None when habitat is absent."""
+        nonlocal sim
+        from avlmaps_tpu.robot.sim import HABITAT_AVAILABLE, HabitatSimulator
+
+        if sim is None and args.scene_dir and HABITAT_AVAILABLE:
+            scene_name = scene.name.split("_")[0]
+            scene_path = (Path(args.scene_dir) / scene_name
+                          / f"{scene_name}.glb")
+            sim = HabitatSimulator(str(scene_path), {
+                "sensor_height": config.data_cfg.camera_height,
+                "width": config.data_cfg.resolution.w,
+                "height": config.data_cfg.resolution.h,
+                "color_sensor": True, "depth_sensor": False,
+                "semantic_sensor": False, "back_color_sensor": False,
+            })
+        return sim
+
     if args.type:
-        heat = run_query(avlmap, args.type, args.query, config.decay_rate)
+        heat = run_query(avlmap, args.type, args.query, config.decay_rate,
+                         sim=get_sim() if args.type == "image" else None)
         save_heatmap(avlmap, heat, Path(args.out), args.view)
         return
 
@@ -102,7 +159,8 @@ def main() -> None:
         if choice not in kinds:
             break
         query = input("Query: ").strip()
-        heat = run_query(avlmap, kinds[choice], query, config.decay_rate)
+        heat = run_query(avlmap, kinds[choice], query, config.decay_rate,
+                         sim=get_sim() if kinds[choice] == "image" else None)
         save_heatmap(avlmap, heat, Path(args.out), args.view)
 
 

@@ -248,6 +248,26 @@ class NavConfig:
 
 
 @dataclass
+class Resolution:
+    """Render resolution (reference config/generate_dataset.yaml:20-22)."""
+
+    w: int = 1080
+    h: int = 720
+
+
+@dataclass
+class DataCfg:
+    """Per-sensor rendering knobs for dataset generation (reference
+    config/generate_dataset.yaml:17-24)."""
+
+    rgb: bool = True
+    depth: bool = True
+    semantic: bool = True
+    resolution: Resolution = field(default_factory=Resolution)
+    camera_height: float = 1.5
+
+
+@dataclass
 class DataPaths:
     """Dataset directories (reference config/data_paths/default.yaml)."""
 
@@ -269,6 +289,10 @@ class AVLMapsConfig:
         default_factory=SoundCollectParams)
     controller_config: ControllerConfig = field(default_factory=ControllerConfig)
     nav: NavConfig = field(default_factory=NavConfig)
+    # dataset-generation group (reference config/generate_dataset.yaml):
+    # scenes to render (empty -> every directory in the dataset) + sensor cfg
+    scene_names: List[str] = field(default_factory=list)
+    data_cfg: DataCfg = field(default_factory=DataCfg)
     scene_id: int = 0
     decay_rate: float = 0.01  # reference config/map_indexing_cfg.yaml
     # checkpoint paths (reference download_checkpoints.bash:1-14); empty ->
@@ -336,6 +360,8 @@ def _dict_to_dataclass(cls, data: Dict[str, Any]):
 
 _DATACLASS_FIELDS = {
     ("MapConfig", "pose_info"): PoseInfo,
+    ("AVLMapsConfig", "data_cfg"): DataCfg,
+    ("DataCfg", "resolution"): Resolution,
     ("AVLMapsConfig", "data_paths"): DataPaths,
     ("AVLMapsConfig", "map_config"): MapConfig,
     ("AVLMapsConfig", "params"): Params,

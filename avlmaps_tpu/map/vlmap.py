@@ -99,6 +99,22 @@ class OpenVocabIndexMixin:
             add_other=True)
         return np.argmax(scores, axis=1) == 0
 
+    def index_map_sharded(self, mesh, language_desc: str) -> np.ndarray:
+        """Multi-chip open-vocabulary indexing: ``grid_feat`` row-sharded
+        over the mesh, each device runs the fused score+argmax kernel on
+        its shard with zero hot-path collectives
+        (parallel.sharded.sharded_score_argmax).  Same mask semantics as
+        :meth:`index_map` with ``with_init_cat=False``."""
+        from avlmaps_tpu.parallel.sharded import sharded_score_argmax
+
+        enc = self._init_clip()
+        text = enc.get_text_feats_multiple_templates(
+            [language_desc, "other"])
+        labels = sharded_score_argmax(
+            mesh, self.grid_feat.reshape(-1, self.grid_feat.shape[-1]),
+            np.asarray(text))
+        return labels == 0
+
 
 class VLMap(OpenVocabIndexMixin, Map):
     def __init__(self, map_config: MapConfig, data_dir: str = "",

@@ -393,7 +393,8 @@ class VLMapBuilder:
 
         loader = PrefetchLoader(self.rgb_paths, self.depth_paths, pose_tfs,
                                 batch_size=self.batch_size, skip_ids=mapped,
-                                normalize=False, transform=transform)
+                                normalize=False, transform=transform,
+                                device_put=True)
         done = 0
         meter = RateMeter()
         for batch in loader:
@@ -508,7 +509,8 @@ class VLMapBuilder:
                 (height, width))
         loader = PrefetchLoader(self.rgb_paths, self.depth_paths, pose_tfs,
                                 batch_size=batch, skip_ids=mapped,
-                                normalize=False, transform=transform)
+                                normalize=False, transform=transform,
+                                device_put=self.mesh is None)
         from avlmaps_tpu.utils.profiling import RateMeter
 
         meter = RateMeter()

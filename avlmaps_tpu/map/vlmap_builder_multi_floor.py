@@ -75,7 +75,7 @@ class VLMapBuilderMultiFloor:
                  depth_paths: Sequence, pose_tfs: Sequence[np.ndarray],
                  lseg_apply=None, lseg_params=None, feat_dim: int = 512,
                  batch_size: int = 4, height_margin_m: float = 1.0,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None):
         self.data_dir = Path(data_dir)
         self.map_config = map_config
         self.rgb_paths = list(rgb_paths)
@@ -88,6 +88,7 @@ class VLMapBuilderMultiFloor:
         self.feat_dim = feat_dim
         self.batch_size = batch_size
         self.height_margin_m = height_margin_m
+        self.mesh = mesh  # jax.sharding.Mesh -> row-sharded multi-chip build
         self.rng = np.random.default_rng(seed)
         self.map_save_dir = self.data_dir / "vlmap_multi_floor"
         self.map_save_path = self.map_save_dir / "vlmaps_multi_floor.h5df"
@@ -125,45 +126,30 @@ class VLMapBuilderMultiFloor:
 
     # -- pass 2: fusion ------------------------------------------------------
 
-    def create_global_map(self, progress: bool = True):
+    def _make_geometry(self, gs: int, vh: int, h: int, w: int,
+                       height: int, width: int, max_depth: float = 10.0):
+        """Offset-grid unproject chain: sampled depth -> global points ->
+        (row=x, col=z, h=y_up) grid ids relative to pcd_min (reference
+        :118-166's math, batched).  Same contract as
+        vlmap_builder.make_unproject: (z, sample_idx, pose) ->
+        (gid (B,N,3), fx, fy, alpha, valid)."""
         cfg = self.map_config
         cs = cfg.cell_size
-        os.makedirs(self.map_save_dir, exist_ok=True)
-        if self.pcd_min is None:
-            self.probe_bounds()
-        # grid dims (x, y_up, z) -> (rows=x, cols=z, heights=y)
-        dims = np.ceil((self.pcd_max - self.pcd_min) / cs + 1).astype(int)
-        n_rows, vh, n_cols = int(dims[0]), int(dims[1]), int(dims[2])
-        gs = max(n_rows, n_cols)
-
-        probe = np.asarray(load_depth(self.depth_paths[0]), np.float32)
-        h, w = probe.shape[:2]
-        max_pts = cfg.point_budget(h, w)
-
-        calib = cfg.calib_matrix()
-        inv_calib = jnp.asarray(np.linalg.inv(calib), jnp.float32)
-        base_size = getattr(cfg, "lseg_base_size", 520)
-        crop_size = getattr(cfg, "lseg_crop_size", 480)
-        height, width, _, _, _ = plan_windows(h, w, base_size, crop_size)
+        inv_calib = jnp.asarray(np.linalg.inv(cfg.calib_matrix()),
+                                jnp.float32)
         from avlmaps_tpu.geometry.projection import get_sim_cam_mat
 
         feat_intr = jnp.asarray(get_sim_cam_mat(height, width), jnp.float32)
         pcd_min = jnp.asarray(self.pcd_min, jnp.float32)
 
-        lseg_apply, lseg_params = self.lseg_apply, self.lseg_params
-
-        def step(state, params, rgb_norm, depth, pose, sample_idx, fvalid):
-            if rgb_norm.dtype == jnp.uint8:
-                rgb_norm = rgb_norm.astype(jnp.float32) * (1.0 / 127.5) - 1.0
-            b = rgb_norm.shape[0]
+        def geometry(z, sample_idx, pose):
             px = (sample_idx % w).astype(jnp.float32)
             py = (sample_idx // w).astype(jnp.float32)
-            z = jnp.take_along_axis(depth.reshape(b, -1), sample_idx, axis=1)
             uv1 = jnp.stack([px + 0.5, py + 0.5, jnp.ones_like(px)], axis=-1)
             rays = jnp.einsum("ij,bnj->bni", inv_calib, uv1,
                               precision=jax.lax.Precision.HIGHEST)
             pc_local = rays * z[..., None]
-            zmask = (z > cfg.min_depth) & (z < 10.0)
+            zmask = (z > cfg.min_depth) & (z < max_depth)
             pg = jnp.einsum("bij,bnj->bni", pose[:, :3, :3], pc_local,
                             precision=jax.lax.Precision.HIGHEST) \
                 + pose[:, None, :3, 3]
@@ -179,14 +165,59 @@ class VLMapBuilderMultiFloor:
             fx = jnp.trunc(uvw[..., 0] / uvw[..., 2] - 0.5).astype(jnp.int32)
             fy = jnp.trunc(uvw[..., 1] / uvw[..., 2] - 0.5).astype(jnp.int32)
             in_feat = (fx >= 0) & (fx < width) & (fy >= 0) & (fy < height)
+            alpha = concept_fusion_alpha(pc_local)
+            gid = jnp.stack([row, col, hh], axis=-1)
+            return gid, fx, fy, alpha, zmask & in_grid & in_feat
+
+        return geometry
+
+    def create_global_map(self, progress: bool = True):
+        cfg = self.map_config
+        cs = cfg.cell_size
+        os.makedirs(self.map_save_dir, exist_ok=True)
+        if self.pcd_min is None:
+            self.probe_bounds()
+        # grid dims (x, y_up, z) -> (rows=x, cols=z, heights=y)
+        dims = np.ceil((self.pcd_max - self.pcd_min) / cs + 1).astype(int)
+        n_rows, vh, n_cols = int(dims[0]), int(dims[1]), int(dims[2])
+        gs_bound = max(n_rows, n_cols)  # the probed scene extent
+        gs = gs_bound
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        if gs % n_dev:
+            gs += n_dev - gs % n_dev  # row-sharded grid: equal row shards
+
+        probe = np.asarray(load_depth(self.depth_paths[0]), np.float32)
+        h, w = probe.shape[:2]
+        max_pts = cfg.point_budget(h, w)
+
+        base_size = getattr(cfg, "lseg_base_size", 520)
+        crop_size = getattr(cfg, "lseg_crop_size", 480)
+        height, width, _, _, _ = plan_windows(h, w, base_size, crop_size)
+        # validity is bounded by the PROBED extent (gs_bound), not the
+        # shard-padded grid, so the sharded build fuses exactly the same
+        # point set as the single-device one
+        geometry = self._make_geometry(gs_bound, vh, h, w, height, width)
+        lseg_apply, lseg_params = self.lseg_apply, self.lseg_params
+
+        if self.mesh is not None:
+            return self._create_sharded(gs, vh, cs, h, w, max_pts,
+                                        base_size, crop_size, geometry,
+                                        progress)
+
+        def step(state, params, rgb_norm, depth, pose, sample_idx, fvalid):
+            if rgb_norm.dtype == jnp.uint8:
+                rgb_norm = rgb_norm.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+            b = rgb_norm.shape[0]
+            z = jnp.take_along_axis(depth.reshape(b, -1), sample_idx, axis=1)
+            gid, fx, fy, alpha, valid = geometry(z, sample_idx, pose)
             feats = features_at_points(lseg_apply, params, rgb_norm, fx, fy,
                                        base_size, crop_size)
             rgb_u8 = (rgb_norm * 0.5 + 0.5) * 255.0
             rgbs = jnp.take_along_axis(rgb_u8.reshape(b, -1, 3),
                                        sample_idx[..., None], axis=1)
-            alpha = concept_fusion_alpha(pc_local)
-            valid = zmask & in_grid & in_feat & fvalid[:, None]
-            vids = (row * (gs * vh) + col * vh + hh).reshape(-1)
+            valid = valid & fvalid[:, None]
+            vids = (gid[..., 0] * (gs * vh) + gid[..., 1] * vh
+                    + gid[..., 2]).reshape(-1)
             vids = jnp.clip(vids, 0, gs * gs * vh - 1)
             d = feats.shape[-1]
             return fuse_points(state, vids, feats.reshape(-1, d),
@@ -218,6 +249,49 @@ class VLMapBuilderMultiFloor:
 
         grid_feat, grid_pos, weight, occupied_ids, grid_rgb = \
             export_fusion_state(state, gs, vh)
+        save_multi_floor_map(self.map_save_path, grid_feat, grid_pos, weight,
+                             occupied_ids, mapped, grid_rgb, self.pcd_min,
+                             self.pcd_max, cs)
+        return grid_feat, grid_pos, weight, occupied_ids, grid_rgb
+
+    def _create_sharded(self, gs, vh, cs, h, w, max_pts, base_size,
+                        crop_size, geometry, progress):
+        """Multi-chip multi-floor build: frames data-parallel, the
+        dynamic-bounds grid row-sharded over the mesh (VERDICT r2 #5) —
+        reuses ShardedFusion with the offset-grid geometry injected."""
+        from avlmaps_tpu.map.vlmap_builder import sample_pixels
+        from avlmaps_tpu.parallel.sharded import ShardedFusion
+
+        cfg = self.map_config
+        n_dev = self.mesh.devices.size
+        batch = max(self.batch_size, n_dev)
+        batch = (batch // n_dev) * n_dev
+        fusion = ShardedFusion(
+            self.mesh, gs=gs, cs=cs, vh=vh, feat_dim=self.feat_dim,
+            capacity=cfg.capacity, calib_mat=cfg.calib_matrix(),
+            image_hw=(h, w), lseg_apply=self.lseg_apply,
+            base_size=base_size, crop_size=crop_size,
+            min_depth=cfg.min_depth, max_depth=10.0,
+            half_res_apply=False, transport="frame",
+            geometry_fn=geometry)
+
+        loader = PrefetchLoader(self.rgb_paths, self.depth_paths,
+                                self.pose_tfs, batch_size=batch,
+                                normalize=False)
+        mapped = set()
+        for b in loader:
+            idx = sample_pixels(self.rng, h, w, cfg.depth_sample_rate,
+                                max_pts, batch)
+            fusion.step(self.lseg_params, jnp.asarray(b.rgb),
+                        jnp.asarray(b.depth), jnp.asarray(b.pose_tf),
+                        jnp.asarray(idx), jnp.asarray(b.frame_ids >= 0))
+            mapped.update(int(i) for i in b.frame_ids if i >= 0)
+            if progress:
+                print(f"\rMultiFloor (sharded x{n_dev}): {len(mapped)} "
+                      "frames", end="", flush=True)
+        if progress:
+            print()
+        grid_feat, grid_pos, weight, occupied_ids, grid_rgb = fusion.export()
         save_multi_floor_map(self.map_save_path, grid_feat, grid_pos, weight,
                              occupied_ids, mapped, grid_rgb, self.pcd_min,
                              self.pcd_max, cs)

@@ -39,7 +39,8 @@ class ShardedFusion:
                  base_size: int = 520, crop_size: int = 480,
                  min_depth: float = 0.1, max_depth: float = 6.0,
                  payload_dtype=jnp.bfloat16, half_res_apply: bool = False,
-                 transport: str = "frame", lseg_eval: str = "sliding"):
+                 transport: str = "frame", lseg_eval: str = "sliding",
+                 geometry_fn: Optional[Callable] = None):
         """``payload_dtype``: wire format of the gathered feature payload —
         bf16 halves the dominant ICI traffic (docs/SCALING.md arithmetic);
         accumulation stays f32 inside fuse_points either way.  Pass
@@ -72,16 +73,20 @@ class ShardedFusion:
 
         # the unproject chain is the SAME program as the single-device
         # steps (vlmap_builder.make_unproject); only ownership differs —
-        # here it is decided after the all_gather by a dynamic axis_index
-        from avlmaps_tpu.map.vlmap_builder import make_unproject
+        # here it is decided after the all_gather by a dynamic axis_index.
+        # ``geometry_fn`` overrides it for grids with different indexing
+        # (e.g. the multi-floor builder's offset grid): signature
+        # (z, sample_idx, pose) -> (gid (B,N,3), fx, fy, alpha, valid)
+        if geometry_fn is None:
+            from avlmaps_tpu.map.vlmap_builder import make_unproject
 
-        unproject = make_unproject(
-            gs=gs, cs=cs, vh=vh, calib_mat=calib_mat, image_hw=image_hw,
-            base_size=base_size, crop_size=crop_size, min_depth=min_depth,
-            max_depth=max_depth)
+            geometry_fn = make_unproject(
+                gs=gs, cs=cs, vh=vh, calib_mat=calib_mat, image_hw=image_hw,
+                base_size=base_size, crop_size=crop_size, min_depth=min_depth,
+                max_depth=max_depth)
 
         def geometry(z, sample_idx, pose):
-            gid, fx, fy, alpha, valid = unproject(z, sample_idx, pose)
+            gid, fx, fy, alpha, valid = geometry_fn(z, sample_idx, pose)
             return gid, fx, fy, valid, alpha
 
         def gather_and_fuse(state, gid, feats, rgbs, alpha, valid):

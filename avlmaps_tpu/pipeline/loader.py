@@ -48,6 +48,21 @@ def load_depth(path) -> np.ndarray:
         return np.load(f)
 
 
+def _batch_to_device(batch):
+    """Move a Frame/CanvasBatch's payload arrays onto the device, keeping
+    ``frame_ids`` as host numpy (the consumer's control loop reads it)."""
+    import dataclasses
+
+    import jax
+
+    moved = {}
+    for f in dataclasses.fields(batch):
+        v = getattr(batch, f.name)
+        if f.name != "frame_ids" and isinstance(v, np.ndarray):
+            moved[f.name] = jax.device_put(v)
+    return dataclasses.replace(batch, **moved)
+
+
 class PrefetchLoader:
     """Bounded-queue background prefetcher yielding fixed-size FrameBatches.
 
@@ -59,7 +74,7 @@ class PrefetchLoader:
                  pose_tfs: Sequence[np.ndarray], batch_size: int = 4,
                  depth: int = 4, normalize=None,
                  skip_ids: Optional[set] = None, depth_mm: bool = False,
-                 transform=None):
+                 transform=None, device_put: bool = False):
         """``normalize``: None -> the LSeg host normalisation (float32
         batches); False -> raw uint8 RGB — 4x less host->device traffic and
         no per-pixel host float math (normalise on device instead, see
@@ -71,7 +86,15 @@ class PrefetchLoader:
 
         ``transform``: optional ``FrameBatch -> Any`` applied on the
         producer thread (e.g. pipeline.transport.make_canvas_transform) so
-        per-batch host prep overlaps the device link."""
+        per-batch host prep overlaps the device link.
+
+        ``device_put=True`` additionally moves the batch's arrays to the
+        device ON THE PRODUCER THREAD (frame_ids stays host numpy for the
+        control loop): the host->device transfer overlaps the next batch's
+        decode instead of serialising with the consumer's step dispatch —
+        on hosts with a slow device link that serialisation is most of the
+        device-vs-e2e fps gap.  jnp.asarray on an already-device array is
+        a no-op, so consumers are unchanged."""
         from avlmaps_tpu.models.lseg.window import normalize_image
 
         self.rgb_paths = list(rgb_paths)
@@ -82,6 +105,7 @@ class PrefetchLoader:
         self.skip_ids = skip_ids or set()
         self.depth_mm = depth_mm
         self.transform = transform
+        self.device_put = device_put
         self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
         self._thread: Optional[threading.Thread] = None
 
@@ -117,6 +141,8 @@ class PrefetchLoader:
                 )
                 if self.transform is not None:
                     batch = self.transform(batch)
+                if self.device_put:
+                    batch = _batch_to_device(batch)
                 self._queue.put(batch)
             self._queue.put(None)
         except BaseException as exc:  # noqa: BLE001 - re-raised in consumer

@@ -96,73 +96,108 @@ class KinematicSimulator:
         return None
 
 
-class HabitatSimulator:  # pragma: no cover - requires habitat-sim
-    """Thin habitat-sim binding (reference make_cfg, habitat_utils.py:12-74)."""
+def plan_sensor_specs(settings: Dict[str, Any]) -> list:
+    """Pure description of the sensor suite the reference's make_cfg builds
+    (habitat_utils.py:12-58): per sensor a dict of
+    {uuid, sensor_type, resolution, position, orientation}.
+
+    Habitat-free so the spec math is testable without habitat-sim; the
+    reference ALWAYS adds a rear third-person colour sensor at
+    [0, h, 1.3] pitched down by pi/8 (habitat_utils.py:19-27) — kept here
+    behind ``back_color_sensor`` (default True for parity).
+    """
+    s = settings
+    specs = []
+    if s.get("back_color_sensor", True):
+        specs.append({
+            "uuid": "back_color_sensor", "sensor_type": "COLOR",
+            "resolution": [s["height"], s["width"]],
+            "position": [0.0, s["sensor_height"], 1.3],
+            "orientation": [-np.pi / 8, 0.0, 0.0],
+        })
+    for uuid, stype, key, default in (
+            ("color_sensor", "COLOR", "color_sensor", True),
+            ("depth_sensor", "DEPTH", "depth_sensor", False),
+            ("semantic_sensor", "SEMANTIC", "semantic_sensor", False)):
+        if s.get(key, default):
+            specs.append({
+                "uuid": uuid, "sensor_type": stype,
+                "resolution": [s["height"], s["width"]],
+                "position": [0.0, s["sensor_height"], 0.0],
+                "orientation": [0.0, 0.0, 0.0],
+            })
+    return specs
+
+
+def plan_action_space(settings: Dict[str, Any]) -> Dict[str, float]:
+    """Action name -> actuation amount (reference habitat_utils.py:60-72).
+
+    Reference quirk preserved bug-for-bug: BOTH turn actions take the
+    ``turn_right`` amount (habitat_utils.py:66-70 passes
+    settings["turn_right"] to turn_left too)."""
+    s = settings
+    return {
+        "move_forward": float(s.get("move_forward", 0.1)),
+        "turn_left": float(s.get("turn_right", s.get("turn_left", 5.0))),
+        "turn_right": float(s.get("turn_right", 5.0)),
+    }
+
+
+class HabitatSimulator:
+    """Thin habitat-sim binding (reference make_cfg, habitat_utils.py:12-74).
+
+    The sensor/action planning is pure (plan_sensor_specs /
+    plan_action_space, tested without habitat); only the translation into
+    habitat objects below needs the real dependency."""
 
     def __init__(self, scene_path: str, sim_setting: Dict[str, Any]):
-        if not HABITAT_AVAILABLE:
+        if not HABITAT_AVAILABLE:  # pragma: no cover
             raise RuntimeError("habitat_sim is not installed")
         self.sim_setting = dict(sim_setting, scene=scene_path)
-        self.sim = habitat_sim.Simulator(self._make_cfg())
+        self.sim = habitat_sim.Simulator(
+            self._make_cfg())  # pragma: no cover
 
-    def _make_cfg(self):
+    def _make_cfg(self):  # pragma: no cover - habitat object construction
         s = self.sim_setting
         sim_cfg = habitat_sim.SimulatorConfiguration()
         sim_cfg.gpu_device_id = 0
         sim_cfg.scene_id = s["scene"]
         sim_cfg.enable_physics = s.get("enable_physics", False)
 
+        type_map = {"COLOR": habitat_sim.SensorType.COLOR,
+                    "DEPTH": habitat_sim.SensorType.DEPTH,
+                    "SEMANTIC": habitat_sim.SensorType.SEMANTIC}
         sensor_specs = []
-        if s.get("color_sensor", True):
+        for plan in plan_sensor_specs(s):
             spec = habitat_sim.CameraSensorSpec()
-            spec.uuid = "color_sensor"
-            spec.sensor_type = habitat_sim.SensorType.COLOR
-            spec.resolution = [s["height"], s["width"]]
-            spec.position = [0.0, s["sensor_height"], 0.0]
-            sensor_specs.append(spec)
-        if s.get("depth_sensor", False):
-            spec = habitat_sim.CameraSensorSpec()
-            spec.uuid = "depth_sensor"
-            spec.sensor_type = habitat_sim.SensorType.DEPTH
-            spec.resolution = [s["height"], s["width"]]
-            spec.position = [0.0, s["sensor_height"], 0.0]
-            sensor_specs.append(spec)
-        if s.get("semantic_sensor", False):
-            spec = habitat_sim.CameraSensorSpec()
-            spec.uuid = "semantic_sensor"
-            spec.sensor_type = habitat_sim.SensorType.SEMANTIC
-            spec.resolution = [s["height"], s["width"]]
-            spec.position = [0.0, s["sensor_height"], 0.0]
+            spec.uuid = plan["uuid"]
+            spec.sensor_type = type_map[plan["sensor_type"]]
+            spec.resolution = plan["resolution"]
+            spec.position = plan["position"]
+            spec.orientation = plan["orientation"]
             sensor_specs.append(spec)
 
         agent_cfg = habitat_sim.agent.AgentConfiguration()
         agent_cfg.sensor_specifications = sensor_specs
         agent_cfg.action_space = {
-            "move_forward": habitat_sim.agent.ActionSpec(
-                "move_forward",
-                habitat_sim.agent.ActuationSpec(
-                    amount=s.get("move_forward", 0.1))),
-            "turn_left": habitat_sim.agent.ActionSpec(
-                "turn_left", habitat_sim.agent.ActuationSpec(
-                    amount=s.get("turn_left", 5.0))),
-            "turn_right": habitat_sim.agent.ActionSpec(
-                "turn_right", habitat_sim.agent.ActuationSpec(
-                    amount=s.get("turn_right", 5.0))),
+            name: habitat_sim.agent.ActionSpec(
+                name, habitat_sim.agent.ActuationSpec(amount=amount))
+            for name, amount in plan_action_space(s).items()
         }
         return habitat_sim.Configuration(sim_cfg, [agent_cfg])
 
-    def step(self, action: str):
+    def step(self, action: str):  # pragma: no cover - live sim call
         if action == "stop":
             return None
         return self.sim.step(action)
 
-    def get_agent_tf(self) -> np.ndarray:
+    def get_agent_tf(self) -> np.ndarray:  # pragma: no cover - live sim call
         state = self.sim.get_agent(0).get_state()
         quat = state.rotation  # habitat quaternion (w, xyz vector)
         xyzw = np.array([quat.x, quat.y, quat.z, quat.w])
         return agent_state_to_tf(np.asarray(state.position), xyzw)
 
-    def set_agent_tf(self, tf: np.ndarray) -> None:
+    def set_agent_tf(self, tf: np.ndarray) -> None:  # pragma: no cover
         import quaternion  # habitat dependency
 
         pos, xyzw = tf_to_agent_state(tf)
@@ -172,10 +207,10 @@ class HabitatSimulator:  # pragma: no cover - requires habitat-sim
                                                xyzw[2])
         self.sim.get_agent(0).set_state(state)
 
-    def get_observation(self):
+    def get_observation(self):  # pragma: no cover - live sim call
         return self.sim.get_sensor_observations(0)
 
-    def close(self):
+    def close(self):  # pragma: no cover - live sim call
         self.sim.close()
 
 

@@ -51,7 +51,7 @@ CAPACITY = 1_000_000
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 WARMUP_STEPS = 2
 TIMED_STEPS = 6
-E2E_FRAMES = int(os.environ.get("BENCH_E2E_FRAMES", "40"))
+E2E_FRAMES = int(os.environ.get("BENCH_E2E_FRAMES", "64"))
 
 # peak dense bf16 TFLOP/s per chip (public TPU specs)
 PEAK_TFLOPS = {
@@ -173,10 +173,14 @@ def measure_device(step, state, params, canvas_hw) -> dict:
     }
 
 
-def measure_e2e(step, state, params, canvas_hw) -> float:
+def measure_e2e(step, state, params, canvas_hw, device_put=True) -> float:
     """End-to-end pipeline fps: PNG/npy decode + canvas prep on the host
     (PrefetchLoader + canvas transform on the producer thread) -> lean
-    transfer -> compiled step.  The number a map build sees."""
+    transfer -> compiled step.  The number a map build sees.
+
+    ``device_put=True`` ships batches to the device on the producer thread
+    (overlapping H2D with the next batch's decode) — the production
+    configuration."""
     import tempfile
 
     import cv2
@@ -205,7 +209,8 @@ def measure_e2e(step, state, params, canvas_hw) -> float:
     loader = PrefetchLoader(
         sorted((root / "rgb").glob("*.png")),
         sorted((root / "depth").glob("*.npy")),
-        pose_tfs, batch_size=BATCH, normalize=False, transform=transform)
+        pose_tfs, batch_size=BATCH, normalize=False, transform=transform,
+        device_put=device_put)
 
     # steady-state rate: the first batch absorbs the producer-thread spin-up
     # (queue fill, page-cache warm) and is excluded from the timed window —
@@ -355,19 +360,29 @@ def kernel_parity() -> dict:
     out["fusion_max_err"] = float(np.max(errs))
     out["fusion_voxels"] = len(acc)
 
-    # 3. flash attention vs f32 einsum at the eval shape
+    # 3. flash attention vs f32 einsum at the eval shape.  Inputs are
+    # scaled to a trained ViT-L's residual-stream RMS (~2.5 at depth for
+    # CLIP-pretrained backbones) rather than unit-normal noise, and the
+    # error is reported RELATIVE to the output RMS — an absolute bf16 error
+    # alone overstates precision on small-magnitude outputs and understates
+    # it on large ones (VERDICT r2 next #10).
+    trained_rms = 2.5
     blk_flash = ViTBlock(256, 4, 4, 1e-6, jnp.bfloat16, attn_impl="flash")
     blk_ein = ViTBlock(256, 4, 4, 1e-6, jnp.bfloat16, attn_impl="einsum")
-    x = jnp.asarray(rng.normal(size=(2, 901, 256)).astype(np.float32),
-                    jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(2, 901, 256)).astype(np.float32)
+                    * trained_rms, jnp.bfloat16)
     variables = blk_flash.init(jax.random.PRNGKey(0), x)
     a = np.asarray(blk_flash.apply(variables, x), np.float32)
     b = np.asarray(blk_ein.apply(variables, x), np.float32)
     out["flash_attn_max_err"] = float(np.abs(a - b).max())
+    out_rms = float(np.sqrt(np.mean(b * b)))
+    out["flash_attn_rel_err"] = out["flash_attn_max_err"] / max(out_rms,
+                                                                1e-12)
+    out["flash_attn_out_rms"] = out_rms
 
     ok = (out["score_kernel_max_err"] < 5e-2
           and out["fusion_max_err"] < 1e-3
-          and out["flash_attn_max_err"] < 0.1)
+          and out["flash_attn_rel_err"] < 0.05)
     out["status"] = "pass" if ok else "fail"
     return out
 

@@ -32,10 +32,21 @@ from avlmaps_tpu.utils.esc50 import ESC50Meta
 
 
 def generate_scene_data(save_dir: Path, scene_path: Path, poses: np.ndarray,
-                        camera_height: float = 1.5, width: int = 640,
-                        height: int = 480) -> None:
-    """Render rgb/depth/semantic at each recorded pose
-    (reference generate_scene_data, dataset/generate_dataset.py:42-96)."""
+                        data_cfg=None, camera_height: float = 1.5,
+                        width: int = 640, height: int = 480) -> None:
+    """Render the enabled sensors at each recorded pose
+    (reference generate_scene_data, dataset/generate_dataset.py:42-96).
+
+    ``data_cfg`` (config.DataCfg, reference config/generate_dataset.yaml's
+    data_cfg group) selects sensors/resolution; the explicit kwargs remain
+    as a config-free path."""
+    if data_cfg is not None:
+        camera_height = data_cfg.camera_height
+        width, height = data_cfg.resolution.w, data_cfg.resolution.h
+        want = {"rgb": data_cfg.rgb, "depth": data_cfg.depth,
+                "semantic": data_cfg.semantic}
+    else:
+        want = {"rgb": True, "depth": True, "semantic": True}
     if not HABITAT_AVAILABLE:
         print("habitat-sim not installed: skipping scene rendering "
               f"for {scene_path}")
@@ -46,23 +57,62 @@ def generate_scene_data(save_dir: Path, scene_path: Path, poses: np.ndarray,
 
     sim = HabitatSimulator(str(scene_path), {
         "sensor_height": camera_height, "width": width, "height": height,
-        "color_sensor": True, "depth_sensor": True, "semantic_sensor": True,
+        "color_sensor": want["rgb"], "depth_sensor": want["depth"],
+        "semantic_sensor": want["semantic"],
     })
-    (save_dir / "rgb").mkdir(parents=True, exist_ok=True)
-    (save_dir / "depth").mkdir(exist_ok=True)
-    (save_dir / "semantic").mkdir(exist_ok=True)
+    for name, on in want.items():
+        if on:
+            (save_dir / name).mkdir(parents=True, exist_ok=True)
     for i, pose in enumerate(poses):
         out_rgb = save_dir / "rgb" / f"{i:06d}.png"
-        if out_rgb.exists():
+        if want["rgb"] and out_rgb.exists():
             continue
         sim.set_agent_tf(pose_vec_to_tf(pose))
         obs = sim.get_observation()
-        cv2.imwrite(str(out_rgb), obs["color_sensor"][:, :, [2, 1, 0]])
-        np.save(save_dir / "depth" / f"{i:06d}.npy", obs["depth_sensor"])
-        if "semantic_sensor" in obs:
+        if want["rgb"] and "color_sensor" in obs:
+            cv2.imwrite(str(out_rgb), obs["color_sensor"][:, :, [2, 1, 0]])
+        if want["depth"] and "depth_sensor" in obs:
+            np.save(save_dir / "depth" / f"{i:06d}.npy", obs["depth_sensor"])
+        if want["semantic"] and "semantic_sensor" in obs:
             np.save(save_dir / "semantic" / f"{i:06d}.npy",
                     obs["semantic_sensor"])
     sim.close()
+
+
+# ---------------------------------------------------------------------------
+# stage 0: dataset fetch (network-gated, like ffmpeg/habitat)
+# ---------------------------------------------------------------------------
+
+# pose/audio-video metadata archive the reference pulls with gdown
+# (reference dataset/generate_dataset.py:109-116)
+DATASET_GDRIVE_URL = ("https://drive.google.com/file/d/"
+                      "1Vrxpk2XFnk2WbJrnLNCyGgJ141JPoDDj/view?usp=sharing")
+
+
+def fetch_dataset(data_dir: Path) -> Path:
+    """Download + unzip the avlmaps pose/audio-video metadata archive if the
+    dataset directory is absent (reference main, generate_dataset.py:107-116).
+
+    Gated on gdown being importable (like the ffmpeg/habitat gates): offline
+    environments get a clear instruction instead of a crash."""
+    data_dir = Path(data_dir)
+    dataset_dir = data_dir / "avlmaps_dataset"
+    if dataset_dir.exists():
+        return dataset_dir
+    try:
+        import gdown  # noqa: F401
+    except ImportError:
+        raise RuntimeError(
+            f"{dataset_dir} is missing and gdown is not installed; download "
+            f"the archive manually from {DATASET_GDRIVE_URL} and unzip it "
+            f"into {data_dir}") from None
+    import subprocess
+
+    data_dir.mkdir(parents=True, exist_ok=True)
+    zip_path = data_dir / "avlmaps_dataset.zip"
+    gdown.download(DATASET_GDRIVE_URL, str(zip_path), fuzzy=True)
+    subprocess.run(["unzip", str(zip_path), "-d", str(data_dir)], check=True)
+    return dataset_dir
 
 
 # ---------------------------------------------------------------------------
@@ -138,35 +188,57 @@ def assign_sounds_to_sequence(seq_dir: Path, esc50: ESC50Meta,
 # ---------------------------------------------------------------------------
 
 
+DEFAULT_CONFIG = (Path(__file__).resolve().parents[1] / "config"
+                  / "generate_dataset.yaml")
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--data-dir", required=True)
+    parser.add_argument("--data-dir", default="",
+                        help="overrides data_paths.avlmaps_data_dir")
     parser.add_argument("--scene-dir", default="",
-                        help="Matterport3D scene dir (habitat rendering)")
+                        help="Matterport3D scene dir (habitat rendering); "
+                             "overrides data_paths.habitat_scene_dir")
     parser.add_argument("--esc50-meta", default="")
     parser.add_argument("--esc50-audio", default="")
-    parser.add_argument("--config", default=None)
+    parser.add_argument("--fetch", action="store_true",
+                        help="download the dataset archive if absent "
+                             "(needs gdown + network)")
+    parser.add_argument("--config", default=str(DEFAULT_CONFIG),
+                        help="entry config (reference "
+                             "config/generate_dataset.yaml analogue)")
     args = parser.parse_args()
 
-    cfg = load_config(args.config)
+    cfg = load_config(args.config if Path(args.config).exists() else None)
     cc = cfg.sound_data_collect_params
     rng = np.random.default_rng(cc.seed)
-    dataset = Path(args.data_dir) / "vlmaps_dataset"
-    scene_dirs = sorted([d for d in dataset.iterdir() if d.is_dir()])
+    data_root = Path(args.data_dir or cfg.data_paths.avlmaps_data_dir)
+    scene_root = args.scene_dir or cfg.data_paths.habitat_scene_dir
+    esc50_meta = args.esc50_meta or cfg.data_paths.esc50_meta_path
+    esc50_audio = args.esc50_audio or cfg.data_paths.esc50_audio_dir
+    if args.fetch:
+        fetch_dataset(data_root)
+    dataset = data_root / "vlmaps_dataset"
+    if not dataset.exists():
+        dataset = data_root / "avlmaps_dataset"
+    if cfg.scene_names:
+        scene_dirs = [dataset / name for name in cfg.scene_names]
+    else:
+        scene_dirs = sorted([d for d in dataset.iterdir() if d.is_dir()])
 
     for scene_dir in scene_dirs:
         poses_path = scene_dir / "poses.txt"
-        if poses_path.exists() and args.scene_dir:
+        if poses_path.exists() and scene_root:
             scene_name = scene_dir.name.split("_")[0]
-            scene_path = (Path(args.scene_dir) / scene_name
+            scene_path = (Path(scene_root) / scene_name
                           / f"{scene_name}.glb")
             generate_scene_data(scene_dir, scene_path,
                                 np.loadtxt(poses_path),
-                                cfg.params.camera_height)
+                                data_cfg=cfg.data_cfg)
 
-        if not (args.esc50_meta and args.esc50_audio):
+        if not (esc50_meta and esc50_audio):
             continue
-        esc50 = ESC50Meta(args.esc50_meta, args.esc50_audio)
+        esc50 = ESC50Meta(esc50_meta, esc50_audio)
         categories = cfg.sound_config.level_categories(cc.difficulty)
         avoid = np.full((1, 3), np.inf, np.float32)
         audio_video = scene_dir / "audio_video"

@@ -96,3 +96,41 @@ def test_generate_obstacle_map_cli(scene_root):
                     "--config", str(cfg), "--out-prefix", str(prefix)])
     outs = list(root.glob("obstacles*"))
     assert outs, "no obstacle map artifact written"
+
+
+def test_image_query_live_render_plumbing():
+    """pose: image queries render in the simulator (reference
+    application/index_map.py:100-111); plumbing tested with a fake sim
+    (VERDICT r2 next #9)."""
+    import numpy as np
+    import pytest
+
+    from application.index_map import _query_image, render_query_image
+
+    class FakeSim:
+        def __init__(self):
+            self.tf = None
+
+        def set_agent_tf(self, tf):
+            self.tf = np.asarray(tf)
+
+        def get_observation(self):
+            rgba = np.zeros((4, 6, 4), np.uint8)
+            rgba[..., 0] = 200
+            return {"color_sensor": rgba}
+
+    sim = FakeSim()
+    img = _query_image("pose:1,2,3,0,0,0,1", sim=sim)
+    assert img.shape == (4, 6, 3)  # alpha dropped
+    assert img[..., 0].max() == 200
+    np.testing.assert_allclose(sim.tf[:3, 3], [1, 2, 3])
+
+    with pytest.raises(RuntimeError, match="simulator"):
+        _query_image("pose:0,0,0,0,0,0,1", sim=None)
+
+    class NoObsSim(FakeSim):
+        def get_observation(self):
+            return None
+
+    with pytest.raises(RuntimeError, match="colour"):
+        render_query_image(NoObsSim(), [0, 0, 0, 0, 0, 0, 1])

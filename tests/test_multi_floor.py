@@ -98,3 +98,73 @@ def test_missing_map_load(tmp_path):
     cfg = load_config()
     m = VLMapMultiFloor(cfg.map_config)
     assert not m.load_map(tmp_path)
+
+
+def test_sharded_multi_floor_matches_single_device(tmp_path):
+    """8-device CPU mesh multi-floor build == single-device build
+    (VERDICT r2 next #5): same voxels, weights, features; and the sharded
+    open-vocab indexing path agrees with the host argmax."""
+    from avlmaps_tpu.parallel.sharded import make_mesh
+
+    scene_a, pose_tfs = write_scene(tmp_path / "a", n_frames=8)
+    scene_b, _ = write_scene(tmp_path / "b", n_frames=8)
+
+    cfg = load_config()
+    cfg.map_config.cell_size = 0.1
+    cfg.map_config.cam_calib_mat = tuple(get_sim_cam_mat(H, W).reshape(-1))
+    cfg.map_config.capacity = 8192
+    cfg.map_config.depth_sample_rate = 16
+    cfg.map_config.max_pts_per_frame = 64
+    cfg.map_config.lseg_base_size = W
+    cfg.map_config.lseg_crop_size = W
+
+    model = LSegNet(LSegConfig.tiny16())
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, H, W, 3), jnp.float32))
+
+    def build(scene, mesh):
+        b = VLMapBuilderMultiFloor(
+            scene, cfg.map_config, sorted((scene / "rgb").glob("*.png")),
+            sorted((scene / "depth").glob("*.npy")), pose_tfs,
+            lseg_apply=model.apply, lseg_params=params, feat_dim=24,
+            batch_size=8, seed=3, mesh=mesh)
+        return b.create_global_map(progress=False)
+
+    mesh = make_mesh(8)
+    f1, p1, w1, o1, r1 = build(scene_a, None)
+    f8, p8, w8, o8, r8 = build(scene_b, mesh)
+
+    # NOTE: the sharded grid pads gs to a mesh multiple; voxel coords are
+    # identical because padding only extends the rows/cols range
+    o1_occ = np.argwhere(o1 >= 0)
+    o8_occ = np.argwhere(o8 >= 0)
+    np.testing.assert_array_equal(
+        o1_occ[np.lexsort(o1_occ.T)], o8_occ[np.lexsort(o8_occ.T)])
+
+    k1 = np.lexsort(p1.T)
+    k8 = np.lexsort(p8.T)
+    np.testing.assert_array_equal(p1[k1], p8[k8])
+    np.testing.assert_allclose(w1[k1], w8[k8], rtol=1e-5)
+    # bf16 ICI payload: feature tolerance, not bitwise
+    np.testing.assert_allclose(f1[k1], f8[k8], rtol=2e-2, atol=2e-2)
+
+    # sharded open-vocab indexing parity (index_map_sharded)
+    m = VLMapMultiFloor(cfg.map_config)
+    assert m.load_map(scene_b)
+
+    class FakeClip:
+        feat_dim = 24
+
+        def get_text_feats_multiple_templates(self, cats, batch_size=64):
+            rng2 = np.random.default_rng(1)
+            t = rng2.normal(size=(len(cats), 24)).astype(np.float32)
+            return t / np.linalg.norm(t, axis=1, keepdims=True)
+
+    m.clip_encoder = FakeClip()
+    mask = m.index_map_sharded(mesh, "chair")
+    text = m.clip_encoder.get_text_feats_multiple_templates(
+        ["chair", "other"])
+    fn = m.grid_feat / np.maximum(
+        np.linalg.norm(m.grid_feat, axis=1, keepdims=True), 1e-12)
+    expect = (fn @ text.T).argmax(axis=1) == 0
+    np.testing.assert_array_equal(mask, expect)

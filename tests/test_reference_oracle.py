@@ -1,0 +1,338 @@
+"""Golden tests against the REFERENCE TREE ITSELF (/root/reference).
+
+Strictly stronger than the hand-written tools/torch_reference oracles: the
+reference's own code is imported (file-spec import, skip-if-deps-missing)
+and our implementations are checked against it directly (VERDICT r2 next #4).
+
+Live here: avlmaps/utils/mapping_utils.py (geometry + HDF5 schema) and
+esc50_utils.  The model towers (LSeg, AudioCLIP) need clip/timm/torchvision,
+which this sandbox does not ship — those tests skip cleanly and run wherever
+the deps exist.
+"""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+
+
+def _import_reference(rel_path: str, name: str):
+    """Import one reference module from its file, skipping on any missing
+    third-party dependency (the reference pins none of them here)."""
+    path = REFERENCE / rel_path
+    if not path.exists():
+        pytest.skip(f"reference tree not present: {path}")
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+    except ImportError as e:
+        sys.modules.pop(name, None)
+        pytest.skip(f"reference module {rel_path} needs {e.name}")
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_mu():
+    return _import_reference("avlmaps/utils/mapping_utils.py",
+                             "ref_mapping_utils")
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+class TestGeometryVsReference:
+    """Our geometry twins vs the reference's actual functions."""
+
+    def test_pose_vec_to_tf(self, ref_mu, rng):
+        from avlmaps_tpu.geometry.transforms import pose_vec_to_tf
+
+        for _ in range(20):
+            q = rng.normal(size=4)
+            q /= np.linalg.norm(q)
+            vec = np.concatenate([rng.uniform(-5, 5, 3), q])
+            np.testing.assert_allclose(pose_vec_to_tf(vec),
+                                       ref_mu.cvt_pose_vec2tf(vec),
+                                       atol=1e-12)
+
+    def test_depth2pc(self, ref_mu, rng):
+        from avlmaps_tpu.geometry.projection import depth_to_pointcloud
+
+        depth = rng.uniform(0.05, 12.0, (48, 64))
+        calib = np.array([[32, 0, 32], [0, 32, 24], [0, 0, 1.0]])
+        pc_ref, mask_ref = ref_mu.depth2pc(depth, intr_mat=calib,
+                                           min_depth=0.1, max_depth=6.0)
+        pts, mask = depth_to_pointcloud(depth, calib, min_depth=0.1,
+                                        max_depth=6.0)
+        np.testing.assert_allclose(pts, pc_ref.T, atol=1e-10)
+        np.testing.assert_array_equal(mask, mask_ref)
+
+    def test_depth2pc_default_fov(self, ref_mu, rng):
+        from avlmaps_tpu.geometry.projection import depth_to_pointcloud
+
+        depth = rng.uniform(0.05, 12.0, (30, 40))
+        pc_ref, mask_ref = ref_mu.depth2pc(depth)
+        pts, mask = depth_to_pointcloud(depth, fov=90, max_depth=10.0)
+        np.testing.assert_allclose(pts, pc_ref.T, atol=1e-10)
+        np.testing.assert_array_equal(mask, mask_ref)
+
+    def test_transform_pc(self, ref_mu, rng):
+        from avlmaps_tpu.geometry.projection import transform_points
+        from avlmaps_tpu.geometry.transforms import pose_vec_to_tf
+
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        pose = pose_vec_to_tf(np.concatenate([rng.uniform(-2, 2, 3), q]))
+        pc = rng.normal(size=(3, 100))
+        np.testing.assert_allclose(transform_points(pc.T, pose),
+                                   ref_mu.transform_pc(pc, pose).T,
+                                   atol=1e-10)
+
+    def test_grid_converters_scalar(self, ref_mu, rng):
+        from avlmaps_tpu.geometry.grid import (
+            base_pos_to_grid_id, grid_id_to_base_pos, pos_to_grid_id_2d,
+            grid_id_to_pos_2d)
+
+        gs, cs = 100, 0.05
+        for _ in range(50):
+            x, y, z = rng.uniform(-2.4, 2.4, 3)
+            assert base_pos_to_grid_id(gs, cs, x, y, z) == \
+                ref_mu.base_pos2grid_id_3d(gs, cs, x, y, z)
+            assert pos_to_grid_id_2d(gs, cs, x, y) == \
+                ref_mu.pos2grid_id(gs, cs, x, y)
+        for _ in range(20):
+            r, c, h = (int(rng.integers(0, gs)), int(rng.integers(0, gs)),
+                       int(rng.integers(0, 30)))
+            np.testing.assert_allclose(
+                grid_id_to_base_pos(r, c, h, cs, gs),
+                ref_mu.grid_id2base_pos_3d(r, c, h, cs, gs))
+            np.testing.assert_allclose(
+                grid_id_to_pos_2d(gs, cs, r, c),
+                ref_mu.grid_id2pos(gs, cs, r, c))
+
+    def test_grid_converters_batch(self, ref_mu, rng):
+        from avlmaps_tpu.geometry.grid import (
+            base_pos_to_grid_id_batch, grid_id_to_base_pos_batch)
+
+        gs, cs = 100, 0.05
+        pos = rng.uniform(-2.4, 2.4, (200, 3))
+        ref = np.concatenate(
+            ref_mu.base_pos2grid_id_3d_batch(gs, cs, pos), axis=1)
+        np.testing.assert_array_equal(
+            base_pos_to_grid_id_batch(gs, cs, pos), ref)
+
+        grid = rng.integers(0, gs, (200, 3)).astype(np.int32)
+        ref_pos = np.stack(
+            ref_mu.grid_id2base_pos_3d_batch(grid, cs, gs), axis=1)
+        np.testing.assert_allclose(
+            grid_id_to_base_pos_batch(grid, cs, gs), ref_pos)
+
+    def test_base_rot_mat2theta(self, ref_mu, rng):
+        from avlmaps_tpu.geometry.transforms import base_rot_mat_to_theta
+
+        for _ in range(10):
+            th = rng.uniform(-np.pi, np.pi)
+            rot = np.array([[np.cos(th), -np.sin(th), 0],
+                            [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+            assert base_rot_mat_to_theta(rot) == pytest.approx(
+                ref_mu.base_rot_mat2theta(rot))
+
+    def test_intrinsics_and_projection(self, ref_mu, rng):
+        from avlmaps_tpu.geometry.projection import (
+            get_sim_cam_mat, get_sim_cam_mat_with_fov, project_points)
+
+        np.testing.assert_allclose(get_sim_cam_mat(720, 1080),
+                                   ref_mu.get_sim_cam_mat(720, 1080))
+        np.testing.assert_allclose(
+            get_sim_cam_mat_with_fov(720, 1080, 90),
+            ref_mu.get_sim_cam_mat_with_fov(720, 1080, 90))
+
+        cam = get_sim_cam_mat(48, 64)
+        pts = rng.uniform(0.2, 4.0, (100, 3))
+        pts[:, :2] -= 2.0
+        x, y, z = project_points(cam, pts)  # ours: (N, 3)
+        xr, yr, zr = ref_mu.project_points(cam, pts.T.copy())  # ref: (3, N)
+        np.testing.assert_array_equal(x, xr)
+        np.testing.assert_array_equal(y, yr)
+        np.testing.assert_allclose(z, zr)
+        # scalar variant too
+        for p in pts[:10]:
+            assert project_points(cam, p[None])[0][0] == \
+                ref_mu.project_point(cam, p.copy())[0]
+
+    def test_grid_id_jax_matches_reference_hot_loop(self, ref_mu, rng):
+        """The jax converter reproduces the reference hot loop's scalar
+        double-truncation (vlmap_builder.py:137) — spot-checked against the
+        reference's own scalar function."""
+        import jax.numpy as jnp
+
+        from avlmaps_tpu.geometry.grid import base_pos_to_grid_id_jax
+
+        gs, cs = 100, 0.05
+        pos = rng.uniform(-2.4, 2.4, (500, 3)).astype(np.float32)
+        got = np.asarray(base_pos_to_grid_id_jax(gs, cs, jnp.asarray(pos)))
+        ref = np.array([ref_mu.base_pos2grid_id_3d(
+            gs, cs, float(p[0]), float(p[1]), float(p[2])) for p in pos])
+        np.testing.assert_array_equal(got, ref)
+
+
+class TestHdf5SchemaVsReference:
+    """Byte-level interop: our saver <-> the reference's loader and back."""
+
+    def _arrays(self, rng, n=50, gs=20, vh=8, d=16):
+        grid_feat = rng.normal(size=(n, d)).astype(np.float32)
+        grid_pos = rng.integers(0, [gs, gs, vh], (n, 3)).astype(np.int32)
+        weight = rng.uniform(0, 5, n).astype(np.float32)
+        occ = np.full((gs, gs, vh), -1, np.int32)
+        occ[grid_pos[:, 0], grid_pos[:, 1], grid_pos[:, 2]] = np.arange(n)
+        grid_rgb = rng.integers(0, 255, (n, 3)).astype(np.uint8)
+        return grid_feat, grid_pos, weight, occ, grid_rgb
+
+    def test_ours_saved_reference_loads(self, ref_mu, rng, tmp_path):
+        from avlmaps_tpu.map.voxel_map import save_3d_map
+
+        gf, gp, w, occ, rgb = self._arrays(rng)
+        p = tmp_path / "ours.h5df"
+        save_3d_map(p, gf, gp, w, occ, {0, 3, 7}, grid_rgb=rgb)
+        (mapped, gf2, gp2, w2, occ2, rgb2) = ref_mu.load_3d_map(str(p))
+        assert sorted(mapped) == [0, 3, 7]
+        np.testing.assert_array_equal(gf2, gf)
+        np.testing.assert_array_equal(gp2, gp)
+        np.testing.assert_array_equal(w2, w)
+        np.testing.assert_array_equal(occ2, occ)
+        np.testing.assert_array_equal(rgb2, rgb)
+
+    def test_reference_saved_ours_loads(self, ref_mu, rng, tmp_path):
+        from avlmaps_tpu.map.voxel_map import SparseVoxelMap, load_3d_map
+
+        gf, gp, w, occ, rgb = self._arrays(rng)
+        p = tmp_path / "ref.h5df"
+        # the reference's Set[int] annotation is aspirational — np.array(set)
+        # fails, so its callers pass lists (vlmap_builder.py:327)
+        ref_mu.save_3d_map(str(p), gf, gp, w, occ, [1, 2], grid_rgb=rgb)
+        mapped, gf2, gp2, w2, occ2, rgb2 = load_3d_map(p)
+        assert sorted(mapped) == [1, 2]
+        np.testing.assert_array_equal(gf2, gf)
+        np.testing.assert_array_equal(occ2, occ)
+        m = SparseVoxelMap.load(p)
+        np.testing.assert_array_equal(m.grid_feat, gf)
+        np.testing.assert_array_equal(m.grid_rgb, rgb)
+
+    def test_clip_sparse_map_interop(self, ref_mu, rng, tmp_path):
+        from avlmaps_tpu.map.voxel_map import (
+            save_clip_sparse_map, load_clip_sparse_map)
+
+        feats = rng.normal(size=(12, 768)).astype(np.float32)
+        poses = [np.eye(4) for _ in range(12)]
+        ours = tmp_path / "ours_clip.h5df"
+        save_clip_sparse_map(ours, feats, poses)
+        f2, p2 = ref_mu.load_clip_sparse_map(str(ours))
+        np.testing.assert_array_equal(f2, feats)
+        assert np.asarray(p2).shape == (12, 4, 4)
+
+        ref = tmp_path / "ref_clip.h5df"
+        ref_mu.save_clip_sparse_map(str(ref), feats, poses)
+        f3, p3 = load_clip_sparse_map(ref)
+        np.testing.assert_array_equal(f3, feats)
+
+
+class TestEsc50VsReference:
+    def test_meta_parsing_matches(self, rng, tmp_path):
+        ref = _import_reference("avlmaps/utils/esc50_utils.py",
+                                "ref_esc50_utils")
+        from avlmaps_tpu.utils.esc50 import ESC50Meta
+
+        meta = tmp_path / "esc50.csv"
+        audio = tmp_path / "audio"
+        audio.mkdir()
+        rows = ["filename,fold,target,category,esc10,src_file,take"]
+        for i, (fold, cat) in enumerate([(1, "dog"), (1, "rain"), (2, "dog"),
+                                         (1, "dog"), (3, "siren")]):
+            rows.append(f"{fold}-10000{i}-A-0.wav,{fold},0,{cat},True,1,A")
+        meta.write_text("\n".join(rows))
+
+        ours = ESC50Meta(meta, audio)
+        theirs = ref.ESC50Meta(str(meta), str(audio))
+        ref_dict = theirs.get_category_name_to_path_dict(tar_fold=1)
+        # fold-1 filter and category->paths must agree (the reference
+        # presents category names with underscores replaced by spaces)
+        assert sorted(c.replace("_", " ") for c in ours.categories) == \
+            sorted(ref_dict.keys())
+        for cat in ours.categories:
+            assert sorted(str(p) for p in ours.paths_for(cat)) == \
+                sorted(ref_dict[cat.replace("_", " ")])
+
+
+# ---------------------------------------------------------------------------
+# model towers: importable only where the reference's heavyweight deps exist
+# ---------------------------------------------------------------------------
+
+
+class TestModelTowersVsReference:
+    def test_lseg_forward_parity(self):
+        pytest.importorskip("clip")
+        pytest.importorskip("timm")
+        sys.path.insert(0, str(REFERENCE / "avlmaps" / "lseg"))
+        try:
+            ref_net = _import_reference(
+                "avlmaps/lseg/modules/models/lseg_net.py", "ref_lseg_net")
+        finally:
+            sys.path.pop(0)
+        import torch
+
+        from avlmaps_tpu.models.lseg import LSegConfig, LSegNet
+        from avlmaps_tpu.models.lseg.port import port_lseg_state_dict
+
+        model = ref_net.LSegEncNet("", features=256, arch_option=0,
+                                   block_depth=0, activation="lrelu",
+                                   crop_size=480)
+        sd = model.state_dict()
+        cfg = LSegConfig.vitl16()
+        variables = {"params": port_lseg_state_dict(sd)["params"]} \
+            if "params" in port_lseg_state_dict(sd) else port_lseg_state_dict(sd)
+        x = np.random.default_rng(0).normal(
+            size=(1, 3, 480, 480)).astype(np.float32)
+        with torch.no_grad():
+            ref_out, _ = model(torch.from_numpy(x), "")
+        import jax.numpy as jnp
+
+        ours = np.asarray(LSegNet(cfg).apply(
+            variables, jnp.asarray(x.transpose(0, 2, 3, 1))))
+        np.testing.assert_allclose(
+            ours.transpose(0, 3, 1, 2), ref_out.numpy(), atol=5e-3)
+
+    def test_audioclip_audio_tower_parity(self):
+        pytest.importorskip("torchvision")
+        pytest.importorskip("termcolor")
+        pytest.importorskip("ignite")
+        sys.path.insert(0, str(REFERENCE / "avlmaps" / "audioclip"))
+        try:
+            ref_ac = _import_reference(
+                "avlmaps/audioclip/model/audioclip.py", "ref_audioclip")
+        finally:
+            sys.path.pop(0)
+        import torch
+
+        from avlmaps_tpu.models.audioclip import AudioClip, AudioClipConfig
+        from avlmaps_tpu.models.audioclip.port import port_audioclip_state_dict
+
+        model = ref_ac.AudioCLIP(pretrained=False)
+        sd = model.state_dict()
+        cfg = AudioClipConfig()
+        variables = port_audioclip_state_dict(sd)
+        clips = np.random.default_rng(1).normal(
+            size=(2, 220500)).astype(np.float32) * 0.1
+        with torch.no_grad():
+            ref_feats = model.encode_audio(torch.from_numpy(clips)).numpy()
+        import jax.numpy as jnp
+
+        ours = np.asarray(AudioClip(cfg).apply(
+            variables, jnp.asarray(clips), method=AudioClip.encode_audio))
+        np.testing.assert_allclose(ours, ref_feats, atol=1e-2)

@@ -54,14 +54,17 @@ class TestFlashAttention:
     def test_vs_f32_einsum(self, rng):
         from avlmaps_tpu.models.lseg.vit import ViTBlock
 
-        x = jnp.asarray(rng.normal(size=(2, 901, 256)).astype(np.float32),
-                        jnp.bfloat16)
+        # trained-activation proxy: scale inputs to a CLIP ViT-L residual
+        # RMS (~2.5) and gate on RELATIVE error (VERDICT r2 next #10)
+        x = jnp.asarray(rng.normal(size=(2, 901, 256)).astype(np.float32)
+                        * 2.5, jnp.bfloat16)
         blk_f = ViTBlock(256, 4, 4, 1e-6, jnp.bfloat16, attn_impl="flash")
         blk_e = ViTBlock(256, 4, 4, 1e-6, jnp.bfloat16, attn_impl="einsum")
         variables = blk_f.init(jax.random.PRNGKey(0), x)
         a = np.asarray(blk_f.apply(variables, x), np.float32)
         b = np.asarray(blk_e.apply(variables, x), np.float32)
-        assert np.abs(a - b).max() < 0.1  # bf16-scale agreement
+        rel = np.abs(a - b).max() / max(np.sqrt(np.mean(b * b)), 1e-12)
+        assert rel < 0.05  # bf16-scale agreement relative to output RMS
 
 
 class TestHeatmapOps:
