@@ -112,7 +112,10 @@ class OpenVocabIndexMixin:
             [language_desc, "other"])
         labels = sharded_score_argmax(
             mesh, self.grid_feat.reshape(-1, self.grid_feat.shape[-1]),
-            np.asarray(text))
+            np.asarray(text), normalize_map=False, normalize_text=False)
+        # no renormalisation: the host path (get_lseg_argmax ->
+        # score_argmax) scores raw template-mean text features, whose
+        # per-category norms are part of the reference's scoring
         return labels == 0
 
 

@@ -510,7 +510,10 @@ class VLMapBuilder:
         loader = PrefetchLoader(self.rgb_paths, self.depth_paths, pose_tfs,
                                 batch_size=batch, skip_ids=mapped,
                                 normalize=False, transform=transform,
-                                device_put=self.mesh is None)
+                                # no producer-side device_put on the mesh
+                                # path: shard_map owns placement of the
+                                # global batch across devices
+                                device_put=False)
         from avlmaps_tpu.utils.profiling import RateMeter
 
         meter = RateMeter()

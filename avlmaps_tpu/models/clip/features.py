@@ -91,7 +91,7 @@ MULTIPLE_TEMPLATES = [
 ]
 
 
-def _array_fingerprint(a: np.ndarray, samples: int = 64) -> bytes:
+def _array_fingerprint(a: np.ndarray, samples: int = 1024) -> bytes:
     """Cheap content fingerprint: hash of ``samples`` evenly-spaced rows.
     O(samples*D) regardless of N — catches in-place mutation of a cached
     map without touching the multi-GB array."""
@@ -265,11 +265,13 @@ class ClipEncoder:
         repeated index queries over the same map must not re-upload the
         multi-GB (N, D) matrix every call.
 
-        The cache key is (object id, shape, content fingerprint): a few
-        sampled rows are hashed so in-place mutation of the same array is
-        detected and re-uploads instead of silently reusing stale device
-        features (ADVICE r2).  Call :meth:`drop_map_cache` to release the
-        HBM copy when done querying a map."""
+        The cache key is (object id, shape, content fingerprint): 1024
+        evenly-spaced rows are hashed so in-place mutation of the same
+        array is detected and re-uploads instead of silently reusing stale
+        device features (ADVICE r2).  The fingerprint is SAMPLED — a
+        mutation confined to a narrow unsampled slice can evade it; after
+        partial in-place edits call :meth:`drop_map_cache` explicitly
+        (also releases the HBM copy when done querying a map)."""
         key = (id(map_feats), map_feats.shape,
                _array_fingerprint(map_feats))
         if getattr(self, "_map_dev_key", None) != key:

@@ -138,3 +138,49 @@ def visualize_masked_map_3d(pc: np.ndarray, mask: np.ndarray,
     visualize_utils.py:52-57)."""
     return visualize_heatmap_3d(pc, mask.astype(np.float32), rgb,
                                 transparency, save_path)
+
+
+# ---------------------------------------------------------------------------
+# segmentation palettes (reference mapping_utils.py:254-303)
+# ---------------------------------------------------------------------------
+
+
+def get_new_palette(num_cls: int) -> list:
+    """VOC-style bit-shuffled class palette, identical to the reference's
+    get_new_pallete (mapping_utils.py:254-279): flat [r0, g0, b0, r1, ...]."""
+    palette = [0] * (num_cls * 3)
+    for j in range(num_cls):
+        lab = j
+        i = 0
+        while lab > 0:
+            palette[j * 3 + 0] |= ((lab >> 0) & 1) << (7 - i)
+            palette[j * 3 + 1] |= ((lab >> 1) & 1) << (7 - i)
+            palette[j * 3 + 2] |= ((lab >> 2) & 1) << (7 - i)
+            i += 1
+            lab >>= 3
+    return palette
+
+
+def get_new_mask_palette(npimg: np.ndarray, new_palette: list,
+                         out_label_flag: bool = False, labels=None,
+                         ignore_ids_list=()):
+    """Colourised label mask + legend patches (reference
+    get_new_mask_pallete, mapping_utils.py:281-303).
+
+    Returns (PIL paletted image, list of matplotlib legend patches — empty
+    unless ``out_label_flag``)."""
+    from PIL import Image
+
+    out_img = Image.fromarray(np.squeeze(npimg).astype("uint8"))
+    out_img.putpalette(new_palette)
+    patches = []
+    if out_label_flag:
+        assert labels is not None
+        import matplotlib.patches as mpatches
+
+        for index in np.unique(npimg):
+            if index in ignore_ids_list:
+                continue
+            color = [new_palette[index * 3 + k] / 255.0 for k in range(3)]
+            patches.append(mpatches.Patch(color=color, label=labels[index]))
+    return out_img, patches

@@ -223,6 +223,16 @@ def main() -> None:
         dataset = data_root / "avlmaps_dataset"
     if cfg.scene_names:
         scene_dirs = [dataset / name for name in cfg.scene_names]
+        missing = [d.name for d in scene_dirs if not d.exists()]
+        if missing:
+            print(f"warning: configured scene_names not found on disk: "
+                  f"{', '.join(missing)}")
+        if len(missing) == len(scene_dirs):
+            # none of the configured MP3D names exist (custom dataset):
+            # fall back to whatever directories are actually present
+            print("falling back to the scene directories present in "
+                  f"{dataset}")
+            scene_dirs = sorted([d for d in dataset.iterdir() if d.is_dir()])
     else:
         scene_dirs = sorted([d for d in dataset.iterdir() if d.is_dir()])
 

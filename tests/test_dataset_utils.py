@@ -200,3 +200,53 @@ class TestGenerateDatasetConfig:
         monkeypatch.setattr(builtins, "__import__", no_gdown)
         with pytest.raises(RuntimeError, match="gdown"):
             fetch_dataset(tmp_path / "missing")
+
+
+class TestSmallReferenceUtils:
+    def test_palette_matches_reference(self):
+        """VOC bit-shuffle palette, byte-exact vs the reference's
+        get_new_pallete (mapping_utils.py:254-279)."""
+        import importlib.util
+        from pathlib import Path
+
+        from avlmaps_tpu.utils.visualize import (get_new_palette,
+                                                 get_new_mask_palette)
+
+        ref_path = Path("/root/reference/avlmaps/utils/mapping_utils.py")
+        if ref_path.exists():
+            spec = importlib.util.spec_from_file_location("ref_mu2", ref_path)
+            mod = importlib.util.module_from_spec(spec)
+            try:
+                spec.loader.exec_module(mod)
+                assert get_new_palette(41) == mod.get_new_pallete(41)
+            except ImportError:
+                pass
+        pal = get_new_palette(4)
+        assert pal[:3] == [0, 0, 0] and pal[3:6] == [128, 0, 0]
+
+        mask = np.array([[0, 1], [2, 3]], np.uint8)
+        img, patches = get_new_mask_palette(mask, pal, out_label_flag=True,
+                                            labels=["a", "b", "c", "d"])
+        assert img.size == (2, 2)
+        assert [p.get_label() for p in patches] == ["a", "b", "c", "d"]
+
+    def test_load_pose_calib_obj2cls(self, tmp_path):
+        from avlmaps_tpu.pipeline.loader import (load_pose, load_calib,
+                                                 load_obj2cls_dict)
+
+        p = tmp_path / "pose.txt"
+        p.write_text("1 2 3 0 0 0 1\n")
+        pos, rot = load_pose(p)
+        np.testing.assert_allclose(pos.ravel(), [1, 2, 3])
+        np.testing.assert_allclose(rot, np.eye(3), atol=1e-12)
+
+        c = tmp_path / "calib.yaml"
+        c.write_text("# header\n# header2\n"
+                     "camera_matrix:\n  data: [100, 0, 50, 0, 100, 40, "
+                     "0, 0, 1]\n")
+        np.testing.assert_allclose(
+            load_calib(c), [[100, 0, 50], [0, 100, 40], [0, 0, 1]])
+
+        o = tmp_path / "obj2cls_dict.txt"
+        o.write_text("0: 3, wall\n1: 5, chair\n")
+        assert load_obj2cls_dict(o) == {0: (3, "wall"), 1: (5, "chair")}
