@@ -42,6 +42,36 @@ class DenseViTConfig:
     attn_impl: str = "flash"
 
 
+def _splash_attention(q, k, v, scale: float):
+    """Splash-attention TPU kernel on (B, H, T, D): the newer Pallas MHA
+    kernel.  Wins the standalone microbench at the LSeg eval shape (5.99 vs
+    6.49 ms per (8,16,1024,64) call) but LOSES in-context inside the full
+    ViT-L backbone (r3: 67.0 vs 61.8 ms for 24 layers) — the classic flash
+    kernel fuses better at the block boundaries, so "flash" stays the
+    default and this is an opt-in experiment knob.  Pads T to a 512
+    multiple with segment-id masking like the flash path."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk, splash_attention_mask as sm)
+
+    b, h, t, d = q.shape
+    tp = -(-t // 512) * 512
+    pad = tp - t
+    mask = sm.MultiHeadMask([sm.FullMask((tp, tp))] * h)
+    kern = sk.make_splash_mha(
+        mask, head_shards=1, q_seq_shards=1,
+        block_sizes=sk.BlockSizes(block_q=min(512, tp), block_kv=min(512, tp),
+                                  block_kv_compute=min(512, tp)))
+    if pad:
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, pad), (0, 0)])
+        k = jnp.pad(k, [(0, 0), (0, 0), (0, pad), (0, 0)])
+        v = jnp.pad(v, [(0, 0), (0, 0), (0, pad), (0, 0)])
+    seg1 = jnp.pad(jnp.ones((t,), jnp.int32), (0, pad), constant_values=2)
+    seg = sk.SegmentIds(seg1, seg1)
+    out = jax.vmap(lambda qq, kk, vv: kern(qq * scale, kk, vv,
+                                           segment_ids=seg))(q, k, v)
+    return out[:, :, :t, :] if pad else out
+
+
 def _flash_attention(q, k, v, scale: float):
     """Pallas TPU flash attention on (B, H, T, D), padding T to a lane-
     friendly multiple with segment-id masking.  ~25% faster than the
@@ -103,17 +133,19 @@ class ViTBlock(nn.Module):
 
         q, k, v = split_heads(q), split_heads(k), split_heads(v)
         scale = 1.0 / np.sqrt(hd)
-        # the Pallas kernel computes in bf16 — only take it when the model
+        # the Pallas kernels compute in bf16 — only take them when the model
         # is ALREADY bf16; an f32-configured model (golden/parity runs)
         # must not silently degrade on TPU, so it falls to the f32 einsum
-        use_flash = (self.attn_impl == "flash"
-                     and jax.default_backend() == "tpu"
-                     and self.dtype == jnp.bfloat16)
-        if use_flash:
-            attn = _flash_attention(q.astype(jnp.bfloat16),
-                                    k.astype(jnp.bfloat16),
-                                    v.astype(jnp.bfloat16),
-                                    scale).astype(self.dtype)
+        use_pallas = (self.attn_impl in ("flash", "splash")
+                      and jax.default_backend() == "tpu"
+                      and self.dtype == jnp.bfloat16)
+        if use_pallas:
+            kernel = _splash_attention if self.attn_impl == "splash" \
+                else _flash_attention
+            attn = kernel(q.astype(jnp.bfloat16),
+                          k.astype(jnp.bfloat16),
+                          v.astype(jnp.bfloat16),
+                          scale).astype(self.dtype)
         elif self.attn_impl == "xla":
             # XLA's fused attention path (jax.nn.dot_product_attention,
             # BTHD layout) — an alternative to the Pallas kernel

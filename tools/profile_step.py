@@ -159,7 +159,10 @@ def main():
     if "vit" in segs:
         import dataclasses
 
-        for impl in ("flash", "xla", "einsum"):
+        impls = [a for a in sys.argv[1:] if a.startswith("vit:")]
+        impls = ([a.split(":", 1)[1] for a in impls]
+                 or ["flash", "splash", "xla", "einsum"])
+        for impl in impls:
             vcfg = dataclasses.replace(cfg.vit, attn_impl=impl)
             vit = DenseViT(vcfg)
             vparams = {"params": params["params"]["backbone"]}
