@@ -1,0 +1,198 @@
+"""Fused Pallas kernels for the ViT-L encoder hot loop.
+
+Three forward-only kernels that remove the HBM round-trips XLA leaves on
+the table in the LSeg backbone (reference hot loop:
+avlmaps/utils/lseg_utils.py:77-96; reference runs the stock timm ViT).
+Profiled motivation (docs/PROFILE.md, r3): of the ~62 ms ViT forward at
+the bench shape, only ~26 ms is dense matmul at MFU 0.86 — the rest is
+attention glue (BTHD transposes, 901->1024 pad copies, flash's online-
+softmax passes) and unfused LN/GELU elementwise round-trips.
+
+- ``mha_oneshot``: multi-head attention that consumes the *fused* qkv
+  projection output ``(B, T, 3W)`` directly.  Per (batch, head) grid cell
+  the whole T=901 sequence fits in VMEM (~115 KB/tensor), so softmax is a
+  plain 3-pass computation (max, exp, sum) with no online rescaling, no
+  XLA-level transpose or pad, and the output lands pre-merged in
+  ``(B, T, W)`` ready for the output projection.
+- ``ln_matmul``: LayerNorm fused into the prologue of the following
+  dense layer (qkv / mlp_fc) — the normalised activations never revisit
+  HBM.
+- ``gelu_matmul``: exact-erf GELU fused into the prologue of mlp_proj —
+  saves a full (B, T, 4W) round-trip per layer (~59 MB at the bench
+  shape).
+
+All kernels compute matmuls with f32 accumulation on bf16 operands and
+match the unfused flax path within bf16 tolerance (tests/test_fused_vit.py
+runs them in interpreter mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Tests flip this to run the fused block path on CPU through the Pallas
+# interpreter (the production gate requires a real TPU backend).
+FORCE_INTERPRET = False
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int,
+                pack: int):
+    """One grid cell = ``pack`` heads (packed along lanes so the minor
+    block dim hits Mosaic's 128-lane requirement; hd=64 -> pack=2).  Each
+    head is an independent one-shot attention over the full (in-VMEM)
+    sequence."""
+    outs = []
+    for i in range(pack):
+        sl = slice(i * hd, (i + 1) * hd)
+        q = q_ref[0, :, sl] * jnp.asarray(scale, q_ref.dtype)  # hd=64:
+        k = k_ref[0, :, sl]                       # scale=2^-3, exact bf16
+        v = v_ref[0, :, sl]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (T, T)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        s = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jnp.dot(p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)  # (T, hd)
+        outs.append(pv / s)
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _head_pack(hd: int, n_heads: int) -> int:
+    """Heads per grid cell: smallest power of two making the lane block a
+    multiple of 128 (Mosaic's minor-dim tiling requirement), capped at
+    n_heads (tiny test shapes run interpreted, where any block is legal)."""
+    p = 1
+    while p < n_heads and (hd * p) % 128 != 0:
+        p *= 2
+    return min(p, n_heads)
+
+
+def mha_oneshot(qkv: jnp.ndarray, n_heads: int, *, scale: float,
+                interpret: bool = False) -> jnp.ndarray:
+    """Multi-head self-attention on the fused qkv tensor.
+
+    qkv: (B, T, 3W) laid out [q | k | v] along the last axis, each W wide
+    with W = n_heads * head_dim (the direct output of the qkv dense layer).
+    Returns (B, T, W) with heads already merged — the transpose-free
+    layout both sides of the kernel.
+    """
+    b, t, three_w = qkv.shape
+    w = three_w // 3
+    hd = w // n_heads
+    pack = _head_pack(hd, n_heads)
+    if n_heads % pack:
+        raise ValueError(f"n_heads={n_heads} not divisible by pack={pack}")
+    groups = n_heads // pack
+    blk = (1, t, hd * pack)
+    spec = lambda off: pl.BlockSpec(  # noqa: E731
+        blk, lambda bi, h, o=off: (bi, 0, o + h))
+    return pl.pallas_call(
+        functools.partial(_mha_kernel, scale=scale, hd=hd, pack=pack),
+        grid=(b, groups),
+        in_specs=[spec(0), spec(groups), spec(2 * groups)],
+        out_specs=spec(0),
+        out_shape=jax.ShapeDtypeStruct((b, t, w), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret or FORCE_INTERPRET,
+    )(qkv, qkv, qkv)
+
+
+def _ln_matmul_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, o_ref, *,
+                      eps: float):
+    xb = x_ref[...].astype(jnp.float32)              # (bm, K)
+    mu = jnp.mean(xb, axis=-1, keepdims=True)
+    xc = xb - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + eps)
+    xn = xn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    y = jnp.dot(xn.astype(w_ref.dtype), w_ref[...],
+                preferred_element_type=jnp.float32)  # (bm, bn)
+    o_ref[...] = (y + bias_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|error| <= 1.5e-7, two decades
+    below bf16 resolution): Mosaic has no erf/erfc lowering."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + jnp.float32(0.3275911) * a)
+    poly = t * (jnp.float32(0.254829592) + t * (
+        jnp.float32(-0.284496736) + t * (jnp.float32(1.421413741) + t * (
+            jnp.float32(-1.453152027) + t * jnp.float32(1.061405429)))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu_matmul_kernel(x_ref, w_ref, bias_ref, o_ref):
+    xb = x_ref[...].astype(jnp.float32)
+    # exact-erf GELU spelled out: jax.nn.gelu(approximate=False) lowers
+    # through erf/erfc, neither of which Mosaic implements
+    g = 0.5 * xb * (1.0 + _erf(xb * jnp.float32(0.7071067811865476)))
+    y = jnp.dot(g.astype(w_ref.dtype), w_ref[...],
+                preferred_element_type=jnp.float32)
+    o_ref[...] = (y + bias_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _blocked_matmul_call(kernel, x2d, w, extras_row, extras_col, out_dtype,
+                         *, block_m: int, interpret: bool):
+    """Shared grid plumbing: x2d (M, K) x w (K, N) with row-broadcast
+    (extras_row, shape (1, K)) and column-broadcast (extras_col, (1, N))
+    side inputs.  K stays whole in VMEM; M is blocked (last block masked by
+    Pallas), N blocked by the largest aligned divisor."""
+    m, k = x2d.shape
+    n = w.shape[1]
+    bn = next(b for b in (1024, 512, 256, 128, n) if n % b == 0)
+    bm = min(block_m, m)
+    grid = (pl.cdiv(m, bm), n // bn)
+    row_spec = [pl.BlockSpec((1, k), lambda i, j: (0, 0)) for _ in extras_row]
+    col_spec = [pl.BlockSpec((1, bn), lambda i, j: (0, j))
+                for _ in extras_col]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((bm, k), lambda i, j: (i, 0))] + row_spec
+        + [pl.BlockSpec((k, bn), lambda i, j: (0, j))] + col_spec,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret or FORCE_INTERPRET,
+    )(x2d, *extras_row, w, *extras_col)
+
+
+def ln_matmul(x2d: jnp.ndarray, ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
+              w: jnp.ndarray, bias: jnp.ndarray, *, eps: float,
+              out_dtype=None, interpret: bool = False) -> jnp.ndarray:
+    """LayerNorm(x) @ w + bias without materialising the LN output.
+
+    x2d: (M, K); ln_scale/ln_bias: (K,); w: (K, N); bias: (N,).
+    LN statistics in f32 (matching flax), normalised activations cast to
+    w.dtype for the MXU, f32 accumulation.
+    """
+    k = x2d.shape[1]
+    return _blocked_matmul_call(
+        functools.partial(_ln_matmul_kernel, eps=eps),
+        x2d, w,
+        extras_row=[ln_scale.reshape(1, k), ln_bias.reshape(1, k)],
+        extras_col=[bias.reshape(1, -1)],
+        out_dtype=out_dtype or x2d.dtype, block_m=512, interpret=interpret)
+
+
+def gelu_matmul(x2d: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray, *,
+                out_dtype=None, interpret: bool = False) -> jnp.ndarray:
+    """gelu(x, exact) @ w + bias without materialising the GELU output.
+
+    x2d: (M, K=4W); w: (K, N); bias: (N,).  Smaller M block than
+    ln_matmul: the f32 GELU intermediate is (bm, 4W).
+    """
+    return _blocked_matmul_call(
+        _gelu_matmul_kernel,
+        x2d, w, extras_row=[], extras_col=[bias.reshape(1, -1)],
+        out_dtype=out_dtype or x2d.dtype, block_m=256, interpret=interpret)

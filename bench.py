@@ -380,9 +380,18 @@ def kernel_parity() -> dict:
                                                                 1e-12)
     out["flash_attn_out_rms"] = out_rms
 
+    # 4. fully-fused block (ops/fused_vit.py — the production default) vs
+    # the same einsum reference, same trained-RMS inputs
+    blk_fused = ViTBlock(256, 4, 4, 1e-6, jnp.bfloat16, attn_impl="fused")
+    c = np.asarray(blk_fused.apply(variables, x), np.float32)
+    out["fused_block_max_err"] = float(np.abs(c - b).max())
+    out["fused_block_rel_err"] = out["fused_block_max_err"] / max(out_rms,
+                                                                  1e-12)
+
     ok = (out["score_kernel_max_err"] < 5e-2
           and out["fusion_max_err"] < 1e-3
-          and out["flash_attn_rel_err"] < 0.05)
+          and out["flash_attn_rel_err"] < 0.05
+          and out["fused_block_rel_err"] < 0.05)
     out["status"] = "pass" if ok else "fail"
     return out
 

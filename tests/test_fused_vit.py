@@ -1,0 +1,127 @@
+"""Parity tests for the fused ViT-block Pallas kernels (ops/fused_vit.py).
+
+The kernels run through the Pallas interpreter on CPU; the production gate
+(TPU + bf16) is exercised by tests_tpu/ and the bench.  Reference math is
+the unfused einsum/flax path of the same ViTBlock, which is itself
+golden-tested against torch in tests/test_lseg.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avlmaps_tpu.models.lseg.vit import ViTBlock
+from avlmaps_tpu.ops import fused_vit
+from avlmaps_tpu.ops.fused_vit import gelu_matmul, ln_matmul, mha_oneshot
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def test_mha_oneshot_matches_einsum(rng):
+    b, t, heads, hd = 2, 37, 4, 16
+    w = heads * hd
+    qkv = jnp.asarray(rng.normal(size=(b, t, 3 * w)).astype(np.float32))
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def split_heads(z):
+        return z.reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
+
+    scale = 1.0 / np.sqrt(hd)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", split_heads(q),
+                        split_heads(k)) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", probs, split_heads(v))
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, t, w)
+
+    out = mha_oneshot(qkv, heads, scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_ln_matmul_matches_flax_ln_dense(rng):
+    # M deliberately NOT a multiple of the 512 block: exercises the masked
+    # partial last block (the production M = 8*901 = 7208 is partial too)
+    m, k, n = 1100, 96, 256
+    eps = 1e-6
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(k,)).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(k,)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    ln = (x - mu) * jax.lax.rsqrt(var + eps) * g + c
+    ref = ln @ w + bias
+
+    out = ln_matmul(x, g, c, w, bias, eps=eps, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-5)
+
+
+def test_gelu_matmul_matches_unfused(rng):
+    m, k, n = 530, 128, 128
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    ref = jax.nn.gelu(x, approximate=False) @ w + bias
+    out = gelu_matmul(x, w, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-5)
+
+
+def _blocks(attn_impl):
+    return ViTBlock(width=64, heads=4, mlp_ratio=4, ln_eps=1e-6,
+                    dtype=jnp.float32, attn_impl=attn_impl)
+
+
+def test_fused_block_matches_reference_block(rng):
+    """Full fused block (interpreted kernels) == unfused einsum block,
+    same params."""
+    x = jnp.asarray(rng.normal(size=(2, 19, 64)).astype(np.float32))
+    ref_blk = _blocks("einsum")
+    params = ref_blk.init(jax.random.PRNGKey(0), x)
+    ref = ref_blk.apply(params, x)
+
+    fused_vit.FORCE_INTERPRET = True
+    try:
+        out = _blocks("fused").apply(params, x)
+    finally:
+        fused_vit.FORCE_INTERPRET = False
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_fused_init_tree_identical_to_reference(rng):
+    """Param trees (structure AND values) from the fused path's param-only
+    modules match nn.Dense/nn.LayerNorm init — ported checkpoints and
+    TPU-side init are interchangeable with the CPU path."""
+    x = jnp.asarray(rng.normal(size=(1, 9, 64)).astype(np.float32))
+    p_ref = _blocks("einsum").init(jax.random.PRNGKey(3), x)
+
+    fused_vit.FORCE_INTERPRET = True
+    try:
+        p_fused = _blocks("fused").init(jax.random.PRNGKey(3), x)
+    finally:
+        fused_vit.FORCE_INTERPRET = False
+
+    ref_flat = jax.tree_util.tree_flatten_with_path(p_ref)[0]
+    fused_flat = jax.tree_util.tree_flatten_with_path(p_fused)[0]
+    assert [k for k, _ in ref_flat] == [k for k, _ in fused_flat]
+    for (path, a), (_, b) in zip(ref_flat, fused_flat):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(path))
+
+
+def test_fused_falls_back_off_tpu(rng):
+    """attn_impl='fused' without FORCE_INTERPRET on CPU runs the einsum
+    fallback and matches it exactly."""
+    x = jnp.asarray(rng.normal(size=(1, 9, 64)).astype(np.float32))
+    ref_blk = _blocks("einsum")
+    params = ref_blk.init(jax.random.PRNGKey(0), x)
+    out = _blocks("fused").apply(params, x)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(ref_blk.apply(params, x)))

@@ -66,6 +66,21 @@ class TestFlashAttention:
         rel = np.abs(a - b).max() / max(np.sqrt(np.mean(b * b)), 1e-12)
         assert rel < 0.05  # bf16-scale agreement relative to output RMS
 
+    def test_fused_block_vs_einsum(self, rng):
+        """The fully-fused Pallas block (production default) on the chip
+        vs the unfused einsum block, trained-RMS inputs."""
+        from avlmaps_tpu.models.lseg.vit import ViTBlock
+
+        x = jnp.asarray(rng.normal(size=(2, 901, 256)).astype(np.float32)
+                        * 2.5, jnp.bfloat16)
+        blk_f = ViTBlock(256, 4, 4, 1e-6, jnp.bfloat16, attn_impl="fused")
+        blk_e = ViTBlock(256, 4, 4, 1e-6, jnp.bfloat16, attn_impl="einsum")
+        variables = blk_e.init(jax.random.PRNGKey(0), x)
+        a = np.asarray(blk_f.apply(variables, x), np.float32)
+        b = np.asarray(blk_e.apply(variables, x), np.float32)
+        rel = np.abs(a - b).max() / max(np.sqrt(np.mean(b * b)), 1e-12)
+        assert rel < 0.05
+
 
 class TestHeatmapOps:
     def test_decayed_point_heatmap(self, rng):
