@@ -23,16 +23,27 @@ from avlmaps_tpu.ops.resize import resize_bilinear_align_corners
 
 class ProjectReadout(nn.Module):
     """Fold the cls token into every patch token: cat(tokens, cls) ->
-    Linear(2D -> D) -> GELU (reference ProjectReadout, lseg_vit.py:79-90)."""
+    Linear(2D -> D) -> GELU (reference ProjectReadout, lseg_vit.py:79-90).
+
+    The concat is algebraic only: cat(t, cls) @ W == t @ W[:D] + cls @ W[D:],
+    so the (B, T, 2D) concat tensor is never materialised — the cls term is a
+    (B, 1, D) rank-1 correction broadcast into the bias (profile r3: the
+    concat copies showed up in the custom-call/fusion budget).  Param tree is
+    identical to nn.Dense(name="project") on the concatenated layout."""
 
     width: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        cls = jnp.broadcast_to(x[:, :1], x[:, 1:].shape)
-        h = jnp.concatenate([x[:, 1:], cls], axis=-1)
-        h = nn.Dense(self.width, dtype=self.dtype, name="project")(h)
+        d = x.shape[-1]
+        from avlmaps_tpu.models.lseg.vit import _DenseParams
+        k, bias = _DenseParams(self.width, name="project")(2 * d)
+        dt = self.dtype
+        # cls @ W[D:] + bias: tiny (B, 1, width) term, f32 for free accuracy
+        corr = (x[:, :1].astype(jnp.float32) @ k[d:].astype(jnp.float32)
+                + bias.astype(jnp.float32)).astype(dt)
+        h = x[:, 1:].astype(dt) @ k[:d].astype(dt) + corr
         return jax.nn.gelu(h, approximate=False)
 
 

@@ -134,6 +134,21 @@ class _LNParams(nn.Module):
         return scale, bias
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Conv`` (same kernel layout
+    (kh, kw, cin, features), same initialisers)."""
+
+    features: int
+    kshape: Tuple[int, ...]  # (kh, kw, cin)
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (*self.kshape, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class ViTBlock(nn.Module):
     """timm-style pre-LN transformer block (GELU MLP, fused QKV)."""
 
@@ -252,10 +267,19 @@ class DenseViT(nn.Module):
         b, h, w, _ = images.shape
         gh, gw = h // cfg.patch_size, w // cfg.patch_size
 
-        x = nn.Conv(cfg.width, (cfg.patch_size, cfg.patch_size),
-                    strides=(cfg.patch_size, cfg.patch_size), use_bias=True,
-                    dtype=cfg.dtype, name="patch_embed")(images)
-        x = x.reshape(b, gh * gw, cfg.width)
+        # patch embedding as space-to-depth + matmul rather than a strided
+        # conv: a C_in=3 conv starves the MXU's 128-deep contraction
+        # (profiled r3: 0.93 ms vs 0.06 ms ideal at the bench shape); the
+        # reshaped matmul contracts over the full 768-wide patch vector.
+        # Param layout stays nn.Conv's (kh, kw, cin, width) for porters.
+        ps = cfg.patch_size
+        cin = images.shape[-1]
+        kernel, kbias = _ConvParams(cfg.width, (ps, ps, cin),
+                                    name="patch_embed")()
+        x = images.reshape(b, gh, ps, gw, ps, cin).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, gh * gw, ps * ps * cin).astype(cfg.dtype)
+        x = (x @ kernel.reshape(ps * ps * cin, cfg.width).astype(cfg.dtype)
+             + kbias.astype(cfg.dtype))
 
         cls = self.param("cls_token", nn.initializers.zeros,
                          (1, 1, cfg.width))

@@ -150,16 +150,42 @@ def _blocked_matmul_call(kernel, x2d, w, extras_row, extras_col, out_dtype,
     n = w.shape[1]
     bn = next(b for b in (1024, 512, 256, 128, n) if n % b == 0)
     bm = min(block_m, m)
-    grid = (pl.cdiv(m, bm), n // bn)
-    row_spec = [pl.BlockSpec((1, k), lambda i, j: (0, 0)) for _ in extras_row]
-    col_spec = [pl.BlockSpec((1, bn), lambda i, j: (0, j))
-                for _ in extras_col]
+
+    def _vmem_est(bm_):
+        # double-buffered x/out blocks + one weight block + the kernel's
+        # f32 copy of the x block (LN/GELU intermediate).  Calibrated to
+        # Mosaic's scoped-vmem accounting: the k=4096 GELU layer measured
+        # 16.5 MB at bm=256 (OOM over the 16 MB/core limit), 13 MB at 128.
+        return (2 * bm_ * k * x2d.dtype.itemsize + k * bn * w.dtype.itemsize
+                + 2 * bm_ * bn * 4 + bm_ * k * 4)
+
+    while bm > 128 and _vmem_est(bm) > 15 * 2**20:
+        bm //= 2
+    grid_m, grid_n = pl.cdiv(m, bm), n // bn
+    # Pallas skips the DMA when a block index is unchanged between
+    # consecutive grid steps, so the MINOR grid dim decides what gets
+    # re-fetched: iterate over whichever side carries less traffic.
+    # ViT-L's fc layer (w 8 MB, 15 M-blocks) re-read weights 120 MB/layer
+    # with the naive n-minor order — w-stationary cuts that to 8 MB
+    # (profiled r3: the pallas matmuls were DMA-stall bound, MFU 0.59-0.75).
+    w_stationary = (w.size * w.dtype.itemsize * grid_m
+                    > x2d.size * x2d.dtype.itemsize * grid_n)
+    if w_stationary:
+        grid = (grid_n, grid_m)
+        xm, cm, om = (lambda j, i: (i, 0)), (lambda j, i: (0, j)), \
+            (lambda j, i: (i, j))
+    else:
+        grid = (grid_m, grid_n)
+        xm, cm, om = (lambda i, j: (i, 0)), (lambda i, j: (0, j)), \
+            (lambda i, j: (i, j))
+    row_spec = [pl.BlockSpec((1, k), lambda *a: (0, 0)) for _ in extras_row]
+    col_spec = [pl.BlockSpec((1, bn), cm) for _ in extras_col]
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec((bm, k), lambda i, j: (i, 0))] + row_spec
-        + [pl.BlockSpec((k, bn), lambda i, j: (0, j))] + col_spec,
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        in_specs=[pl.BlockSpec((bm, k), xm)] + row_spec
+        + [pl.BlockSpec((k, bn), cm)] + col_spec,
+        out_specs=pl.BlockSpec((bm, bn), om),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
