@@ -225,3 +225,35 @@ def test_clip_msgpack_workflow(tmp_path):
                                       tokenizer=TinyTok())
     feats = enc.get_text_feats(["chair"], batch_size=1)
     assert feats.shape == (1, 16) and np.isfinite(feats).all()
+
+
+def test_fetch_checkpoints_offline(tmp_path, monkeypatch, capsys):
+    """fetch_checkpoints degrades to printed offline procedures with no
+    network (reference download_checkpoints.bash:1-14), and chains only the
+    checkpoints actually present into the porter CLI."""
+    import importlib
+
+    fetch = importlib.import_module("tools.fetch_checkpoints")
+
+    # no network: every asset prints its URL + destination and is skipped
+    monkeypatch.setattr(sys, "argv",
+                        ["fetch_checkpoints.py", "--dest", str(tmp_path)])
+    fetch.main()
+    out = capsys.readouterr().out
+    assert "offline procedure" in out
+    assert "0/6" in out
+
+    # pre-placed checkpoints flow through to port_checkpoints flags
+    (tmp_path / "superpoint_v1.pth").write_bytes(b"x")
+    calls = []
+    monkeypatch.setattr(fetch.subprocess, "call",
+                        lambda args: calls.append(args) or 0)
+    monkeypatch.setattr(sys, "argv",
+                        ["fetch_checkpoints.py", "--dest", str(tmp_path),
+                         "--port", str(tmp_path / "ported")])
+    with pytest.raises(SystemExit) as e:
+        fetch.main()
+    assert e.value.code == 0
+    (cmd,) = calls
+    assert "--superpoint" in cmd and str(tmp_path / "superpoint_v1.pth") in cmd
+    assert "--lseg" not in cmd  # absent checkpoints are not passed
