@@ -56,8 +56,10 @@ def _splash_attention(q, k, v, scale: float):
     multiple with segment-id masking like the flash path."""
     from jax.experimental.pallas.ops.tpu.splash_attention import (
         splash_attention_kernel as sk, splash_attention_mask as sm)
+    from avlmaps_tpu.ops.fused_vit import FLOP_LOG
 
     b, h, t, d = q.shape
+    FLOP_LOG.append(4 * b * h * t * t * d)
     tp = -(-t // 512) * 512
     pad = tp - t
     mask = sm.MultiHeadMask([sm.FullMask((tp, tp))] * h)
@@ -83,8 +85,10 @@ def _flash_attention(q, k, v, scale: float):
     einsum path is HBM-bound on the 415 MB f32 probs tensor."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes, SegmentIds, flash_attention)
+    from avlmaps_tpu.ops.fused_vit import FLOP_LOG
 
     b, h, t, d = q.shape
+    FLOP_LOG.append(4 * b * h * t * t * d)
     tp = -(-t // 512) * 512
     # biggest power-of-two-ish q block dividing the padded length wins on
     # v5e (measured at T=1024: bq=1024/bk=512 is ~30% faster than 512/512 —

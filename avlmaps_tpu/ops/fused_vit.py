@@ -39,6 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 # interpreter (the production gate requires a real TPU backend).
 FORCE_INTERPRET = False
 
+# Trace-time FLOP accounting: XLA's cost analysis sees Pallas kernels as
+# opaque zero-FLOP custom calls, so every kernel in this module (and the
+# attention kernels in models/lseg/vit.py) appends its matmul FLOPs here
+# when traced.  bench.py clears the log, lowers the step once, and adds the
+# sum to XLA's own count to get an honest MFU.
+FLOP_LOG: list = []
+
 
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int,
                 pack: int):
@@ -86,6 +93,7 @@ def mha_oneshot(qkv: jnp.ndarray, n_heads: int, *, scale: float,
     b, t, three_w = qkv.shape
     w = three_w // 3
     hd = w // n_heads
+    FLOP_LOG.append(4 * b * t * t * w)  # qk^T + pv, all heads
     pack = _head_pack(hd, n_heads)
     if n_heads % pack:
         raise ValueError(f"n_heads={n_heads} not divisible by pack={pack}")
@@ -148,6 +156,7 @@ def _blocked_matmul_call(kernel, x2d, w, extras_row, extras_col, out_dtype,
     Pallas), N blocked by the largest aligned divisor."""
     m, k = x2d.shape
     n = w.shape[1]
+    FLOP_LOG.append(2 * m * k * n)
     bn = next(b for b in (1024, 512, 256, 128, n) if n % b == 0)
     bm = min(block_m, m)
 

@@ -114,8 +114,12 @@ def _build_step_and_inputs():
 
 
 def measure_device(step, state, params, canvas_hw) -> dict:
-    """Compiled-step fps with inputs resident in HBM, plus XLA-counted
-    FLOPs -> MFU."""
+    """Compiled-step fps with inputs resident in HBM, plus model FLOPs ->
+    MFU.  FLOPs = XLA's compiled cost analysis (which counts Pallas custom
+    calls as ZERO) + the kernels' own trace-time FLOP log
+    (ops/fused_vit.FLOP_LOG) — r3: counted flops collapsed 6.69e12 ->
+    1.74e12 when the fused-block kernels landed while the step got FASTER,
+    so the custom-call share must be added back explicitly."""
     import jax
     import jax.numpy as jnp
 
@@ -135,12 +139,16 @@ def measure_device(step, state, params, canvas_hw) -> dict:
 
     flops_per_step = None
     try:
+        from avlmaps_tpu.ops import fused_vit
+
         idx0 = jnp.asarray(sample_pixels(rng, H, W, DEPTH_SAMPLE_RATE,
                                          MAX_PTS, BATCH))
+        fused_vit.FLOP_LOG.clear()
         cost = step.lower(state, params, canvas, z_mm, rgb_pts, pose, idx0,
                           fvalid).compile().cost_analysis()
+        pallas_flops = sum(fused_vit.FLOP_LOG)
         if cost and "flops" in cost:
-            flops_per_step = float(cost["flops"])
+            flops_per_step = float(cost["flops"]) + pallas_flops
     except Exception:
         pass
 
@@ -491,8 +499,10 @@ def get_baseline() -> dict:
 
 def main():
     _enable_compile_cache()
-    step, step_whole, state, params, canvas_hw = _build_step_and_inputs()
-    dev = measure_device(step, state, params, canvas_hw)
+    (step, step_whole, step_count, state, params,
+     canvas_hw) = _build_step_and_inputs()
+    dev = measure_device(step, state, params, canvas_hw,
+                         step_count=step_count)
     whole = None
     try:
         from avlmaps_tpu.ops.voxel_fusion import init_fusion_state
