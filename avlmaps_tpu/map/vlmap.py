@@ -162,6 +162,10 @@ class VLMap(OpenVocabIndexMixin, Map):
                 params = jax.jit(model.init)(
                     jax.random.PRNGKey(0), jnp.zeros((1, crop, crop, 3),
                                                      jnp.float32))
+            if cfg.dtype == jnp.bfloat16:
+                from avlmaps_tpu.models.lseg.model import (
+                    cast_params_for_inference)
+                params = cast_params_for_inference(params)
             self._lseg = (model.apply, params, cfg.out_dim)
         return self._lseg
 

@@ -220,14 +220,66 @@ def ln_matmul(x2d: jnp.ndarray, ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
         out_dtype=out_dtype or x2d.dtype, block_m=512, interpret=interpret)
 
 
+def _gelu_matmul_kblocked_kernel(x_ref, w_ref, bias_ref, o_ref, acc_ref, *,
+                                 gk: int):
+    ik = pl.program_id(2)
+    xb = x_ref[...].astype(jnp.float32)
+    g = 0.5 * xb * (1.0 + _erf(xb * jnp.float32(0.7071067811865476)))
+    y = jnp.dot(g.astype(w_ref.dtype), w_ref[...],
+                preferred_element_type=jnp.float32)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[...] = y
+
+    @pl.when(ik > 0)
+    def _accum():
+        acc_ref[...] += y
+
+    @pl.when(ik == gk - 1)
+    def _emit():
+        o_ref[...] = (acc_ref[...]
+                      + bias_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
 def gelu_matmul(x2d: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray, *,
                 out_dtype=None, interpret: bool = False) -> jnp.ndarray:
     """gelu(x, exact) @ w + bias without materialising the GELU output.
 
-    x2d: (M, K=4W); w: (K, N); bias: (N,).  Smaller M block than
-    ln_matmul: the f32 GELU intermediate is (bm, 4W).
+    x2d: (M, K=4W); w: (K, N); bias: (N,).  Wide contractions (K >= 2048)
+    are blocked over K with an f32 VMEM accumulator: with K whole the
+    (K, bn) weight block is 8 MB at ViT-L's mlp_proj, which forces the M
+    block down to 128 under the 16 MB scoped-VMEM limit and leaves the
+    kernel DMA-bound (profiled r3: 0.515 ms vs 0.307 ideal, MFU 0.60).
+    K-blocks of 1024 shrink the weight block 4x, restore bm=512, and keep
+    f32 accumulation exact across the K partial products.
     """
-    return _blocked_matmul_call(
-        _gelu_matmul_kernel,
-        x2d, w, extras_row=[], extras_col=[bias.reshape(1, -1)],
-        out_dtype=out_dtype or x2d.dtype, block_m=256, interpret=interpret)
+    m, k = x2d.shape
+    n = w.shape[1]
+    out_dtype = out_dtype or x2d.dtype
+    if k % 1024 or k < 2048:
+        return _blocked_matmul_call(
+            _gelu_matmul_kernel,
+            x2d, w, extras_row=[], extras_col=[bias.reshape(1, -1)],
+            out_dtype=out_dtype, block_m=256, interpret=interpret)
+
+    FLOP_LOG.append(2 * m * k * n)
+    bk = 1024
+    bn = next(b for b in (1024, 512, 256, 128, n) if n % b == 0)
+    bm = min(512, m)
+    gm, gn, gk = pl.cdiv(m, bm), n // bn, k // bk
+    return pl.pallas_call(
+        functools.partial(_gelu_matmul_kblocked_kernel, gk=gk),
+        # k minor so the accumulator sees each (m, n) block's k-partials
+        # consecutively; n major keeps the x stream w-stationary-ish
+        grid=(gn, gm, gk),
+        in_specs=[pl.BlockSpec((bm, bk), lambda j, i, kk: (i, kk)),
+                  pl.BlockSpec((bk, bn), lambda j, i, kk: (kk, j)),
+                  pl.BlockSpec((1, bn), lambda j, i, kk: (0, j))],
+        out_specs=pl.BlockSpec((bm, bn), lambda j, i, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret or FORCE_INTERPRET,
+    )(x2d, w, bias.reshape(1, -1))

@@ -40,15 +40,52 @@ class VoxelFusionState(NamedTuple):
 
     ``occupied_flat`` is the dense voxel -> slot table, flattened to 1D for
     cheap gathers/scatters: index = row * gs * vh + col * vh + h.
+
+    All per-slot quantities live in ONE wide f32 array ``accum`` with
+    columns ``[Σw·feat (D) | Σw·rgb (3) | Σw (1) | (row, col, h) (3) |
+    zero pad]`` so the per-step update is a SINGLE scatter-add: TPU
+    scatters are latency-bound per ROW, so four separate scatters
+    (feat/rgb/w/pos) cost ~4x one wide scatter (profiled r3: 6.5 ms/step
+    -> one ~3.8 ms scatter at the bench geometry).  Positions ride along
+    as f32 adds applied exactly once per slot (by the allocating point),
+    exact below 2^24.  The width is padded to D+128 — the next lane
+    multiple — because at D+7 (519) XLA's auto entry layout packs the
+    array column-major to dodge lane padding and then transposes the full
+    2 GB array TWICE around the (row-major) scatter, ~14 ms/step (traced
+    r3); at a lane multiple row-major costs nothing and wins everywhere.
+    The named views below keep every consumer source-compatible.
     """
 
     occupied_flat: jnp.ndarray  # (gs*gs*vh,) int32, -1 = empty
-    sum_wfeat: jnp.ndarray  # (capacity+1, D) float32, Σ w·feat per slot
-    sum_wrgb: jnp.ndarray  # (capacity+1, 3) float32, Σ w·rgb per slot
-    sum_w: jnp.ndarray  # (capacity+1,) float32, Σ w per slot
-    grid_pos: jnp.ndarray  # (capacity+1, 3) int32 (row, col, h) of each slot
+    accum: jnp.ndarray  # (capacity+1, D+128) float32; last row = trash slot
     n_slots: jnp.ndarray  # () int32 — the reference's max_id
     n_dropped: jnp.ndarray  # () int32 — points lost to capacity overflow
+
+    @property
+    def feat_dim(self):
+        return self.accum.shape[-1] - ACCUM_PAD
+
+    @property
+    def sum_wfeat(self):  # (capacity+1, D) Σ w·feat per slot
+        return self.accum[..., :self.feat_dim]
+
+    @property
+    def sum_wrgb(self):  # (capacity+1, 3) Σ w·rgb per slot
+        return self.accum[..., self.feat_dim:self.feat_dim + 3]
+
+    @property
+    def sum_w(self):  # (capacity+1,) Σ w per slot
+        return self.accum[..., self.feat_dim + 3]
+
+    @property
+    def grid_pos(self):  # (capacity+1, 3) int32 (row, col, h) of each slot
+        d = self.feat_dim
+        return self.accum[..., d + 4:d + 7].astype(jnp.int32)
+
+
+# accumulator columns beyond feat_dim: rgb (3) + w (1) + pos (3) + zero
+# pad up to the 128-lane multiple (see VoxelFusionState docstring)
+ACCUM_PAD = 128
 
 
 def init_fusion_state(gs: int, vh: int, feat_dim: int,
@@ -56,10 +93,7 @@ def init_fusion_state(gs: int, vh: int, feat_dim: int,
     """Fresh accumulators.  The +1 row on per-slot arrays is the trash slot."""
     return VoxelFusionState(
         occupied_flat=jnp.full((gs * gs * vh,), -1, jnp.int32),
-        sum_wfeat=jnp.zeros((capacity + 1, feat_dim), jnp.float32),
-        sum_wrgb=jnp.zeros((capacity + 1, 3), jnp.float32),
-        sum_w=jnp.zeros((capacity + 1,), jnp.float32),
-        grid_pos=jnp.zeros((capacity + 1, 3), jnp.int32),
+        accum=jnp.zeros((capacity + 1, feat_dim + ACCUM_PAD), jnp.float32),
         n_slots=jnp.zeros((), jnp.int32),
         n_dropped=jnp.zeros((), jnp.int32),
     )
@@ -94,7 +128,7 @@ def fuse_points(state: VoxelFusionState,
     occupied table covers only ``n_rows`` of the gs rows and vids are local
     (local_row * gs * vh + col * vh + h).  Defaults to the full grid.
     """
-    capacity = state.sum_w.shape[0] - 1
+    capacity = state.accum.shape[0] - 1
     b = vids.shape[0]
     if n_rows is None:
         n_rows = gs
@@ -106,7 +140,8 @@ def fuse_points(state: VoxelFusionState,
     is_new = valid & (slot == -1)
     # sort unseen ids; non-new entries become a +inf sentinel so they sort last
     new_vids = jnp.where(is_new, vids, INT32_MAX)
-    sorted_vids = jnp.sort(new_vids)
+    perm = jnp.argsort(new_vids)
+    sorted_vids = new_vids[perm]
     is_sentinel = sorted_vids == INT32_MAX
     first = jnp.concatenate([
         jnp.ones((1,), bool),
@@ -124,31 +159,38 @@ def fuse_points(state: VoxelFusionState,
     occ = occ.at[write_vid].set(alloc_slot, mode="drop")
     occupied_flat = occ[:-1]
 
-    # decode (row, col, h) for newly allocated slots from the voxel id;
-    # non-first rows carry the sentinel id and land on the trash slot,
-    # which is re-zeroed afterwards
-    vrow = write_vid // (gs * vh)
-    vcol = (write_vid // vh) % gs
-    vhh = write_vid % vh
-    new_pos = jnp.stack([vrow, vcol, vhh], axis=1)
-    grid_pos = state.grid_pos.at[alloc_slot].set(new_pos)
-    grid_pos = grid_pos.at[capacity].set(0)
+    # each new slot's (row, col, h) is written by exactly ONE point — the
+    # one that won the allocation — as a weighted add in the shared scatter
+    # below (scatters are latency-bound per row, so the position columns
+    # ride the feature scatter for free instead of a scatter of their own).
+    # first[inv_perm] maps the sorted-order winner flags back to points.
+    inv_perm = jnp.argsort(perm)
+    designated = (first & fits)[inv_perm]
 
     # ---- resolve every point's slot and accumulate -----------------------
     slot = jnp.where(valid, occupied_flat[safe_vids], capacity)
     slot = jnp.where(slot < 0, capacity, slot)  # overflow voxels -> trash
 
     w = jnp.where(valid, alphas, 0.0).astype(jnp.float32)
-    sum_wfeat = state.sum_wfeat.at[slot].add(w[:, None] * feats.astype(jnp.float32))
-    sum_wrgb = state.sum_wrgb.at[slot].add(w[:, None] * rgbs)
-    sum_w = state.sum_w.at[slot].add(w)
+    vrow = safe_vids // (gs * vh)
+    vcol = (safe_vids // vh) % gs
+    vhh = safe_vids % vh
+    pos_add = (jnp.stack([vrow, vcol, vhh], axis=1).astype(jnp.float32)
+               * designated[:, None])
+    update = jnp.concatenate([
+        w[:, None] * feats.astype(jnp.float32),
+        w[:, None] * rgbs,
+        w[:, None],
+        pos_add,
+        jnp.zeros((b, ACCUM_PAD - 7), jnp.float32),
+    ], axis=1)
+    accum = state.accum.at[slot].add(update)
 
     n_slots = jnp.minimum(state.n_slots + n_unique, capacity)
     n_dropped = state.n_dropped + jnp.sum(
         (valid & (slot == capacity)).astype(jnp.int32))
 
-    return VoxelFusionState(occupied_flat, sum_wfeat, sum_wrgb, sum_w,
-                            grid_pos, n_slots, n_dropped)
+    return VoxelFusionState(occupied_flat, accum, n_slots, n_dropped)
 
 
 def export_bucket(n: int, minimum: int = 4096) -> int:
@@ -165,15 +207,14 @@ def _device_export(state: VoxelFusionState, *, bucket: int):
     save at the production capacity — the dominant cost of a real build on
     a slow host link, vs the reference's cheap incremental HDF5 save,
     avlmaps/map/vlmap_builder.py:180-183)."""
-    zeros = (0,) * (state.sum_wfeat.ndim - 1)
-    sum_w = jax.lax.dynamic_slice_in_dim(state.sum_w, 0, bucket)
+    d = state.feat_dim
+    a = jax.lax.dynamic_slice(state.accum, (0, 0),
+                              (bucket, state.accum.shape[1]))
+    sum_w = a[:, d + 3]
     denom = jnp.where(sum_w > 0, sum_w, 1.0)[:, None]
-    grid_feat = jax.lax.dynamic_slice(
-        state.sum_wfeat, (0,) + zeros,
-        (bucket, state.sum_wfeat.shape[1])) / denom
-    grid_rgb = jax.lax.dynamic_slice(state.sum_wrgb, (0, 0),
-                                     (bucket, 3)) / denom
-    grid_pos = jax.lax.dynamic_slice(state.grid_pos, (0, 0), (bucket, 3))
+    grid_feat = a[:, :d] / denom
+    grid_rgb = a[:, d:d + 3] / denom
+    grid_pos = a[:, d + 4:d + 7].astype(jnp.int32)
     rgb_u8 = jnp.clip(grid_rgb, 0, 255).astype(jnp.uint8)
     return grid_feat, grid_pos, sum_w, rgb_u8
 
@@ -228,21 +269,15 @@ def restore_fusion_state(gs: int, vh: int, capacity: int,
     d = grid_feat.shape[1]
     if n > capacity:
         raise ValueError(f"saved map has {n} slots > capacity {capacity}")
-    sum_wfeat = np.zeros((capacity + 1, d), np.float32)
-    sum_wrgb = np.zeros((capacity + 1, 3), np.float32)
-    sum_w = np.zeros((capacity + 1,), np.float32)
-    pos = np.zeros((capacity + 1, 3), np.int32)
-    sum_w[:n] = weight
-    sum_wfeat[:n] = grid_feat * weight[:, None]
+    accum = np.zeros((capacity + 1, d + ACCUM_PAD), np.float32)
+    accum[:n, d + 3] = weight
+    accum[:n, :d] = grid_feat * weight[:, None]
     if grid_rgb is not None:
-        sum_wrgb[:n] = grid_rgb.astype(np.float32) * weight[:, None]
-    pos[:n] = grid_pos
+        accum[:n, d:d + 3] = grid_rgb.astype(np.float32) * weight[:, None]
+    accum[:n, d + 4:d + 7] = grid_pos.astype(np.float32)
     return VoxelFusionState(
         occupied_flat=jnp.asarray(occupied_ids.reshape(-1).astype(np.int32)),
-        sum_wfeat=jnp.asarray(sum_wfeat),
-        sum_wrgb=jnp.asarray(sum_wrgb),
-        sum_w=jnp.asarray(sum_w),
-        grid_pos=jnp.asarray(pos),
+        accum=jnp.asarray(accum),
         n_slots=jnp.asarray(n, jnp.int32),
         n_dropped=jnp.zeros((), jnp.int32),
     )

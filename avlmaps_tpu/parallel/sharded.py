@@ -20,7 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from avlmaps_tpu.geometry.grid import voxel_linear_id_jax
 from avlmaps_tpu.models.lseg.window import features_at_points
 from avlmaps_tpu.ops.voxel_fusion import (
-    VoxelFusionState, init_fusion_state, fuse_points,
+    ACCUM_PAD, VoxelFusionState, init_fusion_state, fuse_points,
 )
 
 
@@ -151,8 +151,7 @@ class ShardedFusion:
                                    valid & frame_valid[:, None])
 
         pspec_state = VoxelFusionState(
-            occupied_flat=P(axis), sum_wfeat=P(axis), sum_wrgb=P(axis),
-            sum_w=P(axis), grid_pos=P(axis), n_slots=P(axis),
+            occupied_flat=P(axis), accum=P(axis), n_slots=P(axis),
             n_dropped=P(axis))
         self._state_spec = pspec_state
         self.transport = transport
@@ -198,11 +197,8 @@ class ShardedFusion:
         # build shapes manually: occupied covers rows*gs*vh per device
         state = VoxelFusionState(
             occupied_flat=jnp.full((n * rows * gs * vh,), -1, jnp.int32),
-            sum_wfeat=jnp.zeros((n * (self.cap_per_dev + 1), self.feat_dim),
-                                jnp.float32),
-            sum_wrgb=jnp.zeros((n * (self.cap_per_dev + 1), 3), jnp.float32),
-            sum_w=jnp.zeros((n * (self.cap_per_dev + 1),), jnp.float32),
-            grid_pos=jnp.zeros((n * (self.cap_per_dev + 1), 3), jnp.int32),
+            accum=jnp.zeros((n * (self.cap_per_dev + 1),
+                             self.feat_dim + ACCUM_PAD), jnp.float32),
             n_slots=jnp.zeros((n,), jnp.int32),
             n_dropped=jnp.zeros((n,), jnp.int32),
         )
@@ -265,12 +261,13 @@ def restore_sharded(grid_feat: np.ndarray, grid_pos: np.ndarray,
         lin = (lpos[:, 0] * gs + lpos[:, 1]) * vh + lpos[:, 2]
         occ[d, lin] = np.arange(k, dtype=np.int32)
         n_slots[d] = k
+    accum = np.concatenate([
+        wf, wr, wsum[..., None], pos.astype(np.float32),
+        np.zeros((n_dev, cap_per_dev + 1, ACCUM_PAD - 7), np.float32)],
+        axis=2)
     return VoxelFusionState(
         occupied_flat=jnp.asarray(occ.reshape(-1)),
-        sum_wfeat=jnp.asarray(wf.reshape(-1, feat_dim)),
-        sum_wrgb=jnp.asarray(wr.reshape(-1, 3)),
-        sum_w=jnp.asarray(wsum.reshape(-1)),
-        grid_pos=jnp.asarray(pos.reshape(-1, 3)),
+        accum=jnp.asarray(accum.reshape(-1, feat_dim + ACCUM_PAD)),
         n_slots=jnp.asarray(n_slots),
         n_dropped=jnp.zeros((n_dev,), jnp.int32),
     )
@@ -296,17 +293,18 @@ def export_sharded(state: VoxelFusionState, *, n_dev: int, gs: int, vh: int,
         bucket = min(export_bucket(int(n_slots.max())), cap_per_dev + 1)
 
         def shard_export(st: VoxelFusionState):
-            w = jax.lax.dynamic_slice_in_dim(st.sum_w, 0, bucket)
+            d = st.feat_dim
+            a = jax.lax.dynamic_slice(st.accum, (0, 0),
+                                      (bucket, st.accum.shape[1]))
+            w = a[:, d + 3]
             denom = jnp.where(w > 0, w, 1.0)[:, None]
-            f = jax.lax.dynamic_slice(
-                st.sum_wfeat, (0, 0), (bucket, st.sum_wfeat.shape[1])) / denom
-            r = jax.lax.dynamic_slice(st.sum_wrgb, (0, 0), (bucket, 3)) / denom
-            p = jax.lax.dynamic_slice(st.grid_pos, (0, 0), (bucket, 3))
+            f = a[:, :d] / denom
+            r = a[:, d:d + 3] / denom
+            p = a[:, d + 4:d + 7].astype(jnp.int32)
             return f, p, w, jnp.clip(r, 0, 255).astype(jnp.uint8)
 
         spec = VoxelFusionState(
-            occupied_flat=P(axis), sum_wfeat=P(axis), sum_wrgb=P(axis),
-            sum_w=P(axis), grid_pos=P(axis), n_slots=P(axis),
+            occupied_flat=P(axis), accum=P(axis), n_slots=P(axis),
             n_dropped=P(axis))
         out = jax.jit(jax.shard_map(
             shard_export, mesh=mesh, in_specs=(spec,),
@@ -319,14 +317,13 @@ def export_sharded(state: VoxelFusionState, *, n_dev: int, gs: int, vh: int,
         wr8 = wr8.reshape(n_dev, bucket, 3)
         pre_divided = True
     else:  # no mesh (e.g. a host-side restored state): full fetch fallback
-        wf = np.asarray(jax.device_get(state.sum_wfeat)).reshape(
+        acc = np.asarray(jax.device_get(state.accum)).reshape(
             n_dev, cap_per_dev + 1, -1)
-        wr = np.asarray(jax.device_get(state.sum_wrgb)).reshape(
-            n_dev, cap_per_dev + 1, 3)
-        wsum = np.asarray(jax.device_get(state.sum_w)).reshape(
-            n_dev, cap_per_dev + 1)
-        pos = np.asarray(jax.device_get(state.grid_pos)).reshape(
-            n_dev, cap_per_dev + 1, 3)
+        d = acc.shape[2] - ACCUM_PAD
+        wf = acc[:, :, :d]
+        wr = acc[:, :, d:d + 3]
+        wsum = acc[:, :, d + 3]
+        pos = acc[:, :, d + 4:d + 7].astype(np.int32)
         pre_divided = False
 
     feats, rgbs, weights, poss = [], [], [], []

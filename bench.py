@@ -92,6 +92,8 @@ def _build_step_and_inputs():
     # device-side init: host->device transfer through the tunnel is slow
     params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                  jnp.zeros((1, 480, 480, 3), jnp.float32))
+    from avlmaps_tpu.models.lseg.model import cast_params_for_inference
+    params = cast_params_for_inference(params)
 
     calib = np.array([[540, 0, 540], [0, 540, 360], [0, 0, 1]], np.float64)
     half_apply = lambda p, x: model.apply(p, x, upsample=False)  # noqa: E731

@@ -73,6 +73,19 @@ def test_gelu_matmul_matches_unfused(rng):
                                atol=2e-4, rtol=1e-5)
 
 
+def test_gelu_matmul_kblocked_matches_unfused(rng):
+    # k >= 2048 takes the k-blocked accumulator path (mlp_proj at ViT-L);
+    # m=530 also exercises the masked final M block
+    m, k, n = 530, 2048, 128
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    ref = jax.nn.gelu(x, approximate=False) @ w + bias
+    out = gelu_matmul(x, w, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-5)
+
+
 def _blocks(attn_impl):
     return ViTBlock(width=64, heads=4, mlp_ratio=4, ln_eps=1e-6,
                     dtype=jnp.float32, attn_impl=attn_impl)

@@ -127,15 +127,7 @@ def test_batch_order_invariance(rng):
 def test_capacity_overflow(rng):
     """Points beyond capacity go to the trash slot, counted not crashed."""
     small_cap = 8
-    state = VoxelFusionState(
-        occupied_flat=jnp.full((GS * GS * VH,), -1, jnp.int32),
-        sum_wfeat=jnp.zeros((small_cap + 1, D), jnp.float32),
-        sum_wrgb=jnp.zeros((small_cap + 1, 3), jnp.float32),
-        sum_w=jnp.zeros((small_cap + 1,), jnp.float32),
-        grid_pos=jnp.zeros((small_cap + 1, 3), jnp.int32),
-        n_slots=jnp.zeros((), jnp.int32),
-        n_dropped=jnp.zeros((), jnp.int32),
-    )
+    state = init_fusion_state(GS, VH, D, small_cap)
     points = np.stack([np.arange(20) % GS, np.zeros(20), np.zeros(20)],
                       axis=1).astype(np.int32)
     vids = voxel_linear_id_jax(jnp.asarray(points), GS, VH)

@@ -77,6 +77,8 @@ def main():
     model = LSegNet(cfg)
     params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                  jnp.zeros((1, 480, 480, 3), jnp.float32))
+    from avlmaps_tpu.models.lseg.model import cast_params_for_inference
+    params = cast_params_for_inference(params)
 
     x = jnp.asarray(rng.normal(size=(crops_b, 480, 480, 3))
                     .astype(np.float32))
