@@ -164,9 +164,20 @@ def cast_params_for_inference(variables, dtype=jnp.bfloat16):
     EVERY forward (flax dtype promotion happens inside apply): profiled r3
     at ~1.7 ms/step just in weight converts on the ViT-L build step.
     Vectors (LayerNorm scales/biases, biases) stay f32 — the kernels fold
-    them in f32 anyway.  Numerics are unchanged: the same cast happened
-    per-step before.
+    them in f32 anyway — and so do broadcast params with a size-1 axis
+    (pos-embed, cls token) and the DPT readout projections, whose cls
+    correction term is computed in f32 on purpose (dpt.ProjectReadout);
+    those weights are tiny, so their per-step cast is free.  For the cast
+    weights the numerics are unchanged: the same cast happened per-step
+    before.
     """
-    return jax.tree.map(
-        lambda x: x.astype(dtype) if getattr(x, "ndim", 0) >= 2 else x,
-        variables)
+    from jax.tree_util import tree_map_with_path
+
+    def cast(path, x):
+        if any("readout" in str(getattr(k, "key", "")) for k in path):
+            return x
+        if getattr(x, "ndim", 0) >= 2 and min(x.shape) > 1:
+            return x.astype(dtype)
+        return x
+
+    return tree_map_with_path(cast, variables)

@@ -231,7 +231,7 @@ class ViTBlock(nn.Module):
         path within bf16 tolerance (tests/test_fused_vit.py); param tree is
         identical, so ported checkpoints work unchanged."""
         from avlmaps_tpu.ops.fused_vit import (gelu_matmul, ln_matmul,
-                                               mha_oneshot)
+                                               mha_oneshot_2d)
 
         dt = self.dtype
         w = self.width
@@ -245,9 +245,9 @@ class ViTBlock(nn.Module):
         x2 = x.reshape(b * t, w)
         qkv = ln_matmul(x2, g1, c1, kq.astype(dt), bq, eps=self.ln_eps,
                         out_dtype=dt)
-        attn = mha_oneshot(qkv.reshape(b, t, 3 * w), self.heads,
-                           scale=1.0 / float(np.sqrt(hd)))
-        x2 = x2 + (attn.reshape(b * t, w) @ kp.astype(dt) + bp.astype(dt))
+        attn = mha_oneshot_2d(qkv, b, t, self.heads,
+                              scale=1.0 / float(np.sqrt(hd)))
+        x2 = x2 + (attn @ kp.astype(dt) + bp.astype(dt))
         h = ln_matmul(x2, g2, c2, kf.astype(dt), bf, eps=self.ln_eps,
                       out_dtype=dt)
         x2 = x2 + gelu_matmul(h, km.astype(dt), bm, out_dtype=dt)

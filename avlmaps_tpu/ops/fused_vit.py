@@ -52,13 +52,16 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int,
     """One grid cell = ``pack`` heads (packed along lanes so the minor
     block dim hits Mosaic's 128-lane requirement; hd=64 -> pack=2).  Each
     head is an independent one-shot attention over the full (in-VMEM)
-    sequence."""
+    sequence.  Refs are 2-D (T, hd*pack) row-blocks of the (B*T, 3W)
+    qkv matrix — the raw layout of the qkv matmul output, so no reshape
+    or layout copy exists on either side (a (B*T,3W)->(B,T,3W) reshape
+    materialised 1.4 ms/step before, traced r3)."""
     outs = []
     for i in range(pack):
         sl = slice(i * hd, (i + 1) * hd)
-        q = q_ref[0, :, sl] * jnp.asarray(scale, q_ref.dtype)  # hd=64:
-        k = k_ref[0, :, sl]                       # scale=2^-3, exact bf16
-        v = v_ref[0, :, sl]
+        q = q_ref[:, sl] * jnp.asarray(scale, q_ref.dtype)  # hd=64:
+        k = k_ref[:, sl]                          # scale=2^-3, exact bf16
+        v = v_ref[:, sl]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # (T, T)
@@ -68,7 +71,7 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int,
         pv = jnp.dot(p.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)  # (T, hd)
         outs.append(pv / s)
-    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+    o_ref[...] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
 def _head_pack(hd: int, n_heads: int) -> int:
@@ -91,6 +94,18 @@ def mha_oneshot(qkv: jnp.ndarray, n_heads: int, *, scale: float,
     layout both sides of the kernel.
     """
     b, t, three_w = qkv.shape
+    return mha_oneshot_2d(qkv.reshape(b * t, three_w), b, t, n_heads,
+                          scale=scale, interpret=interpret
+                          ).reshape(b, t, three_w // 3)
+
+
+def mha_oneshot_2d(qkv2d: jnp.ndarray, b: int, t: int, n_heads: int, *,
+                   scale: float, interpret: bool = False) -> jnp.ndarray:
+    """``mha_oneshot`` on the (B*T, 3W) matrix layout — the direct output
+    of the fused qkv matmul.  Returns (B*T, W), ready for the output
+    projection, with no reshape/layout copy on either side."""
+    m, three_w = qkv2d.shape
+    assert m == b * t, (m, b, t)
     w = three_w // 3
     hd = w // n_heads
     FLOP_LOG.append(4 * b * t * t * w)  # qk^T + pv, all heads
@@ -98,19 +113,19 @@ def mha_oneshot(qkv: jnp.ndarray, n_heads: int, *, scale: float,
     if n_heads % pack:
         raise ValueError(f"n_heads={n_heads} not divisible by pack={pack}")
     groups = n_heads // pack
-    blk = (1, t, hd * pack)
+    blk = (t, hd * pack)
     spec = lambda off: pl.BlockSpec(  # noqa: E731
-        blk, lambda bi, h, o=off: (bi, 0, o + h))
+        blk, lambda bi, h, o=off: (bi, o + h))
     return pl.pallas_call(
         functools.partial(_mha_kernel, scale=scale, hd=hd, pack=pack),
         grid=(b, groups),
         in_specs=[spec(0), spec(groups), spec(2 * groups)],
         out_specs=spec(0),
-        out_shape=jax.ShapeDtypeStruct((b, t, w), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * t, w), qkv2d.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret or FORCE_INTERPRET,
-    )(qkv, qkv, qkv)
+    )(qkv2d, qkv2d, qkv2d)
 
 
 def _ln_matmul_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, o_ref, *,
@@ -126,16 +141,28 @@ def _ln_matmul_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, o_ref, *,
     o_ref[...] = (y + bias_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+# odd LS polynomial erf(x) ~ clamp(x * P(x^2)) fitted on [0, 3.2]
+# (|error| <= 3.4e-5 over the full real line with input clamping — an
+# order below the f32 test atol, two below bf16 resolution).  Division- and
+# exp-free on purpose: the VPU epilogue is on the kernel's critical path
+# and the classic Abramowitz & Stegun form (reciprocal + exp + 5-term
+# Horner) measured ~0.18 ms/layer of pure elementwise time at the ViT-L
+# bench shape (traced r3: gelu_matmul 0.57 ms vs the same-FLOPs ln_matmul
+# at 0.39 ms); Horner in x^2 is ~12 cheap FMAs.
+_ERF_COEF = (1.1283298410080937, -0.37573741334671773, 0.11192594468396883,
+             -0.02587014286438464, 0.004610857150747611,
+             -0.0006187017009385277, 5.969310805068045e-05,
+             -3.85909769357618e-06, 1.482146149594643e-07,
+             -2.5391730591666093e-09)
+
+
 def _erf(x):
-    """erf via Abramowitz & Stegun 7.1.26 (|error| <= 1.5e-7, two decades
-    below bf16 resolution): Mosaic has no erf/erfc lowering."""
-    s = jnp.sign(x)
-    a = jnp.abs(x)
-    t = 1.0 / (1.0 + jnp.float32(0.3275911) * a)
-    poly = t * (jnp.float32(0.254829592) + t * (
-        jnp.float32(-0.284496736) + t * (jnp.float32(1.421413741) + t * (
-            jnp.float32(-1.453152027) + t * jnp.float32(1.061405429)))))
-    return s * (1.0 - poly * jnp.exp(-a * a))
+    xs = jnp.clip(x, -3.2, 3.2)
+    u = xs * xs
+    p = jnp.float32(_ERF_COEF[-1])
+    for c in _ERF_COEF[-2::-1]:
+        p = p * u + jnp.float32(c)
+    return jnp.clip(xs * p, -1.0, 1.0)
 
 
 def _gelu_matmul_kernel(x_ref, w_ref, bias_ref, o_ref):
@@ -157,7 +184,15 @@ def _blocked_matmul_call(kernel, x2d, w, extras_row, extras_col, out_dtype,
     m, k = x2d.shape
     n = w.shape[1]
     FLOP_LOG.append(2 * m * k * n)
-    bn = next(b for b in (1024, 512, 256, 128, n) if n % b == 0)
+    # cap the weight block at ~4 MB: at ViT-L's k=4096 a whole-N weight
+    # block (8 MB) forces the M block down to 128 under the VMEM guard and
+    # leaves the kernel DMA-bound (r3 A/B: k-blocking with an accumulator
+    # measured WORSE — 0.565 vs 0.515 ms — because the per-(m,k) weight
+    # re-streaming costs more than the larger M block saves; a smaller N
+    # block keeps weights w-stationary AND bm at 256)
+    bn_cap = max(128, (4 << 20) // (k * w.dtype.itemsize))
+    fits = [b for b in (1024, 512, 256, 128) if n % b == 0 and b <= bn_cap]
+    bn = fits[0] if fits else n
     bm = min(block_m, m)
 
     def _vmem_est(bm_):
@@ -220,66 +255,16 @@ def ln_matmul(x2d: jnp.ndarray, ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
         out_dtype=out_dtype or x2d.dtype, block_m=512, interpret=interpret)
 
 
-def _gelu_matmul_kblocked_kernel(x_ref, w_ref, bias_ref, o_ref, acc_ref, *,
-                                 gk: int):
-    ik = pl.program_id(2)
-    xb = x_ref[...].astype(jnp.float32)
-    g = 0.5 * xb * (1.0 + _erf(xb * jnp.float32(0.7071067811865476)))
-    y = jnp.dot(g.astype(w_ref.dtype), w_ref[...],
-                preferred_element_type=jnp.float32)
-
-    @pl.when(ik == 0)
-    def _init():
-        acc_ref[...] = y
-
-    @pl.when(ik > 0)
-    def _accum():
-        acc_ref[...] += y
-
-    @pl.when(ik == gk - 1)
-    def _emit():
-        o_ref[...] = (acc_ref[...]
-                      + bias_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
-
-
 def gelu_matmul(x2d: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray, *,
                 out_dtype=None, interpret: bool = False) -> jnp.ndarray:
-    """gelu(x, exact) @ w + bias without materialising the GELU output.
+    """gelu(x, exact-erf tolerance) @ w + bias without materialising the
+    GELU output.
 
-    x2d: (M, K=4W); w: (K, N); bias: (N,).  Wide contractions (K >= 2048)
-    are blocked over K with an f32 VMEM accumulator: with K whole the
-    (K, bn) weight block is 8 MB at ViT-L's mlp_proj, which forces the M
-    block down to 128 under the 16 MB scoped-VMEM limit and leaves the
-    kernel DMA-bound (profiled r3: 0.515 ms vs 0.307 ideal, MFU 0.60).
-    K-blocks of 1024 shrink the weight block 4x, restore bm=512, and keep
-    f32 accumulation exact across the K partial products.
+    x2d: (M, K=4W); w: (K, N); bias: (N,).  Smaller M block than
+    ln_matmul: the f32 GELU intermediate is (bm, 4W); the shared plumbing
+    caps the weight block at ~4 MB so K=4096 still gets bm=256.
     """
-    m, k = x2d.shape
-    n = w.shape[1]
-    out_dtype = out_dtype or x2d.dtype
-    if k % 1024 or k < 2048:
-        return _blocked_matmul_call(
-            _gelu_matmul_kernel,
-            x2d, w, extras_row=[], extras_col=[bias.reshape(1, -1)],
-            out_dtype=out_dtype, block_m=256, interpret=interpret)
-
-    FLOP_LOG.append(2 * m * k * n)
-    bk = 1024
-    bn = next(b for b in (1024, 512, 256, 128, n) if n % b == 0)
-    bm = min(512, m)
-    gm, gn, gk = pl.cdiv(m, bm), n // bn, k // bk
-    return pl.pallas_call(
-        functools.partial(_gelu_matmul_kblocked_kernel, gk=gk),
-        # k minor so the accumulator sees each (m, n) block's k-partials
-        # consecutively; n major keeps the x stream w-stationary-ish
-        grid=(gn, gm, gk),
-        in_specs=[pl.BlockSpec((bm, bk), lambda j, i, kk: (i, kk)),
-                  pl.BlockSpec((bk, bn), lambda j, i, kk: (kk, j)),
-                  pl.BlockSpec((1, bn), lambda j, i, kk: (0, j))],
-        out_specs=pl.BlockSpec((bm, bn), lambda j, i, kk: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
-        interpret=interpret or FORCE_INTERPRET,
-    )(x2d, w, bias.reshape(1, -1))
+    return _blocked_matmul_call(
+        _gelu_matmul_kernel,
+        x2d, w, extras_row=[], extras_col=[bias.reshape(1, -1)],
+        out_dtype=out_dtype or x2d.dtype, block_m=256, interpret=interpret)

@@ -316,3 +316,35 @@ class TestHalfResGatherEquivalence:
             px, py, base_size=32, crop_size=32, half_res_apply=True)
         np.testing.assert_allclose(np.asarray(half), np.asarray(full),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_cast_params_for_inference():
+    """Matrix params cast to bf16 once; vectors (LN scales, biases) stay
+    f32; a bf16-configured forward matches within bf16 rounding (the
+    matmul weights saw the same cast per-step before; only f32 side-paths
+    — pos-embed resize, readout correction — now see rounded weights)."""
+    import jax
+    from avlmaps_tpu.models.lseg.model import cast_params_for_inference
+
+    cfg = LSegConfig.tiny16(dtype=jnp.bfloat16)
+    model = LSegNet(cfg)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3), jnp.float32))
+    cast = cast_params_for_inference(params)
+
+    leaves = jax.tree_util.tree_leaves_with_path(cast)
+
+    def is_readout(path):
+        return any("readout" in str(getattr(k, "key", "")) for k in path)
+
+    big = [l for p, l in leaves
+           if l.ndim >= 2 and min(l.shape) > 1 and not is_readout(p)]
+    assert big and all(l.dtype == jnp.bfloat16 for l in big)
+    assert all(l.dtype == jnp.float32 for p, l in leaves
+               if l.ndim < 2 or min(l.shape) == 1 or is_readout(p))
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    ref = np.asarray(model.apply(params, img, upsample=False), np.float32)
+    out = np.asarray(model.apply(cast, img, upsample=False), np.float32)
+    np.testing.assert_array_equal(out, ref)
