@@ -269,7 +269,8 @@ class VLMapBuilder:
                  lseg_params=None, feat_dim: int = 512,
                  batch_size: int = 4, seed: int = 0, mesh=None,
                  half_res_apply: bool = False,
-                 transport: Optional[str] = None):
+                 transport: Optional[str] = None,
+                 packed_path=None):
         self.data_dir = Path(data_dir)
         self.map_config = map_config
         self.pose_path = pose_path
@@ -291,6 +292,10 @@ class VLMapBuilder:
         # bit-parity with the frame path's uint8 handling.
         self.transport = transport if transport is not None else \
             getattr(map_config, "transport", "canvas")
+        # packed-scene ingestion (pipeline/packed.py): explicit path, or
+        # auto-detect <data_dir>/scene.avpack built by tools/pack_scene.py.
+        # Falls back to PNG/npy decode when absent or stale.
+        self.packed_path = packed_path
         self.rng = np.random.default_rng(seed)
         self.map_save_dir = self.data_dir / "vlmap"
         self.map_save_path = self.map_save_dir / "vlmaps.h5df"
@@ -345,10 +350,14 @@ class VLMapBuilder:
         # resume support: skip frames already in the saved map
         saved, mapped = self._load_saved()
 
-        from avlmaps_tpu.pipeline.loader import PrefetchLoader, load_depth
+        self._scene = self._packed_scene()
+        if self._scene is not None:
+            h, w = self._scene.h, self._scene.w
+        else:
+            from avlmaps_tpu.pipeline.loader import load_depth
 
-        probe = np.asarray(load_depth(self.depth_paths[0]))
-        h, w = probe.shape[:2]
+            probe = np.asarray(load_depth(self.depth_paths[0]))
+            h, w = probe.shape[:2]
         max_pts = cfg.point_budget(h, w)
 
         if self.mesh is not None:
@@ -391,10 +400,10 @@ class VLMapBuilder:
             transform = None
         step = jax.jit(step, donate_argnums=(0,))
 
-        loader = PrefetchLoader(self.rgb_paths, self.depth_paths, pose_tfs,
-                                batch_size=self.batch_size, skip_ids=mapped,
-                                normalize=False, transform=transform,
-                                device_put=True)
+        loader = self._make_loader(
+            pose_tfs, self.batch_size, mapped, transform, use_canvas,
+            h, w, max_pts, device_put=True,
+            canvas_hw=(height, width) if use_canvas else None)
         done = 0
         meter = RateMeter()
         for batch in loader:
@@ -435,6 +444,61 @@ class VLMapBuilder:
         }
         return self._save(state, gs, vh, mapped)
 
+    def _packed_scene(self):
+        """Open the packed scene when configured/present and it matches the
+        frame list; None -> decode PNG/npy per frame (reference behaviour,
+        avlmaps/map/vlmap_builder.py:118-120)."""
+        from avlmaps_tpu.pipeline.packed import PackedScene
+
+        explicit = self.packed_path is not None
+        path = Path(self.packed_path) if explicit \
+            else self.data_dir / "scene.avpack"
+        if not Path(path).exists():
+            if explicit:
+                raise FileNotFoundError(path)
+            return None
+        scene = PackedScene(path)
+        if not scene.matches(self.rgb_paths):
+            msg = (f"{path} was packed from a different frame list "
+                   f"({scene.n} frames vs {len(self.rgb_paths)})")
+            if explicit:
+                raise ValueError(msg)
+            print(f"WARNING: ignoring stale pack: {msg}")
+            return None
+        return scene
+
+    def _make_loader(self, pose_tfs, batch_size, mapped, transform,
+                     use_canvas, h, w, max_pts, device_put,
+                     canvas_hw=None):
+        """PackedLoader when a matching .avpack exists, else PrefetchLoader.
+
+        Packed + matching stored canvas: the producer does only O(points)
+        gathers per frame (no decode, no resize) — batches are bit-identical
+        to the online canvas-transport path (tests/test_packed.py)."""
+        cfg = self.map_config
+        scene = getattr(self, "_scene", None)
+        if scene is not None:
+            from avlmaps_tpu.pipeline.packed import PackedLoader
+
+            if (use_canvas and scene.canvas is not None
+                    and tuple(scene.canvas_hw) == tuple(canvas_hw)):
+                return PackedLoader(
+                    scene, pose_tfs, batch_size=batch_size,
+                    skip_ids=mapped,
+                    sampler=lambda b: sample_pixels(
+                        self.rng, h, w, cfg.depth_sample_rate, max_pts, b),
+                    device_put=device_put)
+            return PackedLoader(scene, pose_tfs, batch_size=batch_size,
+                                skip_ids=mapped, transform=transform,
+                                depth_metres=use_canvas,
+                                device_put=device_put)
+        from avlmaps_tpu.pipeline.loader import PrefetchLoader
+
+        return PrefetchLoader(self.rgb_paths, self.depth_paths, pose_tfs,
+                              batch_size=batch_size, skip_ids=mapped,
+                              normalize=False, transform=transform,
+                              device_put=device_put)
+
     def _load_saved(self):
         """Saved map arrays + mapped frame set, or (None, empty) if fresh."""
         if self.map_save_path.exists():
@@ -464,7 +528,6 @@ class VLMapBuilder:
         checkpoints every ``save_every`` fused frames, mirroring the
         reference's periodic save (avlmaps/map/vlmap_builder.py:180-183)."""
         from avlmaps_tpu.parallel.sharded import ShardedFusion
-        from avlmaps_tpu.pipeline.loader import PrefetchLoader
 
         cfg = self.map_config
         n_dev = self.mesh.devices.size
@@ -499,6 +562,7 @@ class VLMapBuilder:
 
         pose_tfs = self._pose_tfs
         transform = None
+        height = width = None
         if use_canvas:
             from avlmaps_tpu.pipeline.transport import make_canvas_transform
 
@@ -507,13 +571,12 @@ class VLMapBuilder:
                 lambda bb: sample_pixels(self.rng, h, w,
                                          cfg.depth_sample_rate, max_pts, bb),
                 (height, width))
-        loader = PrefetchLoader(self.rgb_paths, self.depth_paths, pose_tfs,
-                                batch_size=batch, skip_ids=mapped,
-                                normalize=False, transform=transform,
-                                # no producer-side device_put on the mesh
-                                # path: shard_map owns placement of the
-                                # global batch across devices
-                                device_put=False)
+        # no producer-side device_put on the mesh path: shard_map owns
+        # placement of the global batch across devices
+        loader = self._make_loader(
+            pose_tfs, batch, mapped, transform, use_canvas, h, w, max_pts,
+            device_put=False,
+            canvas_hw=(height, width) if use_canvas else None)
         from avlmaps_tpu.utils.profiling import RateMeter
 
         meter = RateMeter()

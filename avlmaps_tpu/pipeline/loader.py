@@ -63,7 +63,62 @@ def _batch_to_device(batch):
     return dataclasses.replace(batch, **moved)
 
 
-class PrefetchLoader:
+class _QueueLoader:
+    """Shared producer-thread plumbing: chunk frame ids into fixed-size
+    batches on a bounded queue, apply an optional ``transform`` and
+    ``device_put`` on the producer thread, re-raise producer failures in
+    the consumer.  Subclasses implement ``_n_frames()`` and
+    ``_make_batch(chunk)`` (which must pad to ``batch_size`` with repeats,
+    frame_id = -1)."""
+
+    batch_size: int
+    skip_ids: set
+    transform = None
+    device_put = False
+    _queue: "queue.Queue"
+
+    def _n_frames(self) -> int:
+        raise NotImplementedError
+
+    def _make_batch(self, chunk):
+        raise NotImplementedError
+
+    def _producer(self):
+        try:
+            ids = [i for i in range(self._n_frames())
+                   if i not in self.skip_ids]
+            bs = self.batch_size
+            for start in range(0, len(ids), bs):
+                batch = self._make_batch(ids[start:start + bs])
+                if self.transform is not None:
+                    batch = self.transform(batch)
+                if self.device_put:
+                    batch = _batch_to_device(batch)
+                self._queue.put(batch)
+            self._queue.put(None)
+        except BaseException as exc:  # noqa: BLE001 - re-raised in consumer
+            # a dead producer must not leave the consumer blocked forever
+            self._queue.put(exc)
+
+    def __iter__(self) -> Iterator:
+        self._thread = threading.Thread(target=self._producer, daemon=True)
+        self._thread.start()
+        while True:
+            batch = self._queue.get()
+            if batch is None:
+                return
+            if isinstance(batch, BaseException):
+                raise RuntimeError(
+                    "frame producer thread failed") from batch
+            yield batch
+
+    def __len__(self) -> int:
+        n = len([i for i in range(self._n_frames())
+                 if i not in self.skip_ids])
+        return (n + self.batch_size - 1) // self.batch_size
+
+
+class PrefetchLoader(_QueueLoader):
     """Bounded-queue background prefetcher yielding fixed-size FrameBatches.
 
     The last batch is padded with repeats (frame_id = -1) so every device
@@ -122,49 +177,21 @@ class PrefetchLoader:
             depth = depth.astype(np.float32)
         return rgb, depth, np.asarray(self.pose_tfs[i], np.float32)
 
-    def _producer(self):
-        try:
-            ids = [i for i in range(len(self.rgb_paths))
-                   if i not in self.skip_ids]
-            bs = self.batch_size
-            for start in range(0, len(ids), bs):
-                chunk = ids[start:start + bs]
-                frames = [self._frame(i) for i in chunk]
-                while len(frames) < bs:  # pad with repeats, marked invalid
-                    frames.append(frames[-1])
-                fids = np.array(chunk + [-1] * (bs - len(chunk)), np.int32)
-                batch = FrameBatch(
-                    frame_ids=fids,
-                    rgb=np.stack([f[0] for f in frames]),
-                    depth=np.stack([f[1] for f in frames]),
-                    pose_tf=np.stack([f[2] for f in frames]),
-                )
-                if self.transform is not None:
-                    batch = self.transform(batch)
-                if self.device_put:
-                    batch = _batch_to_device(batch)
-                self._queue.put(batch)
-            self._queue.put(None)
-        except BaseException as exc:  # noqa: BLE001 - re-raised in consumer
-            # a dead producer must not leave the consumer blocked forever
-            self._queue.put(exc)
+    def _n_frames(self) -> int:
+        return len(self.rgb_paths)
 
-    def __iter__(self) -> Iterator[FrameBatch]:
-        self._thread = threading.Thread(target=self._producer, daemon=True)
-        self._thread.start()
-        while True:
-            batch = self._queue.get()
-            if batch is None:
-                return
-            if isinstance(batch, BaseException):
-                raise RuntimeError(
-                    "frame producer thread failed") from batch
-            yield batch
-
-    def __len__(self) -> int:
-        n = len([i for i in range(len(self.rgb_paths))
-                 if i not in self.skip_ids])
-        return (n + self.batch_size - 1) // self.batch_size
+    def _make_batch(self, chunk) -> FrameBatch:
+        bs = self.batch_size
+        frames = [self._frame(i) for i in chunk]
+        while len(frames) < bs:  # pad with repeats, marked invalid
+            frames.append(frames[-1])
+        fids = np.array(list(chunk) + [-1] * (bs - len(chunk)), np.int32)
+        return FrameBatch(
+            frame_ids=fids,
+            rgb=np.stack([f[0] for f in frames]),
+            depth=np.stack([f[1] for f in frames]),
+            pose_tf=np.stack([f[2] for f in frames]),
+        )
 
 
 def load_pose(path):

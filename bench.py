@@ -183,14 +183,20 @@ def measure_device(step, state, params, canvas_hw) -> dict:
     }
 
 
-def measure_e2e(step, state, params, canvas_hw, device_put=True) -> float:
+def measure_e2e(step, state, params, canvas_hw, device_put=True,
+                packed=False) -> float:
     """End-to-end pipeline fps: PNG/npy decode + canvas prep on the host
     (PrefetchLoader + canvas transform on the producer thread) -> lean
     transfer -> compiled step.  The number a map build sees.
 
     ``device_put=True`` ships batches to the device on the producer thread
     (overlapping H2D with the next batch's decode) — the production
-    configuration."""
+    configuration.
+
+    ``packed=True`` measures the packed-scene ingestion path instead
+    (pipeline/packed.py): the scene is converted once (untimed — a real
+    deployment packs a scene once and builds from it repeatedly) and
+    streamed via PackedLoader with zero decode/resize work per build."""
     import tempfile
 
     import cv2
@@ -213,14 +219,27 @@ def measure_e2e(step, state, params, canvas_hw, device_put=True) -> float:
                 rng.uniform(0.3, 5.0, (H, W)).astype(np.float32))
     pose_tfs = [np.eye(4, dtype=np.float32) for _ in range(E2E_FRAMES)]
 
-    transform = make_canvas_transform(
-        lambda b: sample_pixels(rng, H, W, DEPTH_SAMPLE_RATE, MAX_PTS, b),
-        canvas_hw)
-    loader = PrefetchLoader(
-        sorted((root / "rgb").glob("*.png")),
-        sorted((root / "depth").glob("*.npy")),
-        pose_tfs, batch_size=BATCH, normalize=False, transform=transform,
-        device_put=device_put)
+    if packed:
+        from avlmaps_tpu.pipeline.packed import (PackedLoader, PackedScene,
+                                                 pack_scene)
+
+        pack_path = pack_scene(sorted((root / "rgb").glob("*.png")),
+                               sorted((root / "depth").glob("*.npy")),
+                               root / "scene.avpack", canvas_hw=canvas_hw)
+        loader = PackedLoader(
+            PackedScene(pack_path), pose_tfs, batch_size=BATCH,
+            sampler=lambda b: sample_pixels(rng, H, W, DEPTH_SAMPLE_RATE,
+                                            MAX_PTS, b),
+            device_put=device_put)
+    else:
+        transform = make_canvas_transform(
+            lambda b: sample_pixels(rng, H, W, DEPTH_SAMPLE_RATE, MAX_PTS, b),
+            canvas_hw)
+        loader = PrefetchLoader(
+            sorted((root / "rgb").glob("*.png")),
+            sorted((root / "depth").glob("*.npy")),
+            pose_tfs, batch_size=BATCH, normalize=False, transform=transform,
+            device_put=device_put)
 
     # steady-state rate: the first batch absorbs the producer-thread spin-up
     # (queue fill, page-cache warm) and is excluded from the timed window —
@@ -520,6 +539,15 @@ def main():
     except Exception as e:  # noqa: BLE001 - report device fps regardless
         dev.pop("state", None)
         print(f"e2e measurement failed: {e}", file=sys.stderr)
+    e2e_packed = None
+    try:
+        from avlmaps_tpu.ops.voxel_fusion import init_fusion_state
+
+        e2e_packed = measure_e2e(step,
+                                 init_fusion_state(GS, VH, 512, CAPACITY),
+                                 params, canvas_hw, packed=True)
+    except Exception as e:  # noqa: BLE001 - secondary metric only
+        print(f"packed e2e measurement failed: {e}", file=sys.stderr)
     e2e_whole = None
     if whole is not None:
         try:
@@ -557,6 +585,7 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
         "device_fps": round(dev["device_fps"], 3),
         "e2e_fps": round(e2e_fps, 3) if e2e_fps else None,
+        "e2e_fps_packed": round(e2e_packed, 3) if e2e_packed else None,
         "mfu": round(dev["mfu"], 4) if dev.get("mfu") else None,
         "flops_per_step": dev.get("flops_per_step"),
         "chip": dev.get("chip"),
