@@ -23,6 +23,10 @@ def main() -> None:
                         help="root dir containing avlmaps_dataset/")
     parser.add_argument("--scene-id", type=int, default=0)
     parser.add_argument("--config", default=None, help="optional YAML config")
+    parser.add_argument("--pack-first", action="store_true",
+                        help="pack the scene to scene.avpack before building "
+                             "(decode-once ingestion, pipeline/packed.py); "
+                             "subsequent builds auto-detect the pack")
     args = parser.parse_args()
 
     config = load_config(args.config)
@@ -33,6 +37,12 @@ def main() -> None:
     if not dataset.exists():
         dataset = Path(args.data_dir) / "vlmaps_dataset"
     data_dirs = sorted([x for x in dataset.iterdir() if x.is_dir()])
+
+    scene_dir = data_dirs[config.scene_id]
+    if args.pack_first and not (scene_dir / "scene.avpack").exists():
+        from tools.pack_scene import main as pack_main
+
+        pack_main([str(scene_dir)])
 
     avlmap = AVLMap(config, data_dir=str(data_dirs[config.scene_id]))
     avlmap.create_map(data_dirs[config.scene_id])
