@@ -155,6 +155,42 @@ def multi_scale_features(apply_fn: Callable, params, images: jnp.ndarray,
     return total
 
 
+def bilinear_patch_sample(fmap: jnp.ndarray, sx: jnp.ndarray,
+                          sy: jnp.ndarray) -> jnp.ndarray:
+    """Edge-safe bilinear sample of (B, H, W, D) feature maps at float
+    coords (B, N) — ONE (2, 2, D) patch gather per point instead of four
+    separate row gathers.  TPU gathers are latency-bound per gathered
+    slice, so fetching the whole bilinear support as one slice quarters
+    the row count (the four-corner form traced at 3.3 ms/step, r3).
+
+    ``sx``/``sy`` must already be clipped to [0, W-1] / [0, H-1].  Uses the
+    standard edge-safe formulation start = min(floor(s), size-2),
+    t = s - start ∈ [0, 1]: algebraically identical to clamped-corner
+    lerping (at the high edge t = 1 selects the far corner exactly).
+    """
+    b, h, w, d = fmap.shape
+    ys = jnp.clip(jnp.floor(sy), 0, h - 2).astype(jnp.int32)
+    xs = jnp.clip(jnp.floor(sx), 0, w - 2).astype(jnp.int32)
+    ty = (sy - ys.astype(jnp.float32))[..., None]
+    tx = (sx - xs.astype(jnp.float32))[..., None]
+    starts = jnp.stack([ys, xs], axis=-1)  # (B, N, 2)
+
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+
+    def patch(m, s):  # m: (H, W, D), s: (N, 2) -> (N, 2, 2, D)
+        return jax.lax.gather(
+            m, s, dn, slice_sizes=(2, 2, d),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+    p = jax.vmap(patch)(fmap, starts)
+    return ((1 - ty) * (1 - tx) * p[:, :, 0, 0]
+            + (1 - ty) * tx * p[:, :, 0, 1]
+            + ty * (1 - tx) * p[:, :, 1, 0]
+            + ty * tx * p[:, :, 1, 1])
+
+
 def whole_canvas_features_at_points(apply_fn: Callable, params,
                                     images: jnp.ndarray, px: jnp.ndarray,
                                     py: jnp.ndarray,
@@ -194,18 +230,7 @@ def whole_canvas_features_at_points(apply_fn: Callable, params,
     # half-res align-corners sample (same map as the skipped 2x upsample)
     sx = jnp.clip(px.astype(jnp.float32), 0, pw - 1) * ((fw - 1) / (pw - 1))
     sy = jnp.clip(py.astype(jnp.float32), 0, ph - 1) * ((fh - 1) / (ph - 1))
-    x0 = jnp.clip(jnp.floor(sx), 0, fw - 1).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor(sy), 0, fh - 1).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, fw - 1)
-    y1 = jnp.minimum(y0 + 1, fh - 1)
-    fx = (sx - x0.astype(jnp.float32))[..., None]
-    fy = (sy - y0.astype(jnp.float32))[..., None]
-
-    def g(yy, xx):
-        return jax.vmap(lambda m, r, c: m[r, c])(feats, yy, xx)
-
-    return ((1 - fy) * (1 - fx) * g(y0, x0) + (1 - fy) * fx * g(y0, x1)
-            + fy * (1 - fx) * g(y1, x0) + fy * fx * g(y1, x1))
+    return bilinear_patch_sample(feats, sx, sy)
 
 
 def features_at_points(apply_fn: Callable, params, images: jnp.ndarray,
@@ -284,23 +309,8 @@ def _features_at_points_halfres(apply_fn, params, images, px, py,
               & (pyf[None] >= h0s) & (pyf[None] < h1s))
     sx = jnp.clip(lx, 0, crop_size - 1) * scale
     sy = jnp.clip(ly, 0, crop_size - 1) * scale
-    x0 = jnp.clip(jnp.floor(sx), 0, hh - 1).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor(sy), 0, hh - 1).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, hh - 1)
-    y1 = jnp.minimum(y0 + 1, hh - 1)
-    fx = (sx - x0.astype(jnp.float32)).reshape(nc * b, n, 1)
-    fy = (sy - y0.astype(jnp.float32)).reshape(nc * b, n, 1)
-
-    flat = feats.reshape(nc * b, hh * hh, d)
-
-    def g(yy, xx):
-        idx = (yy * hh + xx).reshape(nc * b, n, 1)
-        return jnp.take_along_axis(flat, idx, axis=1)
-
-    val = ((1 - fy) * (1 - fx) * g(y0, x0)
-           + (1 - fy) * fx * g(y0, x1)
-           + fy * (1 - fx) * g(y1, x0)
-           + fy * fx * g(y1, x1))
+    val = bilinear_patch_sample(feats, sx.reshape(nc * b, n),
+                                sy.reshape(nc * b, n))
     m = inside.reshape(nc, b, n, 1).astype(jnp.float32)
     acc = jnp.sum(val.astype(jnp.float32).reshape(nc, b, n, d) * m, axis=0)
     cnt = jnp.sum(m, axis=0)
