@@ -56,7 +56,7 @@ class AreaMap:
                    batch_size: int = 64) -> None:
         """Encode every frame with CLIP and store (features, poses)
         (reference area_map.py:65-92) — batched instead of per-frame."""
-        from avlmaps_tpu.pipeline.loader import load_rgb
+        from avlmaps_tpu.pipeline.packed import rgb_reader
 
         self._setup_paths(data_dir)
         enc = self._init_clip()
@@ -66,9 +66,11 @@ class AreaMap:
 
         # stream decode -> encode per batch (a full trajectory decoded at
         # once is multiple GB of host RAM)
+        read = rgb_reader(self.data_dir, self.rgb_paths)
         feats = np.zeros((len(self.rgb_paths), enc.feat_dim), np.float32)
         for s0 in range(0, len(self.rgb_paths), batch_size):
-            chunk = [load_rgb(p) for p in self.rgb_paths[s0:s0 + batch_size]]
+            chunk = [read(i) for i in
+                     range(s0, min(s0 + batch_size, len(self.rgb_paths)))]
             feats[s0:s0 + len(chunk)] = enc.get_imgs_feats_batch(
                 chunk, batch_size)
         self.clip_sparse_map = feats

@@ -115,7 +115,7 @@ class VisualMap:
         """Compute (or load cached) per-frame global descriptors
         (reference compute_global_descriptor caching,
         localization_utils.py:310-406)."""
-        from avlmaps_tpu.pipeline.loader import load_rgb
+        from avlmaps_tpu.pipeline.packed import rgb_reader
 
         self.data_dir = Path(data_dir)
         pose_path = self.data_dir / "poses.txt"
@@ -139,10 +139,12 @@ class VisualMap:
                 return  # cache valid; else try the next candidate
         rgb_paths = sorted((self.data_dir / "rgb").glob("*.png"))
         enc = self._init_clip()
+        read = rgb_reader(self.data_dir, rgb_paths)
         self.descriptors = np.zeros((len(rgb_paths), enc.feat_dim),
                                     np.float32)
         for s0 in range(0, len(rgb_paths), batch_size):
-            chunk = [load_rgb(p) for p in rgb_paths[s0:s0 + batch_size]]
+            chunk = [read(i) for i in
+                     range(s0, min(s0 + batch_size, len(rgb_paths)))]
             self.descriptors[s0:s0 + len(chunk)] = \
                 enc.get_imgs_feats_batch(chunk, batch_size)
         with h5py.File(self._cache_write_path(enc.feat_dim), "w") as f:

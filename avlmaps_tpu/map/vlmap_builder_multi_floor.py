@@ -95,6 +95,27 @@ class VLMapBuilderMultiFloor:
         self.pcd_min: Optional[np.ndarray] = None
         self.pcd_max: Optional[np.ndarray] = None
 
+    def _make_loader(self, batch_size: int):
+        """PackedLoader when <data_dir>/scene.avpack matches the frame list
+        (decode-once ingestion, pipeline/packed.py), else the PNG/npy
+        prefetcher.  Packed uint16-mm depth is converted back to float32
+        metres for the frame-transport step (<= 1 mm truncation; pack with
+        --depth-f32 for bit parity)."""
+        from avlmaps_tpu.pipeline.packed import PackedLoader, PackedScene
+
+        cand = self.data_dir / "scene.avpack"
+        if cand.exists():
+            scene = PackedScene(cand)
+            if scene.matches(self.rgb_paths):
+                return PackedLoader(scene, self.pose_tfs,
+                                    batch_size=batch_size,
+                                    depth_metres=True)
+            print(f"WARNING: ignoring stale pack {cand} "
+                  f"({scene.n} frames vs {len(self.rgb_paths)})")
+        return PrefetchLoader(self.rgb_paths, self.depth_paths,
+                              self.pose_tfs, batch_size=batch_size,
+                              normalize=False)
+
     # -- pass 1: bounds probe ------------------------------------------------
 
     def probe_bounds(self, sample_stride: int = 50,
@@ -227,9 +248,7 @@ class VLMapBuilderMultiFloor:
         step = jax.jit(step, donate_argnums=(0,))
         state = init_fusion_state(gs, vh, self.feat_dim, cfg.capacity)
 
-        loader = PrefetchLoader(self.rgb_paths, self.depth_paths,
-                                self.pose_tfs, batch_size=self.batch_size,
-                                normalize=False)
+        loader = self._make_loader(self.batch_size)
         from avlmaps_tpu.map.vlmap_builder import sample_pixels
 
         mapped = set()
@@ -275,9 +294,7 @@ class VLMapBuilderMultiFloor:
             half_res_apply=False, transport="frame",
             geometry_fn=geometry)
 
-        loader = PrefetchLoader(self.rgb_paths, self.depth_paths,
-                                self.pose_tfs, batch_size=batch,
-                                normalize=False)
+        loader = self._make_loader(batch)
         mapped = set()
         for b in loader:
             idx = sample_pixels(self.rng, h, w, cfg.depth_sample_rate,

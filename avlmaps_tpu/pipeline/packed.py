@@ -190,6 +190,19 @@ class PackedScene:
         return d
 
 
+def rgb_reader(data_dir, rgb_paths: Sequence):
+    """``callable(i) -> (H, W, 3) uint8 RGB``: memmap-backed when a matching
+    ``<data_dir>/scene.avpack`` exists, else per-frame PNG decode.  Lets the
+    one-pass encoders (AreaMap / VisualMap frame features) share the
+    decode-once pack the VLMap builder uses."""
+    cand = Path(data_dir) / "scene.avpack"
+    if cand.exists():
+        scene = PackedScene(cand)
+        if scene.matches(rgb_paths):
+            return lambda i: np.asarray(scene.rgb[i])
+    return lambda i: load_rgb(rgb_paths[i])
+
+
 class PackedLoader(_QueueLoader):
     """PrefetchLoader twin fed from a PackedScene instead of PNG/npy files.
 

@@ -168,3 +168,42 @@ def test_sharded_multi_floor_matches_single_device(tmp_path):
         np.linalg.norm(m.grid_feat, axis=1, keepdims=True), 1e-12)
     expect = (fn @ text.T).argmax(axis=1) == 0
     np.testing.assert_array_equal(mask, expect)
+
+
+def test_multi_floor_packed_matches_decoded(tmp_path):
+    """A matching f32 .avpack feeds the multi-floor build bit-identically
+    to PNG/npy decode (pipeline/packed.py; seeded sampler)."""
+    from avlmaps_tpu.pipeline.packed import pack_scene
+
+    def build(root, pose_tfs):
+        cfg = load_config()
+        cfg.map_config.cell_size = 0.1
+        cfg.map_config.cam_calib_mat = tuple(
+            get_sim_cam_mat(H, W).reshape(-1))
+        cfg.map_config.capacity = 8192
+        cfg.map_config.depth_sample_rate = 16
+        cfg.map_config.max_pts_per_frame = 64
+        cfg.map_config.lseg_base_size = W
+        cfg.map_config.lseg_crop_size = W
+        model = LSegNet(LSegConfig.tiny16())
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, H, W, 3), jnp.float32))
+        b = VLMapBuilderMultiFloor(
+            root, cfg.map_config, sorted((root / "rgb").glob("*.png")),
+            sorted((root / "depth").glob("*.npy")), pose_tfs,
+            lseg_apply=model.apply, lseg_params=params, feat_dim=24,
+            batch_size=2)
+        b.probe_bounds(sample_stride=4)
+        return b.create_global_map(progress=False)
+
+    s1, poses1 = write_scene(tmp_path / "plain")
+    s2, poses2 = write_scene(tmp_path / "packed")
+    pack_scene(sorted((s2 / "rgb").glob("*.png")),
+               sorted((s2 / "depth").glob("*.npy")),
+               s2 / "scene.avpack", depth_dtype="f32")
+    feat1, pos1, w1, occ1, rgb1 = build(s1, poses1)
+    feat2, pos2, w2, occ2, rgb2 = build(s2, poses2)
+    np.testing.assert_array_equal(pos2, pos1)
+    np.testing.assert_array_equal(occ2, occ1)
+    np.testing.assert_allclose(w2, w1, rtol=1e-6)
+    np.testing.assert_allclose(feat2, feat1, rtol=1e-5, atol=1e-6)
