@@ -107,7 +107,8 @@ def concept_fusion_alpha(points_local: jnp.ndarray,
     return jnp.exp(-radial_dist_sq / (2.0 * sigma_sq))
 
 
-@functools.partial(jax.jit, static_argnames=("gs", "vh", "n_rows"),
+@functools.partial(jax.jit,
+                   static_argnames=("gs", "vh", "n_rows", "dedup_scatter"),
                    donate_argnums=(0,))
 def fuse_points(state: VoxelFusionState,
                 vids: jnp.ndarray,  # (B,) int32 flat voxel ids
@@ -116,7 +117,8 @@ def fuse_points(state: VoxelFusionState,
                 alphas: jnp.ndarray,  # (B,) float32 confidence weights
                 valid: jnp.ndarray,  # (B,) bool
                 *, gs: int, vh: int,
-                n_rows: Optional[int] = None) -> VoxelFusionState:
+                n_rows: Optional[int] = None,
+                dedup_scatter: bool = False) -> VoxelFusionState:
     """Fuse one batch of weighted point features into the voxel accumulators.
 
     Semantics per valid point (row, col, h) with weight α (matches the
@@ -127,6 +129,11 @@ def fuse_points(state: VoxelFusionState,
     ``n_rows`` supports row-sharded grids (multi-chip): the state's
     occupied table covers only ``n_rows`` of the gs rows and vids are local
     (local_row * gs * vh + col * vh + h).  Defaults to the full grid.
+
+    ``dedup_scatter=True`` sorts the batch by slot and combines colliding
+    rows before touching HBM (ops/segment_scatter.py): one RMW per unique
+    voxel instead of one serialized scatter row per point.  Numerically
+    identical up to f32 add order (adds within a slot commute).
     """
     capacity = state.accum.shape[0] - 1
     b = vids.shape[0]
@@ -184,7 +191,15 @@ def fuse_points(state: VoxelFusionState,
         pos_add,
         jnp.zeros((b, ACCUM_PAD - 7), jnp.float32),
     ], axis=1)
-    accum = state.accum.at[slot].add(update)
+    if dedup_scatter:
+        from avlmaps_tpu.ops.segment_scatter import \
+            sorted_segment_scatter_add
+
+        order = jnp.argsort(slot)
+        accum = sorted_segment_scatter_add(state.accum, slot[order],
+                                           update[order])
+    else:
+        accum = state.accum.at[slot].add(update)
 
     n_slots = jnp.minimum(state.n_slots + n_unique, capacity)
     n_dropped = state.n_dropped + jnp.sum(

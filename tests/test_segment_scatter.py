@@ -1,0 +1,101 @@
+"""Sorted segment scatter-add kernel (ops/segment_scatter.py) vs the XLA
+scatter oracle, in Pallas interpreter mode on CPU."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from avlmaps_tpu.ops import segment_scatter
+from avlmaps_tpu.ops.segment_scatter import sorted_segment_scatter_add
+
+S, W = 64, 128
+
+
+def _oracle(accum, slots, updates):
+    out = np.array(accum, np.float64)
+    for k in range(slots.shape[0]):
+        out[slots[k]] += np.asarray(updates[k], np.float64)
+    return out.astype(np.float32)
+
+
+def run(accum, slots, updates, block_rows):
+    return np.asarray(sorted_segment_scatter_add(
+        jnp.asarray(accum), jnp.asarray(slots, jnp.int32),
+        jnp.asarray(updates), block_rows=block_rows, interpret=True))
+
+
+@pytest.mark.parametrize("block_rows", [8, 16])
+@pytest.mark.parametrize("pattern", ["collisions", "unique", "one_slot",
+                                     "spanning"])
+def test_matches_oracle(rng, pattern, block_rows):
+    b = 50  # deliberately not a block multiple -> exercises padding
+    accum = rng.normal(size=(S, W)).astype(np.float32)
+    if pattern == "collisions":
+        slots = np.sort(rng.integers(0, S - 1, b)).astype(np.int32)
+    elif pattern == "unique":
+        slots = np.sort(rng.choice(S - 1, b, replace=False)).astype(np.int32)
+    elif pattern == "one_slot":
+        slots = np.full(b, 17, np.int32)
+    else:  # one segment spanning several blocks mid-way
+        slots = np.sort(np.concatenate([
+            rng.integers(0, 10, 10), np.full(30, 23),
+            rng.integers(40, S - 1, 10)])).astype(np.int32)
+    updates = rng.normal(size=(b, W)).astype(np.float32)
+    got = run(accum, slots, updates, block_rows)
+    want = _oracle(accum, slots, updates)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_trash_row_absorbs_padding(rng):
+    """Padding rows add exactly zero to the trash row S-1."""
+    accum = rng.normal(size=(S, W)).astype(np.float32)
+    slots = np.sort(rng.integers(0, S, 13)).astype(np.int32)
+    updates = rng.normal(size=(13, W)).astype(np.float32)
+    got = run(accum, slots, updates, block_rows=8)
+    want = _oracle(accum, slots, updates)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_non_lane_multiple_width(rng):
+    """Odd widths (e.g. tiny test feat dims) still match the oracle."""
+    accum = rng.normal(size=(S, 152)).astype(np.float32)
+    slots = np.sort(rng.integers(0, S, 20)).astype(np.int32)
+    updates = rng.normal(size=(20, 152)).astype(np.float32)
+    got = run(accum, slots, updates, block_rows=8)
+    np.testing.assert_allclose(got, _oracle(accum, slots, updates),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fuse_points_dedup_matches_default(rng):
+    """fuse_points(dedup_scatter=True) == the XLA-scatter path."""
+    from avlmaps_tpu.ops.voxel_fusion import fuse_points, init_fusion_state
+
+    gs, vh, d, cap = 16, 4, 24, 256
+    b = 300
+    segment_scatter.FORCE_INTERPRET = True
+    try:
+        vids = rng.integers(0, gs * gs * vh, b).astype(np.int32)
+        feats = rng.normal(size=(b, d)).astype(np.float32)
+        rgbs = rng.integers(0, 255, (b, 3)).astype(np.float32)
+        alphas = rng.uniform(0.1, 1.0, b).astype(np.float32)
+        valid = rng.random(b) > 0.1
+
+        kw = dict(gs=gs, vh=vh)
+        s_ref = fuse_points(init_fusion_state(gs, vh, d, cap),
+                            jnp.asarray(vids), jnp.asarray(feats),
+                            jnp.asarray(rgbs), jnp.asarray(alphas),
+                            jnp.asarray(valid), **kw)
+        s_ded = fuse_points(init_fusion_state(gs, vh, d, cap),
+                            jnp.asarray(vids), jnp.asarray(feats),
+                            jnp.asarray(rgbs), jnp.asarray(alphas),
+                            jnp.asarray(valid), dedup_scatter=True, **kw)
+    finally:
+        segment_scatter.FORCE_INTERPRET = False
+    assert int(s_ded.n_slots) == int(s_ref.n_slots)
+    assert int(s_ded.n_dropped) == int(s_ref.n_dropped)
+    np.testing.assert_array_equal(np.asarray(s_ded.occupied_flat),
+                                  np.asarray(s_ref.occupied_flat))
+    np.testing.assert_allclose(np.asarray(s_ded.accum),
+                               np.asarray(s_ref.accum),
+                               rtol=1e-5, atol=1e-4)
