@@ -130,7 +130,8 @@ def make_frame_step(lseg_apply: Callable, *, gs: int, cs: float, vh: int,
                     n_rows: Optional[int] = None,
                     row_offset: int = 0,
                     half_res_apply: bool = False,
-                    rgb_uint8: bool = False) -> Callable:
+                    rgb_uint8: bool = False,
+                    dedup_scatter: Optional[bool] = None) -> Callable:
     """Build the jitted device step for one batch of frames.
 
     ``lseg_apply(params, crops) -> (B', c, c, D)`` is the pixel-feature
@@ -138,7 +139,13 @@ def make_frame_step(lseg_apply: Callable, *, gs: int, cs: float, vh: int,
     ``n_rows``/``row_offset`` support row-sharded grids (multi-chip).
     ``rgb_uint8=True`` accepts raw uint8 RGB and normalises on device
     (pairs with PrefetchLoader(normalize=False): 4x less H2D traffic).
+    ``dedup_scatter`` routes the fusion through the sorted segment
+    scatter-add kernel (ops/segment_scatter.py); default: on for TPU
+    backends (measured ~2 ms/step faster at the bench batch, r3), off
+    elsewhere (the kernel needs Mosaic or the Pallas interpreter).
     """
+    if dedup_scatter is None:
+        dedup_scatter = jax.default_backend() == "tpu"
     geometry, rows = make_point_geometry(
         gs=gs, cs=cs, vh=vh, calib_mat=calib_mat, image_hw=image_hw,
         base_size=base_size, crop_size=crop_size, min_depth=min_depth,
@@ -172,7 +179,7 @@ def make_frame_step(lseg_apply: Callable, *, gs: int, cs: float, vh: int,
         return fuse_points(
             state, vids.reshape(-1), feats.reshape(-1, d),
             rgbs.reshape(-1, 3), alpha.reshape(-1), valid.reshape(-1),
-            gs=gs, vh=vh, n_rows=rows)
+            gs=gs, vh=vh, n_rows=rows, dedup_scatter=dedup_scatter)
 
     return step
 
@@ -185,7 +192,8 @@ def make_frame_step_canvas(lseg_apply: Callable, *, gs: int, cs: float,
                            n_rows: Optional[int] = None,
                            row_offset: int = 0,
                            half_res_apply: bool = True,
-                           lseg_eval: str = "sliding") -> Callable:
+                           lseg_eval: str = "sliding",
+                           dedup_scatter: Optional[bool] = None) -> Callable:
     """Lean-transport variant of make_frame_step (pipeline.transport).
 
     Consumes a CanvasBatch — the pre-resized uint8 canvas plus depth/colour
@@ -199,7 +207,10 @@ def make_frame_step_canvas(lseg_apply: Callable, *, gs: int, cs: float,
     crop grid (lseg_utils.py:77-96, parity default); "whole" = one forward
     over the padded canvas (window.whole_canvas_features_at_points, ~2.4x
     fewer encoder FLOPs, not numerically identical to the reference).
+    ``dedup_scatter``: see make_frame_step.
     """
+    if dedup_scatter is None:
+        dedup_scatter = jax.default_backend() == "tpu"
     geometry, rows = make_point_geometry(
         gs=gs, cs=cs, vh=vh, calib_mat=calib_mat, image_hw=image_hw,
         base_size=base_size, crop_size=crop_size, min_depth=min_depth,
@@ -227,7 +238,7 @@ def make_frame_step_canvas(lseg_apply: Callable, *, gs: int, cs: float,
             state, vids.reshape(-1), feats.reshape(-1, d),
             rgb_pts.astype(jnp.float32).reshape(-1, 3),
             alpha.reshape(-1), valid.reshape(-1),
-            gs=gs, vh=vh, n_rows=rows)
+            gs=gs, vh=vh, n_rows=rows, dedup_scatter=dedup_scatter)
 
     return step
 

@@ -164,15 +164,13 @@ class ViTBlock(nn.Module):
     attn_impl: str = "flash"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, t_real: int | None = None):
         b, t, _ = x.shape
         hd = self.width // self.heads
         if self.attn_impl == "fused":
             from avlmaps_tpu.ops import fused_vit
-            if (jax.default_backend() == "tpu"
-                    and self.dtype == jnp.bfloat16) \
-                    or fused_vit.FORCE_INTERPRET:
-                return self._fused(x, b, t, hd)
+            if fused_vit.fused_active(self.dtype):
+                return self._fused(x, b, t, hd, t_real or t)
             # off-TPU fallback: same params, einsum reference math below
         # LN statistics are f32 regardless of dtype (flax computes stats in
         # f32); emitting at the model dtype instead of f32 halves the LN
@@ -224,12 +222,14 @@ class ViTBlock(nn.Module):
         x = x + nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(h)
         return x
 
-    def _fused(self, x, b, t, hd):
+    def _fused(self, x, b, t, hd, t_real):
         """Fully-fused block: LN->qkv and LN->fc as single Pallas kernels,
         one-shot MHA on the fused qkv layout (no BTHD transposes, no
-        901->1024 pad), GELU fused into mlp_proj.  Matches the reference
-        path within bf16 tolerance (tests/test_fused_vit.py); param tree is
-        identical, so ported checkpoints work unchanged."""
+        901->1024 pad — the token axis arrives padded only to the next
+        8-multiple, 901->904, with pad keys masked), GELU fused into
+        mlp_proj.  Matches the reference path within bf16 tolerance
+        (tests/test_fused_vit.py); param tree is identical, so ported
+        checkpoints work unchanged."""
         from avlmaps_tpu.ops.fused_vit import (gelu_matmul, ln_matmul,
                                                mha_oneshot_2d)
 
@@ -245,7 +245,7 @@ class ViTBlock(nn.Module):
         x2 = x.reshape(b * t, w)
         qkv = ln_matmul(x2, g1, c1, kq.astype(dt), bq, eps=self.ln_eps,
                         out_dtype=dt)
-        attn = mha_oneshot_2d(qkv, b, t, self.heads,
+        attn = mha_oneshot_2d(qkv, b, t, self.heads, t_real=t_real,
                               scale=1.0 / float(np.sqrt(hd)))
         x2 = x2 + (attn @ kp.astype(dt) + bp.astype(dt))
         h = ln_matmul(x2, g2, c2, kf.astype(dt), bf, eps=self.ln_eps,
@@ -297,14 +297,28 @@ class DenseViT(nn.Module):
         x = x + _resize_pos_embed(pos, cfg.pretrain_grid, gh, gw).astype(
             x.dtype)
 
+        # Mosaic requires Pallas sublane block extents to be 8-multiples,
+        # so the fused-kernel path runs the whole backbone at the token
+        # count padded up to one (901 -> 904 at the LSeg eval shape): pad
+        # rows are zeros whose garbage outputs never escape (taps slice
+        # them off; the MHA kernel masks them as keys via t_real).  The
+        # unfused paths keep the exact length.
+        t_real = x.shape[1]
+        if cfg.attn_impl == "fused":
+            from avlmaps_tpu.ops import fused_vit
+            if fused_vit.fused_active(cfg.dtype):
+                pad = (-t_real) % 8
+                if pad:
+                    x = jnp.pad(x, [(0, 0), (0, pad), (0, 0)])
+
         taps: List[jnp.ndarray] = []
         hook_set = set(cfg.hooks)
         for i in range(cfg.layers):
             x = ViTBlock(cfg.width, cfg.heads, cfg.mlp_ratio, cfg.ln_eps,
                          cfg.dtype, attn_impl=cfg.attn_impl,
-                         name=f"block_{i}")(x)
+                         name=f"block_{i}")(x, t_real)
             if i in hook_set:
-                taps.append(x)
+                taps.append(x[:, :t_real])
             if len(taps) == len(cfg.hooks) and i >= max(cfg.hooks):
                 break  # blocks above the last hook never affect the output
         return taps

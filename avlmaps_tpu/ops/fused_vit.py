@@ -48,14 +48,23 @@ FLOP_LOG: list = []
 
 
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int,
-                pack: int):
+                pack: int, t_real: int):
     """One grid cell = ``pack`` heads (packed along lanes so the minor
     block dim hits Mosaic's 128-lane requirement; hd=64 -> pack=2).  Each
     head is an independent one-shot attention over the full (in-VMEM)
     sequence.  Refs are 2-D (T, hd*pack) row-blocks of the (B*T, 3W)
     qkv matrix — the raw layout of the qkv matmul output, so no reshape
     or layout copy exists on either side (a (B*T,3W)->(B,T,3W) reshape
-    materialised 1.4 ms/step before, traced r3)."""
+    materialised 1.4 ms/step before, traced r3).
+
+    ``t_real < T`` masks out the trailing pad keys (Mosaic requires the
+    sublane block extent to be a multiple of 8, so callers pad the token
+    axis; the pad rows' outputs are garbage the caller slices off, but as
+    KEYS they must not pollute real queries' softmax)."""
+    t = q_ref.shape[0]
+    key_mask = None
+    if t_real < t:
+        key_mask = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1) < t_real
     outs = []
     for i in range(pack):
         sl = slice(i * hd, (i + 1) * hd)
@@ -65,6 +74,8 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int,
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # (T, T)
+        if key_mask is not None:
+            logits = jnp.where(key_mask, logits, -jnp.inf)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         s = jnp.sum(p, axis=-1, keepdims=True)
@@ -84,7 +95,18 @@ def _head_pack(hd: int, n_heads: int) -> int:
     return min(p, n_heads)
 
 
+def fused_active(dtype) -> bool:
+    """The production gate for the fused block kernels: a real TPU backend
+    with a bf16 model (the kernels compute in bf16), or tests forcing the
+    Pallas interpreter on CPU.  Shared by ViTBlock (which routes through
+    the kernels) and DenseViT (which pads the token axis to the 8-row
+    sublane multiple Mosaic requires) so the two decisions can't drift."""
+    return ((jax.default_backend() == "tpu" and dtype == jnp.bfloat16)
+            or FORCE_INTERPRET)
+
+
 def mha_oneshot(qkv: jnp.ndarray, n_heads: int, *, scale: float,
+                t_real: int | None = None,
                 interpret: bool = False) -> jnp.ndarray:
     """Multi-head self-attention on the fused qkv tensor.
 
@@ -95,20 +117,28 @@ def mha_oneshot(qkv: jnp.ndarray, n_heads: int, *, scale: float,
     """
     b, t, three_w = qkv.shape
     return mha_oneshot_2d(qkv.reshape(b * t, three_w), b, t, n_heads,
-                          scale=scale, interpret=interpret
+                          scale=scale, t_real=t_real, interpret=interpret
                           ).reshape(b, t, three_w // 3)
 
 
 def mha_oneshot_2d(qkv2d: jnp.ndarray, b: int, t: int, n_heads: int, *,
-                   scale: float, interpret: bool = False) -> jnp.ndarray:
+                   scale: float, t_real: int | None = None,
+                   interpret: bool = False) -> jnp.ndarray:
     """``mha_oneshot`` on the (B*T, 3W) matrix layout — the direct output
     of the fused qkv matmul.  Returns (B*T, W), ready for the output
-    projection, with no reshape/layout copy on either side."""
+    projection, with no reshape/layout copy on either side.
+
+    Mosaic requires the (T, hd*pack) block's sublane extent to be a
+    multiple of 8, so compiled callers must pad T to one (DenseViT does)
+    and pass the unpadded length as ``t_real``; rows past it are garbage
+    in the output and masked out of every softmax as keys."""
     m, three_w = qkv2d.shape
     assert m == b * t, (m, b, t)
+    if t_real is None:
+        t_real = t
     w = three_w // 3
     hd = w // n_heads
-    FLOP_LOG.append(4 * b * t * t * w)  # qk^T + pv, all heads
+    FLOP_LOG.append(4 * b * t * t * w)  # qk^T + pv, all heads, as executed
     pack = _head_pack(hd, n_heads)
     if n_heads % pack:
         raise ValueError(f"n_heads={n_heads} not divisible by pack={pack}")
@@ -117,7 +147,8 @@ def mha_oneshot_2d(qkv2d: jnp.ndarray, b: int, t: int, n_heads: int, *,
     spec = lambda off: pl.BlockSpec(  # noqa: E731
         blk, lambda bi, h, o=off: (bi, o + h))
     return pl.pallas_call(
-        functools.partial(_mha_kernel, scale=scale, hd=hd, pack=pack),
+        functools.partial(_mha_kernel, scale=scale, hd=hd, pack=pack,
+                          t_real=t_real),
         grid=(b, groups),
         in_specs=[spec(0), spec(groups), spec(2 * groups)],
         out_specs=spec(0),
@@ -232,7 +263,12 @@ def _blocked_matmul_call(kernel, x2d, w, extras_row, extras_col, out_dtype,
         out_specs=pl.BlockSpec((bm, bn), om),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            # the estimator undercounts Mosaic's scoped accounting by
+            # ~2-3 MB at the k=4096 GELU layer (16.4 MB actual at bm=256);
+            # v5e has 128 MB of VMEM, so raise the 16 MB default rather
+            # than shrink bm (bm=128 measured slower, r3 A/B)
+            vmem_limit_bytes=32 * 2**20),
         interpret=interpret or FORCE_INTERPRET,
     )(x2d, *extras_row, w, *extras_col)
 

@@ -1,4 +1,4 @@
-"""Sorted segment scatter-add: one HBM RMW per *unique* row.
+"""Sorted segment scatter-add: one HBM RMW per unique aligned 8-row window.
 
 XLA lowers ``accum.at[slots].add(updates)`` on TPU to a row-serial scatter
 (~124 ns/row traced r3: 3.85 ms for a 31k-row fusion batch) — it pays per
@@ -6,20 +6,30 @@ UPDATE row even when many rows hit the same slot.  The map-building batch
 has ~9x slot collisions (overlapping frames see the same voxels), so
 combining colliding rows first cuts the serialized row count ~9x.
 
-This kernel consumes slot-sorted updates: a sequential grid walks
-fixed-size row blocks, accumulates each contiguous segment (run of equal
-slots) on the VPU, and issues ONE asynchronous read-modify-write DMA per
-segment against the accumulator in HBM.  Reads for all of a block's
-segments are issued back-to-back before the accumulation pass consumes
-them, so DMA latency overlaps compute.  Segments spanning block boundaries
-carry their partial sum in VMEM scratch (the grid is sequential).
+Mosaic only DMAs HBM slices whose sublane extent is a multiple of the
+f32 tiling (8 rows), so the RMW granule is the aligned 8-row WINDOW
+``[8k, 8k+8)`` containing a slot, not the slot row itself.  The kernel
+consumes slot-sorted updates: a sequential grid walks fixed-size row
+blocks, accumulates each run of same-window rows into an (8, W) VMEM
+tile (one-hot row placement on the VPU), and issues ONE asynchronous
+read-modify-write DMA per window.  Reads for all of a block's windows
+are issued back-to-back before the accumulation pass consumes them, so
+DMA latency overlaps compute.  Windows spanning block boundaries carry
+their partial tile in VMEM scratch (the grid is sequential).
 
-Hazard freedom: slots are sorted, so a slot's RMW happens exactly once
-globally; a continuing segment is finalized only in its last block, and a
-block's writes are drained before the next block issues reads.
+Hazard freedom: slots are sorted, so each window appears as one
+contiguous run and its RMW happens exactly once globally; a spanning
+window is finalized only in its last block, and a block's writes are
+drained before the next block issues reads.
 
-Used by ops.voxel_fusion.fuse_points(dedup_scatter=True); the plain XLA
-scatter remains the default until the on-chip A/B flips it.
+Alignment tail: rows past the last aligned window boundary (``s % 8``
+trailing rows) cannot be DMAed.  With the voxel-fusion layout
+(s = capacity+1, capacity a multiple of 8) the single uncovered row is
+the TRASH slot, whose contents are unspecified by contract — its
+updates are redirected to an in-bounds row with a zeroed payload.  Any
+other misaligned shape falls back to the XLA scatter.
+
+Used by ops.voxel_fusion.fuse_points(dedup_scatter=True).
 """
 
 from __future__ import annotations
@@ -35,67 +45,65 @@ from jax.experimental.pallas import tpu as pltpu
 FORCE_INTERPRET = False
 
 
-def _kernel(slots_ref, upd_ref, acc_in, acc_out, acc_vec, landing,
-            sem_r, sem_w, *, rows: int, n_rows_total: int):
+def _kernel(win_ref, r8_ref, end_ref, upd_ref, acc_in, acc_out,
+            acc_tile, landing, sem_r, sem_w, *, rows: int):
     """One grid step = ``rows`` sorted update rows.
 
-    slots_ref: (B_padded,) int32 in SMEM (scalar prefetch), ascending.
+    win_ref/r8_ref/end_ref: (B_padded,) int32 in SMEM (scalar prefetch):
+        aligned-window index (slot // 8), row within the window (slot % 8),
+        and a 0/1 flag marking the last row of each window's run.
     upd_ref:   (rows, W) f32 VMEM block of sorted updates.
     acc_out:   (S, W) f32 in HBM (aliased input — the live accumulator).
-    acc_vec:   (1, W) f32 VMEM — running sum of the current segment
-               (persists across grid steps for boundary-spanning segments).
-    landing:   (rows, W) f32 VMEM RMW staging, one row per finalized
-               segment in this block.
+    acc_tile:  (8, W) f32 VMEM — accumulated tile of the current window
+               (persists across grid steps for boundary-spanning windows).
+    landing:   (rows, 8, W) f32 VMEM RMW staging, one tile per window
+               finalized in this block.
     """
     i = pl.program_id(0)
     base = i * rows
 
     @pl.when(i == 0)
     def _init():
-        acc_vec[...] = jnp.zeros_like(acc_vec)
+        acc_tile[...] = jnp.zeros_like(acc_tile)
 
-    def is_end(r):
-        g = base + r
-        nxt = jnp.minimum(g + 1, n_rows_total - 1)
-        return (g == n_rows_total - 1) | (slots_ref[g] != slots_ref[nxt])
-
-    # ---- phase 1: issue one read per segment finalized in this block ----
+    # ---- phase 1: issue one read per window finalized in this block -----
     def issue(r, u):
         def go(u):
             pltpu.make_async_copy(
-                acc_out.at[pl.ds(slots_ref[base + r], 1)],
-                landing.at[pl.ds(u, 1)], sem_r.at[u]).start()
+                acc_out.at[pl.ds(win_ref[base + r] * 8, 8)],
+                landing.at[u], sem_r.at[u]).start()
             return u + 1
 
-        return jax.lax.cond(is_end(r), go, lambda u: u, u)
+        return jax.lax.cond(end_ref[base + r] != 0, go, lambda u: u, u)
 
     n_seg = jax.lax.fori_loop(0, rows, issue, 0)
 
-    # ---- phase 2: accumulate rows; finalize segments as they close ------
-    def step(r, carry):
-        u = carry
-        acc_vec[...] += upd_ref[pl.ds(r, 1), :]
+    # ---- phase 2: accumulate rows; finalize windows as they close -------
+    def step(r, u):
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+                  == r8_ref[base + r]).astype(jnp.float32)
+        acc_tile[...] += onehot * upd_ref[pl.ds(r, 1), :]
 
         def close(u):
             pltpu.make_async_copy(
-                acc_out.at[pl.ds(slots_ref[base + r], 1)],
-                landing.at[pl.ds(u, 1)], sem_r.at[u]).wait()
-            landing[pl.ds(u, 1), :] += acc_vec[...]
-            acc_vec[...] = jnp.zeros_like(acc_vec)
+                acc_out.at[pl.ds(win_ref[base + r] * 8, 8)],
+                landing.at[u], sem_r.at[u]).wait()
+            landing[u] += acc_tile[...]
+            acc_tile[...] = jnp.zeros_like(acc_tile)
             pltpu.make_async_copy(
-                landing.at[pl.ds(u, 1)],
-                acc_out.at[pl.ds(slots_ref[base + r], 1)],
+                landing.at[u],
+                acc_out.at[pl.ds(win_ref[base + r] * 8, 8)],
                 sem_w.at[u]).start()
             return u + 1
 
-        return jax.lax.cond(is_end(r), close, lambda u: u, u)
+        return jax.lax.cond(end_ref[base + r] != 0, close, lambda u: u, u)
 
     jax.lax.fori_loop(0, rows, step, 0)
 
     # ---- phase 3: drain writes before the next block reuses sems --------
     def drain(u, _):
-        pltpu.make_async_copy(landing.at[pl.ds(u, 1)],
-                              acc_out.at[pl.ds(u, 1)],  # shape-only
+        pltpu.make_async_copy(landing.at[u],
+                              acc_out.at[pl.ds(0, 8)],  # shape-only
                               sem_w.at[u]).wait()
         return 0
 
@@ -104,44 +112,71 @@ def _kernel(slots_ref, upd_ref, acc_in, acc_out, acc_vec, landing,
 
 def sorted_segment_scatter_add(accum: jnp.ndarray, slots: jnp.ndarray,
                                updates: jnp.ndarray, *,
-                               block_rows: int = 512,
+                               block_rows: int = 64,
                                interpret: bool = False) -> jnp.ndarray:
     """``accum[slots[k]] += updates[k]`` for ascending ``slots``.
 
     accum: (S, W) f32, donated/aliased; slots: (B,) int32 sorted ascending;
     updates: (B, W) f32 in the same order.  W should be a 128-lane multiple
-    for full VPU/DMA efficiency (the production fusion width D+128 is);
-    other widths are handled via Mosaic masking.
-    Rows are padded to ``block_rows`` with slot S-1 / zero updates — row
-    S-1 is the voxel-fusion trash slot, so padding only adds zeros there.
+    for full VPU/DMA efficiency (the production fusion width D+128 is).
+
+    The RMW granule is the aligned 8-row window, so rows past the last
+    8-aligned boundary are unreachable: with ``S % 8 == 1`` (voxel fusion:
+    capacity+1 rows, capacity % 8 == 0) that single row is the trash slot
+    and its updates are DISCARDED (trash contents are unspecified); any
+    other misaligned S falls back to the XLA scatter.
     """
     s, w = accum.shape
     b = slots.shape[0]
+    if b == 0:
+        return accum
+    updates = updates.astype(jnp.float32)
+    interp = interpret or FORCE_INTERPRET
+
+    tail = s % 8
+    s8 = s - tail
+    # the compiled kernel additionally needs a 128-lane-multiple width
+    # (the production fusion width D+128 is; odd test widths crash Mosaic's
+    # tiled-DMA path and gain nothing from dedup anyway)
+    if tail not in (0, 1) or s8 == 0 or (not interp and w % 128):
+        return accum.at[slots].add(updates)
+    if tail == 1:
+        oob = slots >= s8
+        slots = jnp.where(oob, s8 - 1, slots)
+        updates = jnp.where(oob[:, None], 0.0, updates)
+
     rows = min(block_rows, b)
     pad = (-b) % rows
     if pad:
         slots = jnp.concatenate(
-            [slots, jnp.full((pad,), s - 1, jnp.int32)])
+            [slots, jnp.full((pad,), s8 - 1, jnp.int32)])
         updates = jnp.concatenate(
             [updates, jnp.zeros((pad, w), updates.dtype)])
-    nb = (b + pad) // rows
+    n = b + pad
+    nb = n // rows
+
+    win = slots // 8
+    r8 = slots % 8
+    end = jnp.concatenate(
+        [(win[1:] != win[:-1]).astype(jnp.int32),
+         jnp.ones((1,), jnp.int32)])
 
     return pl.pallas_call(
-        functools.partial(_kernel, rows=rows, n_rows_total=b + pad),
+        functools.partial(_kernel, rows=rows),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=3,
             grid=(nb,),
             in_specs=[pl.BlockSpec((rows, w), lambda i, *_: (i, 0)),
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[pltpu.VMEM((1, w), jnp.float32),
-                            pltpu.VMEM((rows, w), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((8, w), jnp.float32),
+                            pltpu.VMEM((rows, 8, w), jnp.float32),
                             pltpu.SemaphoreType.DMA((rows,)),
                             pltpu.SemaphoreType.DMA((rows,))],
         ),
         out_shape=jax.ShapeDtypeStruct((s, w), jnp.float32),
-        input_output_aliases={2: 0},
+        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-        interpret=interpret or FORCE_INTERPRET,
-    )(slots, updates.astype(jnp.float32), accum)
+        interpret=interp,
+    )(win, r8, end, updates, accum)

@@ -410,17 +410,44 @@ def kernel_parity() -> dict:
     out["flash_attn_out_rms"] = out_rms
 
     # 4. fully-fused block (ops/fused_vit.py — the production default) vs
-    # the same einsum reference, same trained-RMS inputs
+    # the same einsum reference, same trained-RMS inputs.  The fused path
+    # runs at the token count padded to the next 8-multiple (Mosaic sublane
+    # constraint; DenseViT pads before the first block), so pad here the
+    # same way and compare only the real rows.
     blk_fused = ViTBlock(256, 4, 4, 1e-6, jnp.bfloat16, attn_impl="fused")
-    c = np.asarray(blk_fused.apply(variables, x), np.float32)
+    t_real = x.shape[1]
+    xp = jnp.pad(x, [(0, 0), (0, (-t_real) % 8), (0, 0)])
+    c = np.asarray(blk_fused.apply(variables, xp, t_real),
+                   np.float32)[:, :t_real]
     out["fused_block_max_err"] = float(np.abs(c - b).max())
     out["fused_block_rel_err"] = out["fused_block_max_err"] / max(out_rms,
                                                                   1e-12)
 
+    # 5. sorted-segment dedup scatter (the TPU-default fusion scatter) vs
+    # the XLA scatter on identical batches; real slots must match exactly
+    # up to f32 add order.  d=128 so the accumulator width (d+128) is a
+    # lane multiple — the compiled-kernel path, as in production (d=512)
+    d5 = 128
+    f5 = rng.normal(size=(n, d5)).astype(np.float32)
+    st_ref5 = init_fusion_state(50, 8, d5, 8192)
+    st_ref5 = fuse_points(st_ref5, jnp.asarray(vids), jnp.asarray(f5),
+                          jnp.asarray(rgbs), jnp.asarray(alphas),
+                          jnp.asarray(valid), gs=50, vh=8)
+    st_ded = init_fusion_state(50, 8, d5, 8192)
+    st_ded = fuse_points(st_ded, jnp.asarray(vids), jnp.asarray(f5),
+                         jnp.asarray(rgbs), jnp.asarray(alphas),
+                         jnp.asarray(valid), gs=50, vh=8,
+                         dedup_scatter=True)
+    n_slots = int(st_ref5.n_slots)
+    out["dedup_scatter_max_err"] = float(np.abs(
+        np.asarray(st_ded.accum)[:n_slots]
+        - np.asarray(st_ref5.accum)[:n_slots]).max())
+
     ok = (out["score_kernel_max_err"] < 5e-2
           and out["fusion_max_err"] < 1e-3
           and out["flash_attn_rel_err"] < 0.05
-          and out["fused_block_rel_err"] < 0.05)
+          and out["fused_block_rel_err"] < 0.05
+          and out["dedup_scatter_max_err"] < 1e-3)
     out["status"] = "pass" if ok else "fail"
     return out
 
@@ -520,10 +547,8 @@ def get_baseline() -> dict:
 
 def main():
     _enable_compile_cache()
-    (step, step_whole, step_count, state, params,
-     canvas_hw) = _build_step_and_inputs()
-    dev = measure_device(step, state, params, canvas_hw,
-                         step_count=step_count)
+    step, step_whole, state, params, canvas_hw = _build_step_and_inputs()
+    dev = measure_device(step, state, params, canvas_hw)
     whole = None
     try:
         from avlmaps_tpu.ops.voxel_fusion import init_fusion_state

@@ -138,3 +138,31 @@ def test_fused_falls_back_off_tpu(rng):
     out = _blocks("fused").apply(params, x)
     np.testing.assert_array_equal(np.asarray(out),
                                   np.asarray(ref_blk.apply(params, x)))
+
+
+def test_dense_vit_pads_tokens_and_masks_keys(rng):
+    """The fused backbone pads the token axis to the next 8-multiple
+    (Mosaic sublane-block requirement) and masks the pad keys; taps must
+    match the unpadded einsum backbone at a t % 8 != 0 shape."""
+    from avlmaps_tpu.models.lseg.vit import DenseViT, DenseViTConfig
+
+    cfg = dict(patch_size=4, width=64, layers=2, heads=4, mlp_ratio=4,
+               hooks=(0, 1), pretrain_grid=3)
+    x = jnp.asarray(rng.normal(size=(2, 12, 12, 3)).astype(np.float32))
+    # 3x3 grid + cls = 10 tokens -> pads to 16 under the fused path
+    ref_vit = DenseViT(DenseViTConfig(attn_impl="einsum", **cfg))
+    params = ref_vit.init(jax.random.PRNGKey(0), x)
+    ref_taps = ref_vit.apply(params, x)
+
+    fused_vit.FORCE_INTERPRET = True
+    try:
+        taps = DenseViT(DenseViTConfig(attn_impl="fused", **cfg)).apply(
+            params, x)
+    finally:
+        fused_vit.FORCE_INTERPRET = False
+
+    assert len(taps) == len(ref_taps)
+    for got, want in zip(taps, ref_taps):
+        assert got.shape == want.shape  # pad sliced back off: (2, 10, 64)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-5, rtol=1e-4)

@@ -76,7 +76,10 @@ class TestFlashAttention:
         blk_f = ViTBlock(256, 4, 4, 1e-6, jnp.bfloat16, attn_impl="fused")
         blk_e = ViTBlock(256, 4, 4, 1e-6, jnp.bfloat16, attn_impl="einsum")
         variables = blk_e.init(jax.random.PRNGKey(0), x)
-        a = np.asarray(blk_f.apply(variables, x), np.float32)
+        # the fused path runs at the token count padded to an 8-multiple
+        # (Mosaic sublane constraint; DenseViT pads before the first block)
+        xp = jnp.pad(x, [(0, 0), (0, (-901) % 8), (0, 0)])
+        a = np.asarray(blk_f.apply(variables, xp, 901), np.float32)[:, :901]
         b = np.asarray(blk_e.apply(variables, x), np.float32)
         rel = np.abs(a - b).max() / max(np.sqrt(np.mean(b * b)), 1e-12)
         assert rel < 0.05
@@ -242,3 +245,34 @@ class TestScoreArgmax:
             jnp.asarray(feats), jnp.asarray(text), normalize_map=True,
             normalize_text=True), axis=1))
         np.testing.assert_array_equal(got, two_step)
+
+
+class TestDedupScatterOnChip:
+    def test_dedup_matches_xla_scatter(self, rng):
+        """The compiled sorted-segment scatter kernel (TPU fusion default,
+        ops/segment_scatter.py) vs the XLA scatter at a lane-multiple
+        accumulator width, heavy slot collisions."""
+        from avlmaps_tpu.ops.voxel_fusion import (fuse_points,
+                                                  init_fusion_state)
+
+        gs, vh, d, cap = 64, 8, 128, 4096  # d+128 = 256: compiled path
+        b = 8192
+        base = rng.integers(0, gs * gs * vh, b // 8).astype(np.int32)
+        vids = jnp.asarray(base[rng.integers(0, len(base), b)])  # ~8x coll.
+        f = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+        rgbs = jnp.asarray(rng.uniform(0, 255, (b, 3)).astype(np.float32))
+        alphas = jnp.asarray(rng.uniform(0.1, 1, b).astype(np.float32))
+        valid = jnp.asarray(rng.random(b) > 0.05)
+
+        kw = dict(gs=gs, vh=vh)
+        s_ref = fuse_points(init_fusion_state(gs, vh, d, cap), vids, f,
+                            rgbs, alphas, valid, **kw)
+        s_ded = fuse_points(init_fusion_state(gs, vh, d, cap), vids, f,
+                            rgbs, alphas, valid, dedup_scatter=True, **kw)
+        assert int(s_ded.n_slots) == int(s_ref.n_slots)
+        n = int(s_ref.n_slots)
+        np.testing.assert_array_equal(np.asarray(s_ded.occupied_flat),
+                                      np.asarray(s_ref.occupied_flat))
+        np.testing.assert_allclose(np.asarray(s_ded.accum)[:n],
+                                   np.asarray(s_ref.accum)[:n],
+                                   rtol=1e-5, atol=1e-3)

@@ -89,7 +89,7 @@ def main():
     vit_attn = 24 * 4 * 1024 * 1024 * D  # padded flash shape
     vit_flops = crops_b * (vit_dense + vit_attn)
 
-    if "step" in segs:
+    if "step" in segs or "step_dedup" in segs:
         from avlmaps_tpu.map.vlmap_builder import (make_frame_step_canvas,
                                                    sample_pixels)
 
@@ -99,7 +99,8 @@ def main():
         step = jax.jit(make_frame_step_canvas(
             half_apply, gs=bench.GS, cs=bench.CS, vh=bench.VH,
             calib_mat=calib, image_hw=(bench.H, bench.W),
-            half_res_apply=True), donate_argnums=(0,))
+            half_res_apply=True, dedup_scatter="step_dedup" in segs),
+            donate_argnums=(0,))
         ch, cw, _, _, _ = plan_windows(bench.H, bench.W)
         canvas = jnp.asarray(rng.integers(0, 255, (B, ch, cw, 3)),
                              jnp.uint8)
