@@ -221,7 +221,12 @@ def _blocked_matmul_call(kernel, x2d, w, extras_row, extras_col, out_dtype,
     # measured WORSE — 0.565 vs 0.515 ms — because the per-(m,k) weight
     # re-streaming costs more than the larger M block saves; a smaller N
     # block keeps weights w-stationary AND bm at 256)
-    bn_cap = max(128, (4 << 20) // (k * w.dtype.itemsize))
+    # 8 MB cap: at ViT-L's k=4096 mlp_proj this admits the WHOLE n=1024
+    # weight panel in one block, so the GELU prologue runs once per x block
+    # instead of once per (x, n) pair (bn=512 re-ran it 2x; ~0.55 ->
+    # 0.44 ms/layer on chip) — affordable since the scoped-VMEM limit was
+    # raised to 32 MB below
+    bn_cap = max(128, (8 << 20) // (k * w.dtype.itemsize))
     fits = [b for b in (1024, 512, 256, 128) if n % b == 0 and b <= bn_cap]
     bn = fits[0] if fits else n
     bm = min(block_m, m)
@@ -234,7 +239,7 @@ def _blocked_matmul_call(kernel, x2d, w, extras_row, extras_col, out_dtype,
         return (2 * bm_ * k * x2d.dtype.itemsize + k * bn * w.dtype.itemsize
                 + 2 * bm_ * bn * 4 + bm_ * k * 4)
 
-    while bm > 128 and _vmem_est(bm) > 15 * 2**20:
+    while bm > 128 and _vmem_est(bm) > 28 * 2**20:
         bm //= 2
     grid_m, grid_n = pl.cdiv(m, bm), n // bn
     # Pallas skips the DMA when a block index is unchanged between

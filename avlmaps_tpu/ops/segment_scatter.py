@@ -45,13 +45,16 @@ from jax.experimental.pallas import tpu as pltpu
 FORCE_INTERPRET = False
 
 
-def _kernel(win_ref, r8_ref, end_ref, upd_ref, acc_in, acc_out,
+def _kernel(word_ref, upd_ref, acc_in, acc_out,
             acc_tile, landing, sem_r, sem_w, *, rows: int):
     """One grid step = ``rows`` sorted update rows.
 
-    win_ref/r8_ref/end_ref: (B_padded,) int32 in SMEM (scalar prefetch):
-        aligned-window index (slot // 8), row within the window (slot % 8),
-        and a 0/1 flag marking the last row of each window's run.
+    word_ref: (B_padded,) int32 in SMEM (scalar prefetch), one packed word
+        per row: ``win * 16 + r8 * 2 + end`` — the aligned-window index
+        (slot // 8), the row within the window (slot % 8), and a flag
+        marking the last row of the window's run.  Packing keeps the SMEM
+        footprint at 4 bytes/row (three separate arrays exceeded the 1 MB
+        SMEM budget at batch 16).
     upd_ref:   (rows, W) f32 VMEM block of sorted updates.
     acc_out:   (S, W) f32 in HBM (aliased input — the live accumulator).
     acc_tile:  (8, W) f32 VMEM — accumulated tile of the current window
@@ -68,35 +71,38 @@ def _kernel(win_ref, r8_ref, end_ref, upd_ref, acc_in, acc_out,
 
     # ---- phase 1: issue one read per window finalized in this block -----
     def issue(r, u):
+        word = word_ref[base + r]
+
         def go(u):
             pltpu.make_async_copy(
-                acc_out.at[pl.ds(win_ref[base + r] * 8, 8)],
+                acc_out.at[pl.ds((word // 16) * 8, 8)],
                 landing.at[u], sem_r.at[u]).start()
             return u + 1
 
-        return jax.lax.cond(end_ref[base + r] != 0, go, lambda u: u, u)
+        return jax.lax.cond(word % 2 != 0, go, lambda u: u, u)
 
     n_seg = jax.lax.fori_loop(0, rows, issue, 0)
 
     # ---- phase 2: accumulate rows; finalize windows as they close -------
     def step(r, u):
+        word = word_ref[base + r]
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-                  == r8_ref[base + r]).astype(jnp.float32)
+                  == (word // 2) % 8).astype(jnp.float32)
         acc_tile[...] += onehot * upd_ref[pl.ds(r, 1), :]
 
         def close(u):
             pltpu.make_async_copy(
-                acc_out.at[pl.ds(win_ref[base + r] * 8, 8)],
+                acc_out.at[pl.ds((word // 16) * 8, 8)],
                 landing.at[u], sem_r.at[u]).wait()
             landing[u] += acc_tile[...]
             acc_tile[...] = jnp.zeros_like(acc_tile)
             pltpu.make_async_copy(
                 landing.at[u],
-                acc_out.at[pl.ds(win_ref[base + r] * 8, 8)],
+                acc_out.at[pl.ds((word // 16) * 8, 8)],
                 sem_w.at[u]).start()
             return u + 1
 
-        return jax.lax.cond(end_ref[base + r] != 0, close, lambda u: u, u)
+        return jax.lax.cond(word % 2 != 0, close, lambda u: u, u)
 
     jax.lax.fori_loop(0, rows, step, 0)
 
@@ -156,15 +162,15 @@ def sorted_segment_scatter_add(accum: jnp.ndarray, slots: jnp.ndarray,
     nb = n // rows
 
     win = slots // 8
-    r8 = slots % 8
     end = jnp.concatenate(
         [(win[1:] != win[:-1]).astype(jnp.int32),
          jnp.ones((1,), jnp.int32)])
+    word = win * 16 + (slots % 8) * 2 + end
 
     return pl.pallas_call(
         functools.partial(_kernel, rows=rows),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=1,
             grid=(nb,),
             in_specs=[pl.BlockSpec((rows, w), lambda i, *_: (i, 0)),
                       pl.BlockSpec(memory_space=pl.ANY)],
@@ -175,8 +181,8 @@ def sorted_segment_scatter_add(accum: jnp.ndarray, slots: jnp.ndarray,
                             pltpu.SemaphoreType.DMA((rows,))],
         ),
         out_shape=jax.ShapeDtypeStruct((s, w), jnp.float32),
-        input_output_aliases={4: 0},
+        input_output_aliases={2: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interp,
-    )(win, r8, end, updates, accum)
+    )(word, updates, accum)
