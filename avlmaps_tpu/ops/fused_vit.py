@@ -215,17 +215,14 @@ def _blocked_matmul_call(kernel, x2d, w, extras_row, extras_col, out_dtype,
     m, k = x2d.shape
     n = w.shape[1]
     FLOP_LOG.append(2 * m * k * n)
-    # cap the weight block at ~4 MB: at ViT-L's k=4096 a whole-N weight
-    # block (8 MB) forces the M block down to 128 under the VMEM guard and
-    # leaves the kernel DMA-bound (r3 A/B: k-blocking with an accumulator
-    # measured WORSE — 0.565 vs 0.515 ms — because the per-(m,k) weight
-    # re-streaming costs more than the larger M block saves; a smaller N
-    # block keeps weights w-stationary AND bm at 256)
-    # 8 MB cap: at ViT-L's k=4096 mlp_proj this admits the WHOLE n=1024
-    # weight panel in one block, so the GELU prologue runs once per x block
-    # instead of once per (x, n) pair (bn=512 re-ran it 2x; ~0.55 ->
-    # 0.44 ms/layer on chip) — affordable since the scoped-VMEM limit was
-    # raised to 32 MB below
+    # 8 MB weight-block cap: at ViT-L's k=4096 mlp_proj this admits the
+    # WHOLE n=1024 weight panel in one block, so the GELU prologue runs
+    # once per x block instead of once per (x, n) pair (bn=512 re-ran it
+    # 2x; ~0.55 -> 0.44 ms/layer on chip) — affordable since the scoped-
+    # VMEM limit was raised to 32 MB below.  K stays whole on purpose:
+    # k-blocking with an f32 accumulator measured WORSE (0.565 vs
+    # 0.515 ms) because per-(m,k) weight re-streaming costs more than the
+    # larger M block saves (r3 A/B).
     bn_cap = max(128, (8 << 20) // (k * w.dtype.itemsize))
     fits = [b for b in (1024, 512, 256, 128) if n % b == 0 and b <= bn_cap]
     bn = fits[0] if fits else n
@@ -302,8 +299,9 @@ def gelu_matmul(x2d: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray, *,
     GELU output.
 
     x2d: (M, K=4W); w: (K, N); bias: (N,).  Smaller M block than
-    ln_matmul: the f32 GELU intermediate is (bm, 4W); the shared plumbing
-    caps the weight block at ~4 MB so K=4096 still gets bm=256.
+    ln_matmul: the f32 GELU intermediate is (bm, 4W); with the 8 MB weight
+    panel (whole N at ViT-L's n=1024) K=4096 still gets bm=256 under the
+    28 MB VMEM guard, and the GELU prologue runs once per x block.
     """
     return _blocked_matmul_call(
         _gelu_matmul_kernel,

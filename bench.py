@@ -48,7 +48,10 @@ DEPTH_SAMPLE_RATE = 100
 MAX_PTS = (H * W) // DEPTH_SAMPLE_RATE  # 7776
 GS, CS, VH = 1000, 0.05, 30
 CAPACITY = 1_000_000
-BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+# device batch 8 amortises per-step dispatch/DMA ramp best on v5e: full
+# bench measured 56 fps (B=4) -> 62 fps parity and 80 -> 120 fps
+# whole-canvas; B=16 adds ~2% more for 2x the step latency (r3 A/B)
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 WARMUP_STEPS = 2
 TIMED_STEPS = 6
 E2E_FRAMES = int(os.environ.get("BENCH_E2E_FRAMES", "64"))
