@@ -278,7 +278,7 @@ class VLMapBuilder:
                  depth_paths, base2cam_tf: np.ndarray,
                  base_transform: np.ndarray, lseg_apply=None,
                  lseg_params=None, feat_dim: int = 512,
-                 batch_size: int = 4, seed: int = 0, mesh=None,
+                 batch_size: int = 8, seed: int = 0, mesh=None,
                  half_res_apply: bool = False,
                  transport: Optional[str] = None,
                  packed_path=None):

@@ -74,7 +74,7 @@ class VLMapBuilderMultiFloor:
     def __init__(self, data_dir, map_config, rgb_paths: Sequence,
                  depth_paths: Sequence, pose_tfs: Sequence[np.ndarray],
                  lseg_apply=None, lseg_params=None, feat_dim: int = 512,
-                 batch_size: int = 4, height_margin_m: float = 1.0,
+                 batch_size: int = 8, height_margin_m: float = 1.0,
                  seed: int = 0, mesh=None):
         self.data_dir = Path(data_dir)
         self.map_config = map_config

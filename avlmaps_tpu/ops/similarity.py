@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from avlmaps_tpu.ops._pallas_compat import pallas_interpret_mode
 
-_TILE_N = 1024
+_TILE_N = 2048
 _LANE = 128
 
 

@@ -54,7 +54,9 @@ CAPACITY = 1_000_000
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 WARMUP_STEPS = 2
 TIMED_STEPS = 6
-E2E_FRAMES = int(os.environ.get("BENCH_E2E_FRAMES", "64"))
+# 128 frames ~= 4 s of timed steady-state at the e2e rates on this host;
+# 64 gave a ~2 s window that amplified the axon-tunnel tenancy variance
+E2E_FRAMES = int(os.environ.get("BENCH_E2E_FRAMES", "128"))
 
 # peak dense bf16 TFLOP/s per chip (public TPU specs)
 PEAK_TFLOPS = {
