@@ -186,6 +186,35 @@ def measure_device(step, state, params, canvas_hw) -> dict:
     }
 
 
+_E2E_SCENE = None  # (TemporaryDirectory, Path) — shared by all e2e modes
+
+
+def _e2e_scene() -> Path:
+    """Synthetic on-disk scene for the e2e measurements, generated ONCE:
+    three measure_e2e calls (parity / packed / whole-canvas) re-writing
+    64 PNGs + 64 npy files each cost ~1-2 min of redundant 1-core host
+    work per bench run."""
+    global _E2E_SCENE
+    if _E2E_SCENE is not None:
+        return _E2E_SCENE[1]
+    import tempfile
+
+    import cv2
+
+    rng = np.random.default_rng(1)
+    tmp = tempfile.TemporaryDirectory()
+    root = Path(tmp.name)
+    (root / "rgb").mkdir()
+    (root / "depth").mkdir()
+    for i in range(E2E_FRAMES):
+        rgb = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        cv2.imwrite(str(root / "rgb" / f"{i:06d}.png"), rgb)
+        np.save(root / "depth" / f"{i:06d}.npy",
+                rng.uniform(0.3, 5.0, (H, W)).astype(np.float32))
+    _E2E_SCENE = (tmp, root)
+    return root
+
+
 def measure_e2e(step, state, params, canvas_hw, device_put=True,
                 packed=False) -> float:
     """End-to-end pipeline fps: PNG/npy decode + canvas prep on the host
@@ -200,9 +229,6 @@ def measure_e2e(step, state, params, canvas_hw, device_put=True,
     (pipeline/packed.py): the scene is converted once (untimed — a real
     deployment packs a scene once and builds from it repeatedly) and
     streamed via PackedLoader with zero decode/resize work per build."""
-    import tempfile
-
-    import cv2
     import jax
     import jax.numpy as jnp
 
@@ -211,15 +237,7 @@ def measure_e2e(step, state, params, canvas_hw, device_put=True,
     from avlmaps_tpu.pipeline.transport import make_canvas_transform
 
     rng = np.random.default_rng(1)
-    tmp = tempfile.TemporaryDirectory()
-    root = Path(tmp.name)
-    (root / "rgb").mkdir()
-    (root / "depth").mkdir()
-    for i in range(E2E_FRAMES):
-        rgb = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
-        cv2.imwrite(str(root / "rgb" / f"{i:06d}.png"), rgb)
-        np.save(root / "depth" / f"{i:06d}.npy",
-                rng.uniform(0.3, 5.0, (H, W)).astype(np.float32))
+    root = _e2e_scene()
     pose_tfs = [np.eye(4, dtype=np.float32) for _ in range(E2E_FRAMES)]
 
     if packed:
@@ -270,7 +288,6 @@ def measure_e2e(step, state, params, canvas_hw, device_put=True,
         return done / (time.perf_counter() - t0)
 
     fps = max(run_epoch(), run_epoch())
-    tmp.cleanup()
     return fps
 
 
@@ -564,6 +581,8 @@ def get_baseline() -> dict:
 
 
 def main():
+    import signal
+
     t_start = time.perf_counter()
     _last = [t_start]
 
@@ -573,10 +592,49 @@ def main():
               f"(total {now - t_start:.1f}s)", file=sys.stderr, flush=True)
         _last[0] = now
 
+    # metrics land in `out` as each phase finishes; a timeout kill
+    # (SIGTERM) emits whatever is complete so the headline device number
+    # survives tunnel-tenancy collapses that stretch the tail phases
+    # (observed: identical code ran 4.8 min and >10 min hours apart)
+    out = {"metric": "map_build_fps", "value": None, "unit": "frames/sec",
+           "vs_baseline": None, "device_fps": None, "e2e_fps": None,
+           "e2e_fps_packed": None, "mfu": None, "flops_per_step": None,
+           "chip": None, "device_fps_whole_canvas": None,
+           "e2e_fps_whole_canvas": None, "query_qps": None,
+           "audio_clips_per_sec": None, "query_vs_host_numpy": None,
+           "kernel_parity": None, "kernel_parity_detail": None}
+    emitted = [False]
+
+    def _emit():
+        if not emitted[0]:
+            emitted[0] = True
+            print(json.dumps(out), flush=True)
+
+    def _on_term(signum, frame):
+        print(f"[bench] signal {signum}: emitting partial result",
+              file=sys.stderr, flush=True)
+        _emit()
+        os._exit(0)
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except (ValueError, OSError):
+        pass  # non-main thread / restricted env: emit-on-finish only
+
     _enable_compile_cache()
     step, step_whole, state, params, canvas_hw = _build_step_and_inputs()
     _phase("build+init")
     dev = measure_device(step, state, params, canvas_hw)
+    out["value"] = out["device_fps"] = round(dev["device_fps"], 3)
+    out["mfu"] = round(dev["mfu"], 4) if dev.get("mfu") else None
+    out["flops_per_step"] = dev.get("flops_per_step")
+    out["chip"] = dev.get("chip")
+    try:
+        baseline = get_baseline()
+        out["vs_baseline"] = round(
+            dev["device_fps"] / baseline["reference_fps"], 2)
+    except Exception as e:  # noqa: BLE001 - never fail the bench on baseline
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
     _phase("device parity")
     whole = None
     try:
@@ -585,83 +643,60 @@ def main():
         wstate = init_fusion_state(GS, VH, 512, CAPACITY)
         whole = measure_device(step_whole, wstate, params, canvas_hw)
         whole.pop("state", None)
+        out["device_fps_whole_canvas"] = round(whole["device_fps"], 3)
     except Exception as e:  # noqa: BLE001 - secondary metric only
         print(f"whole-canvas measurement failed: {e}", file=sys.stderr)
     _phase("device whole-canvas")
-    e2e_fps = None
-    try:
-        e2e_fps = measure_e2e(step, dev.pop("state"), params, canvas_hw)
-    except Exception as e:  # noqa: BLE001 - report device fps regardless
-        dev.pop("state", None)
-        print(f"e2e measurement failed: {e}", file=sys.stderr)
-    _phase("e2e parity")
-    e2e_packed = None
-    try:
-        from avlmaps_tpu.ops.voxel_fusion import init_fusion_state
-
-        e2e_packed = measure_e2e(step,
-                                 init_fusion_state(GS, VH, 512, CAPACITY),
-                                 params, canvas_hw, packed=True)
-    except Exception as e:  # noqa: BLE001 - secondary metric only
-        print(f"packed e2e measurement failed: {e}", file=sys.stderr)
-    _phase("e2e packed")
-    e2e_whole = None
-    if whole is not None:
-        try:
-            from avlmaps_tpu.ops.voxel_fusion import init_fusion_state
-
-            e2e_whole = measure_e2e(step_whole,
-                                    init_fusion_state(GS, VH, 512, CAPACITY),
-                                    params, canvas_hw)
-        except Exception as e:  # noqa: BLE001
-            print(f"whole-canvas e2e failed: {e}", file=sys.stderr)
-    _phase("e2e whole-canvas")
     try:
         parity = kernel_parity()
     except Exception as e:  # noqa: BLE001
         parity = {"status": f"error: {e}"}
+    out["kernel_parity"] = parity.get("status")
+    out["kernel_parity_detail"] = {k: v for k, v in parity.items()
+                                   if k != "status"}
     _phase("kernel parity")
+    try:
+        out["e2e_fps"] = round(
+            measure_e2e(step, dev.pop("state"), params, canvas_hw), 3)
+    except Exception as e:  # noqa: BLE001 - report device fps regardless
+        dev.pop("state", None)
+        print(f"e2e measurement failed: {e}", file=sys.stderr)
+    _phase("e2e parity")
+    try:
+        from avlmaps_tpu.ops.voxel_fusion import init_fusion_state
+
+        out["e2e_fps_packed"] = round(
+            measure_e2e(step, init_fusion_state(GS, VH, 512, CAPACITY),
+                        params, canvas_hw, packed=True), 3)
+    except Exception as e:  # noqa: BLE001 - secondary metric only
+        print(f"packed e2e measurement failed: {e}", file=sys.stderr)
+    _phase("e2e packed")
+    if whole is not None:
+        try:
+            from avlmaps_tpu.ops.voxel_fusion import init_fusion_state
+
+            out["e2e_fps_whole_canvas"] = round(
+                measure_e2e(step_whole,
+                            init_fusion_state(GS, VH, 512, CAPACITY),
+                            params, canvas_hw), 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"whole-canvas e2e failed: {e}", file=sys.stderr)
+    _phase("e2e whole-canvas")
     queries = {}
     try:
         queries = measure_queries()
+        out["query_qps"] = round(queries["query_qps"], 2)
+        out["query_vs_host_numpy"] = round(queries["query_vs_host_numpy"], 1)
     except Exception as e:  # noqa: BLE001 - secondary metric only
         print(f"query measurement failed: {e}", file=sys.stderr)
     _phase("queries")
-    audio = {}
     try:
         audio = measure_audio()
+        out["audio_clips_per_sec"] = round(audio["audio_clips_per_sec"], 2)
     except Exception as e:  # noqa: BLE001 - secondary metric only
         print(f"audio measurement failed: {e}", file=sys.stderr)
     _phase("audio")
-    try:
-        baseline = get_baseline()
-        vs = dev["device_fps"] / baseline["reference_fps"]
-    except Exception as e:  # noqa: BLE001 - never fail the bench on baseline
-        print(f"baseline measurement failed: {e}", file=sys.stderr)
-        vs = None
-    print(json.dumps({
-        "metric": "map_build_fps",
-        "value": round(dev["device_fps"], 3),
-        "unit": "frames/sec",
-        "vs_baseline": round(vs, 2) if vs else None,
-        "device_fps": round(dev["device_fps"], 3),
-        "e2e_fps": round(e2e_fps, 3) if e2e_fps else None,
-        "e2e_fps_packed": round(e2e_packed, 3) if e2e_packed else None,
-        "mfu": round(dev["mfu"], 4) if dev.get("mfu") else None,
-        "flops_per_step": dev.get("flops_per_step"),
-        "chip": dev.get("chip"),
-        "device_fps_whole_canvas": round(whole["device_fps"], 3)
-        if whole else None,
-        "e2e_fps_whole_canvas": round(e2e_whole, 3) if e2e_whole else None,
-        "query_qps": round(queries["query_qps"], 2) if queries else None,
-        "audio_clips_per_sec": round(audio["audio_clips_per_sec"], 2)
-        if audio else None,
-        "query_vs_host_numpy": round(queries["query_vs_host_numpy"], 1)
-        if queries else None,
-        "kernel_parity": parity.get("status"),
-        "kernel_parity_detail": {k: v for k, v in parity.items()
-                                 if k != "status"},
-    }))
+    _emit()
 
 
 if __name__ == "__main__":
