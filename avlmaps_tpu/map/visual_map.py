@@ -98,14 +98,15 @@ class VisualMap:
         destroys another encoder's artifact (ADVICE r2); the unsuffixed
         legacy name is still read."""
         d = self._cache_dir()
-        paths = []
         if self.clip_encoder is not None:
-            paths.append(
-                d / f"global_descriptors_{self.clip_encoder.feat_dim}.h5df")
+            dim = self.clip_encoder.feat_dim
         else:
-            paths.extend(sorted(d.glob("global_descriptors_*.h5df")))
-        paths.append(d / "global_descriptors.h5df")
-        return paths
+            dim = 512  # _init_clip's lazy default is CLIP ViT-B/32 (512-d);
+            # globbing *any* per-dim cache here picked whichever dim sorted
+            # first (e.g. a NetVLAD 4096-d artifact) and forced a full
+            # re-encode at the first retrieve()
+        return [d / f"global_descriptors_{dim}.h5df",
+                d / "global_descriptors.h5df"]
 
     def _cache_write_path(self, feat_dim: int) -> Path:
         return self._cache_dir() / f"global_descriptors_{feat_dim}.h5df"
@@ -129,11 +130,13 @@ class VisualMap:
                 continue
             with h5py.File(cache, "r") as f:
                 descs = f["descriptors"][:]
-            # validate against an ALREADY-constructed encoder's dim only:
-            # instantiating a CLIP tower just to read feat_dim would cost
-            # seconds + model memory on every warm-cache load
-            dim_ok = (self.clip_encoder is None
-                      or descs.shape[1] == self.clip_encoder.feat_dim)
+            # validate against the active encoder's dim without building
+            # one (instantiating a CLIP tower just to read feat_dim would
+            # cost seconds + model memory on every warm-cache load): an
+            # unset encoder always lazily becomes the 512-d ViT-B/32
+            expected = (self.clip_encoder.feat_dim
+                        if self.clip_encoder is not None else 512)
+            dim_ok = descs.shape[1] == expected
             if descs.shape[0] == len(self.poses) and dim_ok:
                 self.descriptors = descs
                 return  # cache valid; else try the next candidate

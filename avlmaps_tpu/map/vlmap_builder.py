@@ -456,27 +456,15 @@ class VLMapBuilder:
         return self._save(state, gs, vh, mapped)
 
     def _packed_scene(self):
-        """Open the packed scene when configured/present and it matches the
-        frame list; None -> decode PNG/npy per frame (reference behaviour,
-        avlmaps/map/vlmap_builder.py:118-120)."""
-        from avlmaps_tpu.pipeline.packed import PackedScene
+        """Open the packed scene when configured/present, it matches the
+        frame list, and it is newer than the source frames (shared policy:
+        pipeline.packed.open_matching); None -> decode PNG/npy per frame
+        (reference behaviour, avlmaps/map/vlmap_builder.py:118-120)."""
+        from avlmaps_tpu.pipeline.packed import open_matching
 
-        explicit = self.packed_path is not None
-        path = Path(self.packed_path) if explicit \
-            else self.data_dir / "scene.avpack"
-        if not Path(path).exists():
-            if explicit:
-                raise FileNotFoundError(path)
-            return None
-        scene = PackedScene(path)
-        if not scene.matches(self.rgb_paths):
-            msg = (f"{path} was packed from a different frame list "
-                   f"({scene.n} frames vs {len(self.rgb_paths)})")
-            if explicit:
-                raise ValueError(msg)
-            print(f"WARNING: ignoring stale pack: {msg}")
-            return None
-        return scene
+        return open_matching(self.data_dir, self.rgb_paths,
+                             self.depth_paths,
+                             explicit_path=self.packed_path)
 
     def _make_loader(self, pose_tfs, batch_size, mapped, transform,
                      use_canvas, h, w, max_pts, device_put,

@@ -101,17 +101,14 @@ class VLMapBuilderMultiFloor:
         prefetcher.  Packed uint16-mm depth is converted back to float32
         metres for the frame-transport step (<= 1 mm truncation; pack with
         --depth-f32 for bit parity)."""
-        from avlmaps_tpu.pipeline.packed import PackedLoader, PackedScene
+        from avlmaps_tpu.pipeline.packed import PackedLoader, open_matching
 
-        cand = self.data_dir / "scene.avpack"
-        if cand.exists():
-            scene = PackedScene(cand)
-            if scene.matches(self.rgb_paths):
-                return PackedLoader(scene, self.pose_tfs,
-                                    batch_size=batch_size,
-                                    depth_metres=True)
-            print(f"WARNING: ignoring stale pack {cand} "
-                  f"({scene.n} frames vs {len(self.rgb_paths)})")
+        scene = open_matching(self.data_dir, self.rgb_paths,
+                              self.depth_paths)
+        if scene is not None:
+            return PackedLoader(scene, self.pose_tfs,
+                                batch_size=batch_size,
+                                depth_metres=True)
         return PrefetchLoader(self.rgb_paths, self.depth_paths,
                               self.pose_tfs, batch_size=batch_size,
                               normalize=False)
@@ -225,9 +222,15 @@ class VLMapBuilderMultiFloor:
                                         base_size, crop_size, geometry,
                                         progress)
 
+        dedup = jax.default_backend() == "tpu"  # same default as
+        # make_frame_step: the sorted segment scatter-add kernel needs
+        # Mosaic (or the interpreter); ~2 ms/step faster at the bench batch
+
         def step(state, params, rgb_norm, depth, pose, sample_idx, fvalid):
             if rgb_norm.dtype == jnp.uint8:
                 rgb_norm = rgb_norm.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+            if depth.dtype == jnp.uint16:  # loader depth_mm mode
+                depth = depth.astype(jnp.float32) * 1e-3
             b = rgb_norm.shape[0]
             z = jnp.take_along_axis(depth.reshape(b, -1), sample_idx, axis=1)
             gid, fx, fy, alpha, valid = geometry(z, sample_idx, pose)
@@ -243,7 +246,8 @@ class VLMapBuilderMultiFloor:
             d = feats.shape[-1]
             return fuse_points(state, vids, feats.reshape(-1, d),
                                rgbs.reshape(-1, 3), alpha.reshape(-1),
-                               valid.reshape(-1), gs=gs, vh=vh)
+                               valid.reshape(-1), gs=gs, vh=vh,
+                               dedup_scatter=dedup)
 
         step = jax.jit(step, donate_argnums=(0,))
         state = init_fusion_state(gs, vh, self.feat_dim, cfg.capacity)

@@ -40,7 +40,8 @@ class ShardedFusion:
                  min_depth: float = 0.1, max_depth: float = 6.0,
                  payload_dtype=jnp.bfloat16, half_res_apply: bool = False,
                  transport: str = "frame", lseg_eval: str = "sliding",
-                 geometry_fn: Optional[Callable] = None):
+                 geometry_fn: Optional[Callable] = None,
+                 dedup_scatter: Optional[bool] = None):
         """``payload_dtype``: wire format of the gathered feature payload —
         bf16 halves the dominant ICI traffic (docs/SCALING.md arithmetic);
         accumulation stays f32 inside fuse_points either way.  Pass
@@ -48,7 +49,13 @@ class ShardedFusion:
 
         ``transport``: "frame" feeds full RGB-D frames; "canvas" feeds the
         lean CanvasBatch payload (pipeline/transport.py) — ``step`` then
-        takes (params, canvas_u8, z_mm, rgb_pts, pose, sample_idx, valid)."""
+        takes (params, canvas_u8, z_mm, rgb_pts, pose, sample_idx, valid).
+
+        ``dedup_scatter``: route each shard's fusion through the sorted
+        segment scatter-add kernel — same default as make_frame_step
+        (on for TPU backends, off elsewhere)."""
+        if dedup_scatter is None:
+            dedup_scatter = jax.default_backend() == "tpu"
         self.mesh = mesh
         self.payload_dtype = payload_dtype
         # lseg_eval: "sliding" (reference-parity crop grid) or "whole"
@@ -110,7 +117,8 @@ class ShardedFusion:
             vids = voxel_linear_id_jax(lgid, gs, vh)
             vids = jnp.clip(vids, 0, rows * gs * vh - 1)
             return fuse_points(state, vids, feats_f, rgbs_f, alpha_f,
-                               valid_f & owned, gs=gs, vh=vh, n_rows=rows)
+                               valid_f & owned, gs=gs, vh=vh, n_rows=rows,
+                               dedup_scatter=dedup_scatter)
 
         def shard_body(state, lseg_params, rgb_norm, depth, pose, sample_idx,
                        frame_valid):
@@ -118,6 +126,8 @@ class ShardedFusion:
             if rgb_norm.dtype == jnp.uint8:
                 # raw frames off the loader: normalise on device
                 rgb_norm = rgb_norm.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+            if depth.dtype == jnp.uint16:  # loader depth_mm mode (packed
+                depth = depth.astype(jnp.float32) * 1e-3  # scenes ship mm)
             b = rgb_norm.shape[0]
             z = jnp.take_along_axis(depth.reshape(b, -1), sample_idx, axis=1)
             gid, fx, fy, valid, alpha = geometry(z, sample_idx, pose)

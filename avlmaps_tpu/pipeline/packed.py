@@ -190,16 +190,54 @@ class PackedScene:
         return d
 
 
+def open_matching(data_dir, rgb_paths: Sequence, depth_paths: Sequence = (),
+                  *, explicit_path=None,
+                  warn: bool = True) -> Optional["PackedScene"]:
+    """Open ``<data_dir>/scene.avpack`` (or ``explicit_path``) iff it was
+    packed from exactly these frames AND is not older than any of them.
+
+    The single staleness policy for every pack consumer (VLMap builder,
+    multi-floor builder, one-pass encoders): name/count mismatch or a pack
+    older than its source frames (scene re-rendered in place — same file
+    names, new imagery) is rejected.  Implicit candidates warn and fall
+    back to per-frame decode; an ``explicit_path`` raises instead."""
+    explicit = explicit_path is not None
+    path = (Path(explicit_path) if explicit
+            else Path(data_dir) / "scene.avpack")
+    if not path.exists():
+        if explicit:
+            raise FileNotFoundError(path)
+        return None
+    scene = PackedScene(path)
+    msg = None
+    if not scene.matches(rgb_paths):
+        msg = (f"{path} was packed from a different frame list "
+               f"({scene.n} frames vs {len(rgb_paths)})")
+    else:
+        pack_mtime = path.stat().st_mtime
+        newest = max((os.path.getmtime(str(p))
+                      for p in list(rgb_paths) + list(depth_paths)),
+                     default=0.0)
+        if newest > pack_mtime:
+            msg = (f"{path} is older than its source frames (scene "
+                   "re-rendered?) — repack with tools/pack_scene.py")
+    if msg is None:
+        return scene
+    if explicit:
+        raise ValueError(msg)
+    if warn:
+        print(f"WARNING: ignoring stale pack: {msg}")
+    return None
+
+
 def rgb_reader(data_dir, rgb_paths: Sequence):
     """``callable(i) -> (H, W, 3) uint8 RGB``: memmap-backed when a matching
     ``<data_dir>/scene.avpack`` exists, else per-frame PNG decode.  Lets the
     one-pass encoders (AreaMap / VisualMap frame features) share the
     decode-once pack the VLMap builder uses."""
-    cand = Path(data_dir) / "scene.avpack"
-    if cand.exists():
-        scene = PackedScene(cand)
-        if scene.matches(rgb_paths):
-            return lambda i: np.asarray(scene.rgb[i])
+    scene = open_matching(data_dir, rgb_paths)
+    if scene is not None:
+        return lambda i: np.asarray(scene.rgb[i])
     return lambda i: load_rgb(rgb_paths[i])
 
 

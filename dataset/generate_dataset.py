@@ -209,7 +209,13 @@ def main() -> None:
                              "config/generate_dataset.yaml analogue)")
     args = parser.parse_args()
 
-    cfg = load_config(args.config if Path(args.config).exists() else None)
+    # the exists() fallback applies ONLY to the repo default (a source
+    # checkout without config/ still runs); an explicit --config typo must
+    # fail loudly, not silently render with default knobs
+    if args.config == str(DEFAULT_CONFIG) and not Path(args.config).exists():
+        cfg = load_config(None)
+    else:
+        cfg = load_config(args.config)
     cc = cfg.sound_data_collect_params
     rng = np.random.default_rng(cc.seed)
     data_root = Path(args.data_dir or cfg.data_paths.avlmaps_data_dir)

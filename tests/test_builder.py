@@ -240,6 +240,46 @@ class TestShardedParity:
         np.testing.assert_allclose(f1[k1], f3[k3], rtol=2e-2, atol=2e-2)
 
     @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    def test_sharded_uint16_depth_matches_metres(self, tiny_lseg, rng):
+        """Packed scenes feed the frame-transport mesh step uint16-mm
+        depth; the shard body must rescale it like make_frame_step does
+        (regression: raw mm read as metres discarded ~every point)."""
+        from avlmaps_tpu.parallel.sharded import ShardedFusion, make_mesh
+
+        model, params = tiny_lseg
+        calib = get_sim_cam_mat(H, W)
+        n_dev = 8
+        b, n = n_dev, 64
+        rgb = jnp.asarray(rng.normal(size=(b, H, W, 3)).astype(np.float32))
+        # u16 millimetres first; metres derived by the same rescale the
+        # device performs, so the two builds see bit-identical depths
+        depth_u16_np = rng.integers(300, 1200, (b, H, W)).astype(np.uint16)
+        depth_m = depth_u16_np.astype(np.float32) * 1e-3
+        depth_u16 = jnp.asarray(depth_u16_np)
+        pose = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+        idx = jnp.asarray(sample_pixels(np.random.default_rng(1), H, W, 16,
+                                        n, b))
+        fvalid = jnp.ones((b,), bool)
+
+        def build(depth):
+            mesh = make_mesh(n_dev)
+            fusion = ShardedFusion(mesh, gs=GS, cs=CS, vh=VH, feat_dim=24,
+                                   capacity=8192 * n_dev, calib_mat=calib,
+                                   image_hw=(H, W), lseg_apply=model.apply,
+                                   base_size=W, crop_size=W,
+                                   payload_dtype=jnp.float32)
+            fusion.step(params, rgb, depth, pose, idx, fvalid)
+            return fusion.export()
+
+        f1, p1, w1, o1, _ = build(jnp.asarray(depth_m))
+        f2, p2, w2, o2, _ = build(depth_u16)
+        assert (o1 >= 0).sum() > 0  # the scene must actually fuse points
+        np.testing.assert_array_equal(o1 >= 0, o2 >= 0)
+        k1, k2 = np.lexsort(p1.T), np.lexsort(p2.T)
+        np.testing.assert_array_equal(p1[k1], p2[k2])
+        np.testing.assert_allclose(f1[k1], f2[k2], rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
     def test_sharded_canvas_matches_single_device(self, tiny_lseg, rng):
         """Canvas-transport multi-chip step vs the single-device canvas step
         (f32 wire format; same CanvasBatch payload both ways)."""

@@ -91,6 +91,26 @@ class TestPackFormat:
         assert not sc.matches(rgb_paths[:-1])
         assert not sc.matches(list(reversed(rgb_paths)))
 
+    def test_open_matching_rejects_outdated_pack(self, scene_dir):
+        """Re-rendering a scene in place (same file names, new imagery)
+        must invalidate an older pack: matches() passes on names alone,
+        so open_matching also compares mtimes (review r3)."""
+        import os
+        import time
+
+        from avlmaps_tpu.pipeline.packed import open_matching
+
+        rgb_paths, depth_paths = _paths(scene_dir)
+        out = pack_scene(rgb_paths, depth_paths, scene_dir / "scene.avpack")
+        assert open_matching(scene_dir, rgb_paths, depth_paths) is not None
+        # "re-render" one source frame after the pack was written
+        future = time.time() + 10
+        os.utime(rgb_paths[0], (future, future))
+        assert open_matching(scene_dir, rgb_paths, depth_paths) is None
+        with pytest.raises(ValueError, match="older than its source"):
+            open_matching(scene_dir, rgb_paths, depth_paths,
+                          explicit_path=out)
+
     def test_bad_magic(self, tmp_path):
         p = tmp_path / "junk.avpack"
         p.write_bytes(b"NOTAPACK" + b"\0" * 64)

@@ -61,6 +61,8 @@ def main():
     import jax.numpy as jnp
 
     segs = set(sys.argv[1:]) or {"step", "fusion", "lseg", "vit"}
+    if any(a.startswith("vit:") for a in segs):
+        segs.add("vit")  # `vit:flash` alone must select the vit segment
     bench._enable_compile_cache()
 
     from avlmaps_tpu.models.lseg import LSegConfig, LSegNet
