@@ -28,14 +28,17 @@ sys.path.insert(0, str(REPO))
 import bench  # noqa: E402
 
 
-def capture(trace_dir: str, reps: int):
+def capture(trace_dir: str, reps: int, whole: bool = False):
     import jax
     import jax.numpy as jnp
 
     from avlmaps_tpu.map.vlmap_builder import sample_pixels
 
     bench._enable_compile_cache()
-    step, _, state, params, canvas_hw = bench._build_step_and_inputs()
+    step, step_whole, state, params, canvas_hw = \
+        bench._build_step_and_inputs()
+    if whole:  # the non-parity lseg_eval="whole" serving mode
+        step = step_whole
     rng = np.random.default_rng(0)
     ch, cw = canvas_hw
     b, mp = bench.BATCH, bench.MAX_PTS
@@ -115,8 +118,11 @@ def main():
     ap.add_argument("--per-op", action="store_true")
     ap.add_argument("--xplane", help="summarise an existing .xplane.pb "
                                      "instead of capturing")
+    ap.add_argument("--whole", action="store_true",
+                    help="trace the lseg_eval='whole' fast mode instead of "
+                         "the parity sliding-window step")
     args = ap.parse_args()
-    xp = args.xplane or capture(args.trace_dir, args.reps)
+    xp = args.xplane or capture(args.trace_dir, args.reps, whole=args.whole)
     summarise(xp, args.reps, args.per_op)
 
 
