@@ -173,13 +173,20 @@ def fuse_points(state: VoxelFusionState,
     # one that won the allocation — as a weighted add in the shared scatter
     # below (scatters are latency-bound per row, so the position columns
     # ride the feature scatter for free instead of a scatter of their own).
-    # first[inv_perm] maps the sorted-order winner flags back to points.
+    # ``rank`` is constant within a sorted run, so every point of a newly
+    # allocated voxel knows its slot as n_slots + rank without re-reading
+    # the occupied table after the scatter above — the second 62k-row
+    # table gather cost ~1 ms/step (traced r3) AND serialized the chain
+    # behind the table update.  Winner flag and slot share one packed word
+    # through the single unsort gather.
     inv_perm = jnp.argsort(perm)
-    designated = (first & fits)[inv_perm]
+    new_slot_sorted = jnp.where(fits, cand_slot, capacity)
+    packed = (new_slot_sorted * 2 + (first & fits))[inv_perm]
+    designated = (packed % 2) == 1
 
     # ---- resolve every point's slot and accumulate -----------------------
-    slot = jnp.where(valid, occupied_flat[safe_vids], capacity)
-    slot = jnp.where(slot < 0, capacity, slot)  # overflow voxels -> trash
+    slot = jnp.where(is_new, packed // 2, slot)  # freshly allocated
+    slot = jnp.where(slot < 0, capacity, slot)  # invalid (-2) -> trash
 
     w = jnp.where(valid, alphas, 0.0).astype(jnp.float32)
     vrow = safe_vids // (gs * vh)
