@@ -157,18 +157,31 @@ def measure_device(step, state, params, canvas_hw) -> dict:
     except Exception:
         pass
 
-    def one_step(state):
-        idx = jnp.asarray(sample_pixels(rng, H, W, DEPTH_SAMPLE_RATE,
-                                        MAX_PTS, BATCH))
-        return step(state, params, canvas, z_mm, rgb_pts, pose, idx, fvalid)
+    # Pre-stage one index buffer per step in HBM: sample_pixels costs
+    # ~3 ms/call of host RNG and the (BATCH, MAX_PTS) upload pays tunnel
+    # latency — inside the timed loop both show up as dispatch gaps
+    # (traced r3: ~12 ms/step between compute lines), which is pipeline
+    # overlap the production loader does on the producer thread and
+    # measure_e2e measures separately.  Distinct buffers per step keep
+    # the scatter pattern realistic (new voxels every step).
+    idx_pool = [
+        jax.device_put(sample_pixels(rng, H, W, DEPTH_SAMPLE_RATE,
+                                     MAX_PTS, BATCH))
+        for _ in range(WARMUP_STEPS + TIMED_STEPS)
+    ]
+    jax.block_until_ready(idx_pool)
 
-    for _ in range(WARMUP_STEPS):
-        state = one_step(state)
+    def one_step(state, k):
+        return step(state, params, canvas, z_mm, rgb_pts, pose,
+                    idx_pool[k], fvalid)
+
+    for k in range(WARMUP_STEPS):
+        state = one_step(state, k)
     jax.block_until_ready(jax.tree.leaves(state))  # full-state sync
 
     t0 = time.perf_counter()
-    for _ in range(TIMED_STEPS):
-        state = one_step(state)
+    for k in range(TIMED_STEPS):
+        state = one_step(state, WARMUP_STEPS + k)
     jax.block_until_ready(jax.tree.leaves(state))
     elapsed = time.perf_counter() - t0
 
