@@ -139,64 +139,69 @@ def fuse_points(state: VoxelFusionState,
     b = vids.shape[0]
     if n_rows is None:
         n_rows = gs
+    n_vox = n_rows * gs * vh
+    if n_vox + capacity + 1 >= INT32_MAX:
+        # the composite sort key below needs capacity+1+vid to fit int32;
+        # a grid this size would need an >8 GB slot table anyway
+        raise ValueError(f"grid of {n_vox} voxels + capacity {capacity} "
+                         "overflows the int32 fusion sort key")
 
     safe_vids = jnp.where(valid, vids, 0)
-    slot = jnp.where(valid, state.occupied_flat[safe_vids], -2)
+    slot0 = state.occupied_flat[safe_vids]  # -1 = unseen
 
-    # ---- allocate slots for first-seen voxels ----------------------------
-    is_new = valid & (slot == -1)
-    # sort unseen ids; non-new entries become a +inf sentinel so they sort last
-    new_vids = jnp.where(is_new, vids, INT32_MAX)
-    perm = jnp.argsort(new_vids)
-    sorted_vids = new_vids[perm]
-    is_sentinel = sorted_vids == INT32_MAX
-    first = jnp.concatenate([
-        jnp.ones((1,), bool),
-        sorted_vids[1:] != sorted_vids[:-1],
-    ]) & ~is_sentinel
-    # contiguous rank of each unique new voxel, in voxel-id order
+    # ---- ONE sort orders allocation AND the dedup scatter -----------------
+    # Composite key: points of already-allocated voxels sort by their final
+    # slot; first-seen voxels sort by voxel id shifted past every possible
+    # slot (their final slots n_slots+rank are assigned in ascending vid
+    # order, so key order IS final-slot order); invalid points sort last
+    # (their slot is the trash row ``capacity``, the largest slot).  The
+    # sorted batch is therefore ascending in FINAL slot, which is exactly
+    # what the windowed dedup scatter consumes — replacing the r2 chain of
+    # three 62k-row sorts (allocation sort, inverse-permutation sort, the
+    # dedup slot sort) with one.
+    key = jnp.where(valid,
+                    jnp.where(slot0 >= 0, slot0, capacity + 1 + safe_vids),
+                    INT32_MAX)
+    perm = jnp.argsort(key)
+    sk = key[perm]
+
+    # ---- allocate slots for first-seen voxels (sorted domain) -------------
+    is_new = (sk > capacity) & (sk < INT32_MAX)
+    vid_s = jnp.where(is_new, sk - (capacity + 1), 0)
+    first = jnp.concatenate([is_new[:1],
+                             is_new[1:] & (sk[1:] != sk[:-1])])
+    # contiguous rank of each unique new voxel, in voxel-id order; constant
+    # within a run, so every point of a new voxel knows its slot without
+    # re-reading the table after the update below
     rank = jnp.cumsum(first.astype(jnp.int32)) - 1
     n_unique = jnp.sum(first.astype(jnp.int32))
-    cand_slot = state.n_slots + rank
-    fits = cand_slot < capacity
-    alloc_slot = jnp.where(first & fits, cand_slot, capacity)
-    write_vid = jnp.where(first & fits, sorted_vids, n_rows * gs * vh)
-    # sentinel/overflow rows point one past the table and mode="drop"
-    # discards them in the scatter itself — concatenating a real landing
-    # row instead cost three full copies of the 30M-entry table per step
-    # (~1.3 ms traced r3, and it defeated the donated-buffer in-place
-    # scatter)
-    occupied_flat = state.occupied_flat.at[write_vid].set(alloc_slot,
+    cand = state.n_slots + rank
+    fits = cand < capacity
+    slot_s = jnp.where(is_new, jnp.where(fits, cand, capacity),
+                       jnp.minimum(sk, capacity))
+    designated = first & fits  # the one point that writes each new slot
+    # non-designated rows point one past the table and mode="drop" discards
+    # them in the scatter itself — concatenating a real landing row instead
+    # cost three full copies of the 30M-entry table per step (~1.3 ms
+    # traced r3, and it defeated the donated-buffer in-place scatter)
+    write_vid = jnp.where(designated, vid_s, n_vox)
+    occupied_flat = state.occupied_flat.at[write_vid].set(slot_s,
                                                           mode="drop")
 
+    # ---- accumulate (sorted domain; scatter order is irrelevant to +=) ----
     # each new slot's (row, col, h) is written by exactly ONE point — the
-    # one that won the allocation — as a weighted add in the shared scatter
-    # below (scatters are latency-bound per row, so the position columns
-    # ride the feature scatter for free instead of a scatter of their own).
-    # ``rank`` is constant within a sorted run, so every point of a newly
-    # allocated voxel knows its slot as n_slots + rank without re-reading
-    # the occupied table after the scatter above — the second 62k-row
-    # table gather cost ~1 ms/step (traced r3) AND serialized the chain
-    # behind the table update.  Winner flag and slot share one packed word
-    # through the single unsort gather.
-    inv_perm = jnp.argsort(perm)
-    new_slot_sorted = jnp.where(fits, cand_slot, capacity)
-    packed = (new_slot_sorted * 2 + (first & fits))[inv_perm]
-    designated = (packed % 2) == 1
-
-    # ---- resolve every point's slot and accumulate -----------------------
-    slot = jnp.where(is_new, packed // 2, slot)  # freshly allocated
-    slot = jnp.where(slot < 0, capacity, slot)  # invalid (-2) -> trash
-
-    w = jnp.where(valid, alphas, 0.0).astype(jnp.float32)
-    vrow = safe_vids // (gs * vh)
-    vcol = (safe_vids // vh) % gs
-    vhh = safe_vids % vh
+    # designated allocator — as a weighted add in the shared scatter below
+    # (scatters are latency-bound per row, so the position columns ride the
+    # feature scatter for free instead of a scatter of their own).
+    w = jnp.where(valid, alphas, 0.0).astype(jnp.float32)[perm]
+    vrow = vid_s // (gs * vh)
+    vcol = (vid_s // vh) % gs
+    vhh = vid_s % vh
     pos_add = (jnp.stack([vrow, vcol, vhh], axis=1).astype(jnp.float32)
                * designated[:, None])
     update = jnp.concatenate([
-        w[:, None] * feats.astype(jnp.float32),
-        w[:, None] * rgbs,
+        w[:, None] * feats[perm].astype(jnp.float32),
+        w[:, None] * rgbs[perm],
         w[:, None],
         pos_add,
         jnp.zeros((b, ACCUM_PAD - 7), jnp.float32),
@@ -205,15 +210,13 @@ def fuse_points(state: VoxelFusionState,
         from avlmaps_tpu.ops.segment_scatter import \
             sorted_segment_scatter_add
 
-        order = jnp.argsort(slot)
-        accum = sorted_segment_scatter_add(state.accum, slot[order],
-                                           update[order])
+        accum = sorted_segment_scatter_add(state.accum, slot_s, update)
     else:
-        accum = state.accum.at[slot].add(update)
+        accum = state.accum.at[slot_s].add(update)
 
     n_slots = jnp.minimum(state.n_slots + n_unique, capacity)
     n_dropped = state.n_dropped + jnp.sum(
-        (valid & (slot == capacity)).astype(jnp.int32))
+        ((sk < INT32_MAX) & (slot_s == capacity)).astype(jnp.int32))
 
     return VoxelFusionState(occupied_flat, accum, n_slots, n_dropped)
 
