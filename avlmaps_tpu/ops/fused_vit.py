@@ -46,6 +46,22 @@ FORCE_INTERPRET = False
 # sum to XLA's own count to get an honest MFU.
 FLOP_LOG: list = []
 
+# Row sub-blocks per gelu_matmul grid step (see _gelu_matmul_kernel): >1
+# interleaves the VPU erf prologue of one sub-block with the MXU matmul of
+# the previous one.  A/B-tunable at import time; tests cover both paths.
+# 2 measured ~19% faster than 1 at the production M=16x904 shape in
+# isolation (tools/ab_gelu.py, r3: 2.17 -> 1.75 ms; the smaller f32
+# intermediate also halves scoped VMEM); step-level the win is within
+# measurement noise — the step already overlaps the kernel with its
+# neighbours.  4 collapses (64-row sub-blocks retile the MXU).
+GELU_CHUNKS = 2
+
+# Same knob for the LayerNorm prologue of ln_matmul.  None = auto by
+# output width: the fc layer (N=4096) measured ~2x faster with chunks=2
+# in isolation (3.19 -> 1.66 ms, tools/ab_gelu.py r3) while qkv (N=3072)
+# prefers the unchunked kernel (1.44 vs 1.54 ms); step-level neutral.
+LN_CHUNKS = None
+
 
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int,
                 pack: int, t_real: int):
@@ -160,16 +176,25 @@ def mha_oneshot_2d(qkv2d: jnp.ndarray, b: int, t: int, n_heads: int, *,
 
 
 def _ln_matmul_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, o_ref, *,
-                      eps: float):
-    xb = x_ref[...].astype(jnp.float32)              # (bm, K)
-    mu = jnp.mean(xb, axis=-1, keepdims=True)
-    xc = xb - mu
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    xn = xc * jax.lax.rsqrt(var + eps)
-    xn = xn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
-    y = jnp.dot(xn.astype(w_ref.dtype), w_ref[...],
-                preferred_element_type=jnp.float32)  # (bm, bn)
-    o_ref[...] = (y + bias_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+                      eps: float, chunks: int = 1):
+    # chunks > 1 splits the row block so Mosaic can overlap one sub-block's
+    # VPU LayerNorm with the previous sub-block's MXU matmul (LN statistics
+    # are per-row, so row chunking is exact) — same trick as
+    # _gelu_matmul_kernel below.
+    bm = x_ref.shape[0]
+    sub = bm // chunks if chunks > 1 and bm % chunks == 0 else bm
+    g = g_ref[...].astype(jnp.float32)
+    b = b_ref[...].astype(jnp.float32)
+    bias = bias_ref[...].astype(jnp.float32)
+    for i in range(bm // sub):
+        xb = x_ref[i * sub:(i + 1) * sub, :].astype(jnp.float32)  # (sub, K)
+        mu = jnp.mean(xb, axis=-1, keepdims=True)
+        xc = xb - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        xn = (xc * jax.lax.rsqrt(var + eps)) * g + b
+        y = jnp.dot(xn.astype(w_ref.dtype), w_ref[...],
+                    preferred_element_type=jnp.float32)  # (sub, bn)
+        o_ref[i * sub:(i + 1) * sub, :] = (y + bias).astype(o_ref.dtype)
 
 
 # odd LS polynomial erf(x) ~ clamp(x * P(x^2)) fitted on [0, 3.2]
@@ -196,14 +221,23 @@ def _erf(x):
     return jnp.clip(xs * p, -1.0, 1.0)
 
 
-def _gelu_matmul_kernel(x_ref, w_ref, bias_ref, o_ref):
-    xb = x_ref[...].astype(jnp.float32)
-    # exact-erf GELU spelled out: jax.nn.gelu(approximate=False) lowers
-    # through erf/erfc, neither of which Mosaic implements
-    g = 0.5 * xb * (1.0 + _erf(xb * jnp.float32(0.7071067811865476)))
-    y = jnp.dot(g.astype(w_ref.dtype), w_ref[...],
-                preferred_element_type=jnp.float32)
-    o_ref[...] = (y + bias_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+def _gelu_matmul_kernel(x_ref, w_ref, bias_ref, o_ref, *, chunks: int = 1):
+    # The erf prologue is pure VPU work on the (bm, K) block and the matmul
+    # is pure MXU work; with chunks > 1 the block is split into independent
+    # row sub-blocks so Mosaic's scheduler can overlap sub-block i+1's VPU
+    # polynomial with sub-block i's matmul instead of serialising the two
+    # units (docs/PROFILE.md headroom #1).
+    bm = x_ref.shape[0]
+    sub = bm // chunks if chunks > 1 and bm % chunks == 0 else bm
+    bias = bias_ref[...].astype(jnp.float32)
+    for i in range(bm // sub):
+        xb = x_ref[i * sub:(i + 1) * sub, :].astype(jnp.float32)
+        # exact-erf GELU spelled out: jax.nn.gelu(approximate=False) lowers
+        # through erf/erfc, neither of which Mosaic implements
+        g = 0.5 * xb * (1.0 + _erf(xb * jnp.float32(0.7071067811865476)))
+        y = jnp.dot(g.astype(w_ref.dtype), w_ref[...],
+                    preferred_element_type=jnp.float32)
+        o_ref[i * sub:(i + 1) * sub, :] = (y + bias).astype(o_ref.dtype)
 
 
 def _blocked_matmul_call(kernel, x2d, w, extras_row, extras_col, out_dtype,
@@ -285,8 +319,9 @@ def ln_matmul(x2d: jnp.ndarray, ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
     w.dtype for the MXU, f32 accumulation.
     """
     k = x2d.shape[1]
+    chunks = LN_CHUNKS or (2 if w.shape[1] >= 4096 else 1)
     return _blocked_matmul_call(
-        functools.partial(_ln_matmul_kernel, eps=eps),
+        functools.partial(_ln_matmul_kernel, eps=eps, chunks=chunks),
         x2d, w,
         extras_row=[ln_scale.reshape(1, k), ln_bias.reshape(1, k)],
         extras_col=[bias.reshape(1, -1)],
@@ -304,6 +339,6 @@ def gelu_matmul(x2d: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray, *,
     28 MB VMEM guard, and the GELU prologue runs once per x block.
     """
     return _blocked_matmul_call(
-        _gelu_matmul_kernel,
+        functools.partial(_gelu_matmul_kernel, chunks=GELU_CHUNKS),
         x2d, w, extras_row=[], extras_col=[bias.reshape(1, -1)],
         out_dtype=out_dtype or x2d.dtype, block_m=256, interpret=interpret)
