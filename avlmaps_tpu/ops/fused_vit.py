@@ -48,7 +48,8 @@ FLOP_LOG: list = []
 
 # Row sub-blocks per gelu_matmul grid step (see _gelu_matmul_kernel): >1
 # interleaves the VPU erf prologue of one sub-block with the MXU matmul of
-# the previous one.  A/B-tunable at import time; tests cover both paths.
+# the previous one.  A/B-tunable at import time; chunk values {1, 2} are
+# parity-tested in interpret mode (tests/test_fused_vit.py chunk params).
 # 2 measured ~19% faster than 1 at the production M=16x904 shape in
 # isolation (tools/ab_gelu.py, r3: 2.17 -> 1.75 ms; the smaller f32
 # intermediate also halves scoped VMEM); step-level the win is within
@@ -60,6 +61,7 @@ GELU_CHUNKS = 2
 # output width: the fc layer (N=4096) measured ~2x faster with chunks=2
 # in isolation (3.19 -> 1.66 ms, tools/ab_gelu.py r3) while qkv (N=3072)
 # prefers the unchunked kernel (1.44 vs 1.54 ms); step-level neutral.
+# An explicit 0/1 disables chunking; only None selects the auto rule.
 LN_CHUNKS = None
 
 
@@ -319,7 +321,8 @@ def ln_matmul(x2d: jnp.ndarray, ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
     w.dtype for the MXU, f32 accumulation.
     """
     k = x2d.shape[1]
-    chunks = LN_CHUNKS or (2 if w.shape[1] >= 4096 else 1)
+    chunks = LN_CHUNKS if LN_CHUNKS is not None \
+        else (2 if w.shape[1] >= 4096 else 1)
     return _blocked_matmul_call(
         functools.partial(_ln_matmul_kernel, eps=eps, chunks=chunks),
         x2d, w,

@@ -41,9 +41,13 @@ def test_mha_oneshot_matches_einsum(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
-def test_ln_matmul_matches_flax_ln_dense(rng):
+@pytest.mark.parametrize("ln_chunks", [None, 1, 2])
+def test_ln_matmul_matches_flax_ln_dense(rng, monkeypatch, ln_chunks):
     # M deliberately NOT a multiple of the 512 block: exercises the masked
-    # partial last block (the production M = 8*901 = 7208 is partial too)
+    # partial last block (the production M = 8*901 = 7208 is partial too).
+    # ln_chunks=2 forces the chunked-prologue branch the production fc layer
+    # (N=4096) selects via the auto rule (ADVICE r3: previously untested).
+    monkeypatch.setattr(fused_vit, "LN_CHUNKS", ln_chunks)
     m, k, n = 1100, 96, 256
     eps = 1e-6
     x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
@@ -62,7 +66,41 @@ def test_ln_matmul_matches_flax_ln_dense(rng):
                                atol=2e-4, rtol=1e-5)
 
 
-def test_gelu_matmul_matches_unfused(rng):
+def test_ln_matmul_auto_rule_chunks_wide_layers(rng, monkeypatch):
+    """The auto rule (LN_CHUNKS=None) must pick chunks=2 at the fc width
+    and 1 below it, and an explicit 1 must disable chunking even at the
+    fc width — pinned by spying on the kernel partials."""
+    import functools as ft
+    seen = {}
+    orig = fused_vit._blocked_matmul_call
+
+    def spy(kernel, *a, **kw):
+        assert isinstance(kernel, ft.partial)
+        seen["chunks"] = kernel.keywords.get("chunks")
+        return orig(kernel, *a, **kw)
+
+    monkeypatch.setattr(fused_vit, "_blocked_matmul_call", spy)
+    k = 32
+    x = jnp.asarray(rng.normal(size=(16, k)).astype(np.float32))
+    g = jnp.ones((k,), jnp.float32)
+    c = jnp.zeros((k,), jnp.float32)
+    bias_wide = jnp.zeros((4096,), jnp.float32)
+    w_wide = jnp.asarray(rng.normal(size=(k, 4096)).astype(np.float32))
+
+    monkeypatch.setattr(fused_vit, "LN_CHUNKS", None)
+    ln_matmul(x, g, c, w_wide, bias_wide, eps=1e-6, interpret=True)
+    assert seen["chunks"] == 2
+    w_narrow = w_wide[:, :256]
+    ln_matmul(x, g, c, w_narrow, bias_wide[:256], eps=1e-6, interpret=True)
+    assert seen["chunks"] == 1
+    monkeypatch.setattr(fused_vit, "LN_CHUNKS", 1)
+    ln_matmul(x, g, c, w_wide, bias_wide, eps=1e-6, interpret=True)
+    assert seen["chunks"] == 1
+
+
+@pytest.mark.parametrize("gelu_chunks", [1, 2])
+def test_gelu_matmul_matches_unfused(rng, monkeypatch, gelu_chunks):
+    monkeypatch.setattr(fused_vit, "GELU_CHUNKS", gelu_chunks)
     m, k, n = 530, 128, 128
     x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(k, n)).astype(np.float32))

@@ -46,8 +46,11 @@ def _ab(label, build, set_chunks, chunk_list, flops):
         if ref is None:
             ref = o
         else:
+            # tight-but-not-bitwise: the compiler doesn't guarantee
+            # identical f32 accumulation order across sub-block shapes
             err = np.max(np.abs(o - ref))
-            assert err == 0.0, f"{label} chunks={c} diverged: {err}"
+            tol = 1e-5 * max(float(np.sqrt(np.mean(ref * ref))), 1.0)
+            assert err <= tol, f"{label} chunks={c} diverged: {err} > {tol}"
         t0 = time.perf_counter()
         reps = 30
         for _ in range(reps):
