@@ -103,7 +103,8 @@ class AVLMap:
             mask = self.vlmap.index_map(object_name, with_init_cat=False)
         return heatmap_from_mask_3d(self.vlmap.grid_pos, mask,
                                     cell_size=self.config.params.cs,
-                                    decay_rate=decay_rate)
+                                    decay_rate=decay_rate,
+                                    grid_shape=self.vlmap.occupied_ids.shape)
 
     # -- area (reference avlmap.py:78-109) ---------------------------------
 

@@ -94,6 +94,16 @@ class TestSimilarity:
         assert (got >= 0).all() and (got < 3).all()
 
 
+def _heat3d_bruteforce(grid_pos, mask, cell_size, decay_rate):
+    """Reference O(N*M) loop (visualize_utils.py:29-49)."""
+    target = np.asarray(grid_pos)[mask].astype(np.float64)
+    expected = np.ones(len(mask))
+    for i in np.where(~mask)[0]:
+        d = np.linalg.norm(target - grid_pos[i], axis=1).min() / cell_size
+        expected[i] = np.clip(1 - d * decay_rate, 0, 1)
+    return expected
+
+
 class TestHeatmap3D:
     def test_matches_bruteforce(self, rng):
         n = 400
@@ -102,12 +112,82 @@ class TestHeatmap3D:
         mask[0] = True  # ensure at least one target
         got = heatmap_from_mask_3d(grid_pos, mask, cell_size=0.05,
                                    decay_rate=0.01)
-        # reference O(N*M) loop (visualize_utils.py:29-49)
-        target = grid_pos[mask].astype(np.float64)
-        expected = np.ones(n)
-        for i in np.where(~mask)[0]:
-            d = np.linalg.norm(target - grid_pos[i], axis=1).min() / 0.05
-            expected[i] = np.clip(1 - d * 0.01, 0, 1)
+        expected = _heat3d_bruteforce(grid_pos, mask, 0.05, 0.01)
+        np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+    def test_dense_and_direct_paths_agree(self, rng):
+        """Integer-lattice positions route to the banded dense EDT; both
+        paths must match the brute-force oracle bit-closely."""
+        n = 600
+        grid_pos = rng.integers(0, 40, size=(n, 3)).astype(np.int32)
+        mask = rng.uniform(size=n) < 0.05
+        mask[3] = True
+        expected = _heat3d_bruteforce(grid_pos, mask, 0.05, 0.01)
+        dense = heatmap_from_mask_3d(grid_pos, mask, 0.05, 0.01,
+                                     method="dense")
+        direct = heatmap_from_mask_3d(grid_pos, mask, 0.05, 0.01,
+                                      method="direct")
+        np.testing.assert_allclose(dense, expected, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(direct, expected, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(dense, direct, rtol=1e-3, atol=1e-4)
+
+    def test_metric_lattice_snaps_to_dense(self, rng):
+        """HabitatLanguageRobot passes metric voxel centres (grid * cs,
+        habitat_lang_robot.py:250); the dense path must snap to the
+        cell_size lattice and still match the oracle."""
+        cs = 0.05
+        n = 300
+        cells = rng.integers(0, 30, size=(n, 3)).astype(np.float64)
+        grid_pos = (cells * cs).astype(np.float32)
+        mask = rng.uniform(size=n) < 0.08
+        mask[0] = True
+        expected = _heat3d_bruteforce(grid_pos.astype(np.float64), mask,
+                                      cs, 0.1)
+        got = heatmap_from_mask_3d(grid_pos, mask, cell_size=cs,
+                                   decay_rate=0.1, method="dense")
+        np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+    def test_duplicate_positions_and_big_decay(self, rng):
+        """Duplicate voxel positions (target + non-target sharing a cell)
+        and a decay putting the cutoff below one cell."""
+        grid_pos = np.array([[5, 5, 5], [5, 5, 5], [9, 5, 5], [5, 8, 5]],
+                            np.int32)
+        mask = np.array([True, False, False, False])
+        for method in ("dense", "direct"):
+            got = heatmap_from_mask_3d(grid_pos, mask, 0.05, 0.2,
+                                       method=method)
+            expected = _heat3d_bruteforce(grid_pos, mask, 0.05, 0.2)
+            np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5,
+                                       err_msg=method)
+
+    def test_grid_shape_and_lattice_unit_hints(self, rng):
+        """Device-resident query path: declaring the lattice + grid shape
+        must reproduce the probed path exactly (and needs no host probe)."""
+        n = 500
+        grid_pos = rng.integers(0, 30, size=(n, 3)).astype(np.int32)
+        mask = rng.uniform(size=n) < 0.05
+        mask[1] = True
+        base = heatmap_from_mask_3d(grid_pos, mask, 0.05, 0.01)
+        hinted = heatmap_from_mask_3d(
+            jnp.asarray(grid_pos), jnp.asarray(mask), 0.05, 0.01,
+            method="dense", lattice_unit=1.0, grid_shape=(30, 30, 30))
+        np.testing.assert_allclose(hinted, base, rtol=1e-5, atol=1e-6)
+        # empty mask through the no-sync dense path: natural zeros
+        empty = heatmap_from_mask_3d(
+            jnp.asarray(grid_pos), jnp.zeros(n, bool), 0.05, 0.01,
+            method="dense", lattice_unit=1.0, grid_shape=(30, 30, 30))
+        np.testing.assert_array_equal(np.asarray(empty), np.zeros(n))
+
+    def test_nonlattice_positions_fall_back(self, rng):
+        """Arbitrary float positions cannot snap — auto must still produce
+        oracle-exact output via the direct kernel."""
+        n = 200
+        grid_pos = rng.uniform(0, 20, size=(n, 3)).astype(np.float32)
+        mask = rng.uniform(size=n) < 0.1
+        mask[0] = True
+        expected = _heat3d_bruteforce(grid_pos.astype(np.float64), mask,
+                                      0.05, 0.01)
+        got = heatmap_from_mask_3d(grid_pos, mask, 0.05, 0.01)
         np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
 
     def test_no_targets(self):
