@@ -253,13 +253,18 @@ class PackedLoader(_QueueLoader):
       :class:`~avlmaps_tpu.pipeline.transport.CanvasBatch` directly: the
       stored canvas + depth/colour gathers at the sampled pixels.  No
       resize, no decode — the producer does O(points) work per frame.
+    * ``raw_canvas=True`` (pack must carry a canvas + uint16 depth) —
+      yields :class:`~avlmaps_tpu.pipeline.transport.RawCanvasBatch`: the
+      stored canvas + the full-res depth plane, both straight memmap
+      copies.  ZERO per-point host work — pairs with
+      make_frame_step_device_sampled (sampling/gathers run on device).
     """
 
     def __init__(self, scene: PackedScene, pose_tfs: Sequence[np.ndarray],
                  batch_size: int = 4, depth: int = 4,
                  skip_ids: Optional[set] = None, sampler=None,
                  transform=None, device_put: bool = False,
-                 depth_metres: bool = False):
+                 depth_metres: bool = False, raw_canvas: bool = False):
         """``depth_metres=True`` converts stored uint16-mm depth back to
         float32 metres in frame mode — for transforms written against the
         PNG loader's float depth (e.g. make_canvas_transform)."""
@@ -267,11 +272,18 @@ class PackedLoader(_QueueLoader):
 
         if sampler is not None and scene.canvas is None:
             raise ValueError("canvas mode needs a pack built with canvas_hw")
+        if raw_canvas:
+            if sampler is not None:
+                raise ValueError("raw_canvas and sampler are exclusive")
+            if scene.canvas is None:
+                raise ValueError(
+                    "raw_canvas mode needs a pack built with canvas_hw")
         self.scene = scene
         self.pose_tfs = list(pose_tfs)
         self.batch_size = batch_size
         self.skip_ids = skip_ids or set()
         self.sampler = sampler
+        self.raw_canvas = raw_canvas
         self.transform = transform
         self.device_put = device_put
         self.depth_metres = depth_metres
@@ -287,6 +299,19 @@ class PackedLoader(_QueueLoader):
         fids = np.array(list(chunk) + [-1] * (bs - len(chunk)), np.int32)
         pose = np.stack([np.asarray(self.pose_tfs[i], np.float32)
                          for i in ids])
+        if self.raw_canvas:
+            from avlmaps_tpu.pipeline.transport import RawCanvasBatch
+
+            sc = self.scene
+            dep = np.stack([np.asarray(sc.depth[i]) for i in ids])
+            if dep.dtype != np.uint16:  # f32-metre pack
+                dep = np.clip(dep * 1000.0, 0, 65535).astype(np.uint16)
+            return RawCanvasBatch(
+                frame_ids=fids,
+                canvas=np.stack([np.asarray(sc.canvas[i]) for i in ids]),
+                depth_mm=dep,
+                pose_tf=pose,
+            )
         if self.sampler is None:
             dep = np.stack([np.asarray(self.scene.depth[i]) for i in ids])
             if self.depth_metres and dep.dtype == np.uint16:

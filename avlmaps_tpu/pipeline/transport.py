@@ -108,6 +108,37 @@ class CanvasBatch:
     pose_tf: np.ndarray  # (B, 4, 4) float32
 
 
+@dataclass
+class RawCanvasBatch:
+    """Device-sampling transport (pairs with
+    make_frame_step_device_sampled): the resized canvas plus the FULL-RES
+    uint16-mm depth plane — no host-side sampling or per-point gathers at
+    all.  ~2.1 MB/frame (vs 0.6 for CanvasBatch) but the producer does zero
+    O(points) work; from a packed scene it is a pure memmap copy."""
+
+    frame_ids: np.ndarray  # (B,) int32, -1 for padding frames
+    canvas: np.ndarray  # (B, ch, cw, 3) uint8 resized RGB
+    depth_mm: np.ndarray  # (B, H, W) uint16 full-res depth, millimetres
+    pose_tf: np.ndarray  # (B, 4, 4) float32
+
+
+def make_raw_canvas_transform(canvas_hw: Tuple[int, int]) -> Callable:
+    """PrefetchLoader ``transform`` for the device-sampling step: resize
+    the canvas, quantise depth to uint16 mm, ship both (no sampling)."""
+    ch, cw = canvas_hw
+
+    def transform(batch) -> RawCanvasBatch:
+        return RawCanvasBatch(
+            frame_ids=batch.frame_ids,
+            canvas=resize_canvas_u8(batch.rgb, ch, cw),
+            depth_mm=np.clip(batch.depth * 1000.0, 0,
+                             65535).astype(np.uint16),
+            pose_tf=batch.pose_tf,
+        )
+
+    return transform
+
+
 def make_canvas_transform(sampler: Callable[[int], np.ndarray],
                           canvas_hw: Tuple[int, int]) -> Callable:
     """Build a PrefetchLoader ``transform`` converting a full-res FrameBatch
