@@ -230,7 +230,9 @@ class ViTBlock(nn.Module):
         mlp_proj.  Matches the reference path within bf16 tolerance
         (tests/test_fused_vit.py); param tree is identical, so ported
         checkpoints work unchanged."""
+        from avlmaps_tpu.ops import fused_vit
         from avlmaps_tpu.ops.fused_vit import (gelu_matmul, ln_matmul,
+                                               ln_mlp_residual,
                                                mha_oneshot_2d)
 
         dt = self.dtype
@@ -248,9 +250,17 @@ class ViTBlock(nn.Module):
         attn = mha_oneshot_2d(qkv, b, t, self.heads, t_real=t_real,
                               scale=1.0 / float(np.sqrt(hd)))
         x2 = x2 + (attn @ kp.astype(dt) + bp.astype(dt))
-        h = ln_matmul(x2, g2, c2, kf.astype(dt), bf, eps=self.ln_eps,
-                      out_dtype=dt)
-        x2 = x2 + gelu_matmul(h, km.astype(dt), bm, out_dtype=dt)
+        if fused_vit.MLP_FUSE:
+            # whole MLP sub-block in one kernel: the (M, 4W) GELU
+            # intermediate stays in VMEM (saves its HBM round-trip) and
+            # the residual add rides the epilogue
+            x2 = ln_mlp_residual(x2, g2, c2, kf.astype(dt), bf,
+                                 km.astype(dt), bm, eps=self.ln_eps,
+                                 out_dtype=dt)
+        else:
+            h = ln_matmul(x2, g2, c2, kf.astype(dt), bf, eps=self.ln_eps,
+                          out_dtype=dt)
+            x2 = x2 + gelu_matmul(h, km.astype(dt), bm, out_dtype=dt)
         return x2.reshape(b, t, w)
 
 

@@ -50,19 +50,26 @@ FLOP_LOG: list = []
 # interleaves the VPU erf prologue of one sub-block with the MXU matmul of
 # the previous one.  A/B-tunable at import time; chunk values {1, 2} are
 # parity-tested in interpret mode (tests/test_fused_vit.py chunk params).
-# 2 measured ~19% faster than 1 at the production M=16x904 shape in
-# isolation (tools/ab_gelu.py, r3: 2.17 -> 1.75 ms; the smaller f32
-# intermediate also halves scoped VMEM); step-level the win is within
-# measurement noise — the step already overlaps the kernel with its
-# neighbours.  4 collapses (64-row sub-blocks retile the MXU).
-GELU_CHUNKS = 2
+# r4, with the manual two-stage prologue pipeline inside the kernel:
+# chunks=1 is fastest at the production M=16x904 shape (1.72/1.79 ms vs
+# 2.1-2.5 ms for 2/4, tools/ab_gelu.py x2 runs) — the reordered single
+# prologue already overlaps with the previous *grid step's* matmul, and
+# sub-block retiling only costs MXU efficiency.
+GELU_CHUNKS = 1
 
 # Same knob for the LayerNorm prologue of ln_matmul.  None = auto by
-# output width: the fc layer (N=4096) measured ~2x faster with chunks=2
-# in isolation (3.19 -> 1.66 ms, tools/ab_gelu.py r3) while qkv (N=3072)
-# prefers the unchunked kernel (1.44 vs 1.54 ms); step-level neutral.
-# An explicit 0/1 disables chunking; only None selects the auto rule.
+# output width, pinned by tools/ab_gelu.py on-chip A/B (r4, two runs,
+# consistent ordering): the fc layer (N=4096) is fastest with chunks=2
+# (1.87/2.18 ms vs 2.18/2.30 unchunked), qkv (N=3072) with chunks=4
+# (1.39/2.06 ms vs 2.00/2.42 unchunked — the biggest single win of the
+# prologue pipeline).  An explicit 0/1 disables chunking; only None
+# selects the auto rule.
 LN_CHUNKS = None
+
+# Route the ViT MLP sub-block through the single ln_mlp_residual kernel
+# (fc + GELU + proj + residual, VMEM-resident intermediate) instead of the
+# ln_matmul / gelu_matmul pair.  A/B-able at import time.
+MLP_FUSE = True
 
 
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, hd: int,
@@ -182,21 +189,33 @@ def _ln_matmul_kernel(x_ref, g_ref, b_ref, w_ref, bias_ref, o_ref, *,
     # chunks > 1 splits the row block so Mosaic can overlap one sub-block's
     # VPU LayerNorm with the previous sub-block's MXU matmul (LN statistics
     # are per-row, so row chunking is exact) — same trick as
-    # _gelu_matmul_kernel below.
+    # _gelu_matmul_kernel below.  The prologue of sub-block i+1 is computed
+    # BEFORE sub-block i's dot is issued (manual two-stage software
+    # pipeline): with no data dependency between them, the scheduler is
+    # free to run the VPU polynomial under the MXU matmul instead of
+    # serialising the two units (docs/PROFILE.md headroom #1).
     bm = x_ref.shape[0]
     sub = bm // chunks if chunks > 1 and bm % chunks == 0 else bm
     g = g_ref[...].astype(jnp.float32)
     b = b_ref[...].astype(jnp.float32)
     bias = bias_ref[...].astype(jnp.float32)
-    for i in range(bm // sub):
+
+    def prologue(i):
         xb = x_ref[i * sub:(i + 1) * sub, :].astype(jnp.float32)  # (sub, K)
         mu = jnp.mean(xb, axis=-1, keepdims=True)
         xc = xb - mu
         var = jnp.mean(xc * xc, axis=-1, keepdims=True)
         xn = (xc * jax.lax.rsqrt(var + eps)) * g + b
-        y = jnp.dot(xn.astype(w_ref.dtype), w_ref[...],
+        return xn.astype(w_ref.dtype)
+
+    n_sub = bm // sub
+    xn = prologue(0)
+    for i in range(n_sub):
+        xn_next = prologue(i + 1) if i + 1 < n_sub else None
+        y = jnp.dot(xn, w_ref[...],
                     preferred_element_type=jnp.float32)  # (sub, bn)
         o_ref[i * sub:(i + 1) * sub, :] = (y + bias).astype(o_ref.dtype)
+        xn = xn_next
 
 
 # odd LS polynomial erf(x) ~ clamp(x * P(x^2)) fitted on [0, 3.2]
@@ -232,14 +251,119 @@ def _gelu_matmul_kernel(x_ref, w_ref, bias_ref, o_ref, *, chunks: int = 1):
     bm = x_ref.shape[0]
     sub = bm // chunks if chunks > 1 and bm % chunks == 0 else bm
     bias = bias_ref[...].astype(jnp.float32)
-    for i in range(bm // sub):
+
+    def prologue(i):
         xb = x_ref[i * sub:(i + 1) * sub, :].astype(jnp.float32)
         # exact-erf GELU spelled out: jax.nn.gelu(approximate=False) lowers
         # through erf/erfc, neither of which Mosaic implements
         g = 0.5 * xb * (1.0 + _erf(xb * jnp.float32(0.7071067811865476)))
-        y = jnp.dot(g.astype(w_ref.dtype), w_ref[...],
-                    preferred_element_type=jnp.float32)
+        return g.astype(w_ref.dtype)
+
+    # two-stage software pipeline: issue sub-block i+1's VPU polynomial
+    # before sub-block i's MXU dot so the scheduler can overlap the units
+    n_sub = bm // sub
+    g = prologue(0)
+    for i in range(n_sub):
+        g_next = prologue(i + 1) if i + 1 < n_sub else None
+        y = jnp.dot(g, w_ref[...], preferred_element_type=jnp.float32)
         o_ref[i * sub:(i + 1) * sub, :] = (y + bias).astype(o_ref.dtype)
+        g = g_next
+
+
+def _ln_mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   o_ref, *, eps: float, chunks: int):
+    """out = x + gelu(LN(x) @ w1 + b1) @ w2 + b2 for one (bm, K) row block.
+
+    The whole MLP of a ViT block in one kernel: the (bm, 4K) GELU
+    intermediate lives in VMEM instead of round-tripping through HBM
+    between the fc and proj matmuls (118 MB written + re-read per ViT-L
+    layer at the bench shape), and the residual add is folded into the
+    epilogue (saves another (M, K) read-modify-write pass).  Row chunks
+    are software-pipelined: chunk i+1's fc matmul is issued between chunk
+    i's GELU polynomial and chunk i's proj matmul, so the VPU work has an
+    independent MXU op to hide under.
+    """
+    bm, k = x_ref.shape
+    sub = bm // chunks if chunks > 1 and bm % chunks == 0 else bm
+    g = g_ref[...].astype(jnp.float32)
+    b = b_ref[...].astype(jnp.float32)
+    b1 = b1_ref[...].astype(jnp.float32)
+    b2 = b2_ref[...].astype(jnp.float32)
+
+    def ln_part(i):
+        xb = x_ref[i * sub:(i + 1) * sub, :].astype(jnp.float32)
+        mu = jnp.mean(xb, axis=-1, keepdims=True)
+        xc = xb - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        xn = (xc * jax.lax.rsqrt(var + eps)) * g + b
+        return xn.astype(w1_ref.dtype), xb
+
+    def fc(xn):
+        return jnp.dot(xn, w1_ref[...],
+                       preferred_element_type=jnp.float32) + b1
+
+    n_sub = bm // sub
+    xn, xb = ln_part(0)
+    h = fc(xn)
+    for i in range(n_sub):
+        gl = (0.5 * h * (1.0 + _erf(h * jnp.float32(0.7071067811865476)))
+              ).astype(w2_ref.dtype)
+        if i + 1 < n_sub:
+            xn2, xb_next = ln_part(i + 1)
+            h = fc(xn2)
+        y = jnp.dot(gl, w2_ref[...],
+                    preferred_element_type=jnp.float32) + b2
+        o_ref[i * sub:(i + 1) * sub, :] = (xb + y).astype(o_ref.dtype)
+        if i + 1 < n_sub:
+            xb = xb_next
+
+
+def ln_mlp_residual(x2d: jnp.ndarray, ln_scale: jnp.ndarray,
+                    ln_bias: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
+                    w2: jnp.ndarray, b2: jnp.ndarray, *, eps: float,
+                    out_dtype=None, interpret: bool = False) -> jnp.ndarray:
+    """x + gelu(LayerNorm(x) @ w1 + b1) @ w2 + b2 — the full pre-LN ViT
+    MLP sub-block (incl. residual) as ONE Pallas kernel.
+
+    x2d: (M, K); w1: (K, N1); w2: (N1, K).  Replaces the
+    ln_matmul + gelu_matmul + residual-add chain; both weight panels stay
+    VMEM-stationary across the M grid (one 16 MB fetch per layer instead
+    of re-streaming), and the (M, N1) intermediate never exists in HBM.
+    Grid is 1-D over M only — requires k * N1 weights to fit VMEM
+    (ViT-L: 1024*4096 bf16 x2 = 16 MB; guarded below).
+    """
+    m, k = x2d.shape
+    n1 = w1.shape[1]
+    wbytes = (w1.size + w2.size) * w1.dtype.itemsize
+    if wbytes > 24 * 2**20:  # weights don't fit stationary: unfused path
+        h = ln_matmul(x2d, ln_scale, ln_bias, w1, b1, eps=eps,
+                      out_dtype=out_dtype or x2d.dtype, interpret=interpret)
+        return x2d + gelu_matmul(h, w2, b2, out_dtype=out_dtype or x2d.dtype,
+                                 interpret=interpret)
+    FLOP_LOG.append(2 * m * k * n1 + 2 * m * n1 * k)
+    bm = min(512, m)
+    # f32 intermediates in flight: two (sub, n1) fc outputs + the (sub, k)
+    # residual copy per pipeline stage; weights 16 MB; double-buffered
+    # x/out blocks.  bm=512/chunks=4 lands ~27 MB scoped.
+    chunks = 4 if bm % 4 == 0 else 1
+    return pl.pallas_call(
+        functools.partial(_ln_mlp_kernel, eps=eps, chunks=chunks),
+        grid=(pl.cdiv(m, bm),),
+        in_specs=[pl.BlockSpec((bm, k), lambda i: (i, 0)),
+                  pl.BlockSpec((1, k), lambda i: (0, 0)),
+                  pl.BlockSpec((1, k), lambda i: (0, 0)),
+                  pl.BlockSpec((k, n1), lambda i: (0, 0)),
+                  pl.BlockSpec((1, n1), lambda i: (0, 0)),
+                  pl.BlockSpec((n1, k), lambda i: (0, 0)),
+                  pl.BlockSpec((1, k), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((bm, k), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, k), out_dtype or x2d.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 2**20),
+        interpret=interpret or FORCE_INTERPRET,
+    )(x2d, ln_scale.reshape(1, k), ln_bias.reshape(1, k), w1,
+      b1.reshape(1, n1), w2, b2.reshape(1, k))
 
 
 def _blocked_matmul_call(kernel, x2d, w, extras_row, extras_col, out_dtype,
@@ -321,8 +445,9 @@ def ln_matmul(x2d: jnp.ndarray, ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
     w.dtype for the MXU, f32 accumulation.
     """
     k = x2d.shape[1]
+    n = w.shape[1]
     chunks = LN_CHUNKS if LN_CHUNKS is not None \
-        else (2 if w.shape[1] >= 4096 else 1)
+        else (2 if n >= 4096 else (4 if n >= 2048 else 1))
     return _blocked_matmul_call(
         functools.partial(_ln_matmul_kernel, eps=eps, chunks=chunks),
         x2d, w,

@@ -182,6 +182,70 @@ def measure_device(step, state, params, canvas_hw) -> dict:
         return step(state, params, canvas, z_mm, rgb_pts, pose,
                     idx_pool[k], fvalid)
 
+    # BENCH_SCAN=K > 1: chain K steps inside ONE dispatch with lax.scan
+    # over K pre-staged FULL input sets — measures the per-dispatch
+    # overhead share (VERDICT r3 #3b).  The production serving loop can do
+    # the same with a K-deep staging pipeline; kept as a bench knob since
+    # it trades feed latency for dispatch amortisation.  Every per-frame
+    # input (canvas included) must vary across the K chained steps:
+    # anything loop-invariant gets hoisted out of the scan by XLA and the
+    # encoder — the FLOPs — would run once per chain instead of once per
+    # step (observed: "MFU 1.38" with a shared canvas).
+    scan_k = int(os.environ.get("BENCH_SCAN", "1"))
+    if scan_k > 1:
+        def chain(state, params, xs, fvalid):
+            def body(s, x):
+                return step(s, params, x["canvas"], x["z"], x["rgb"],
+                            x["pose"], x["idx"], fvalid), None
+            s, _ = jax.lax.scan(body, state, xs)
+            return s
+
+        chain = jax.jit(chain, donate_argnums=(0,))
+        n_chain = (WARMUP_STEPS + TIMED_STEPS) // scan_k
+        warm_chains = max(1, WARMUP_STEPS // scan_k)
+        idx_stack = jnp.stack(idx_pool).reshape(
+            -1, scan_k, *idx_pool[0].shape)[:n_chain]
+        stacks = []  # one full input set per chain, distinct per scan slot
+        for c in range(n_chain):
+            r = np.random.default_rng(100 + c)
+            stacks.append({
+                "canvas": jnp.asarray(
+                    r.integers(0, 255, (scan_k, BATCH, ch, cw, 3)),
+                    jnp.uint8),
+                "z": jnp.asarray((r.uniform(0.3, 5.0, (scan_k, BATCH,
+                                                       MAX_PTS)) * 1000.0
+                                  ).astype(np.uint16)),
+                "rgb": jnp.asarray(
+                    r.integers(0, 255, (scan_k, BATCH, MAX_PTS, 3)),
+                    jnp.uint8),
+                "pose": jnp.asarray(np.tile(np.eye(4, dtype=np.float32),
+                                            (scan_k, BATCH, 1, 1))),
+                "idx": idx_stack[c],
+            })
+        jax.block_until_ready(stacks)
+
+        def one_chain(state, c):
+            return chain(state, params, stacks[c], fvalid)
+
+        for c in range(warm_chains):
+            state = one_chain(state, c)
+        jax.block_until_ready(jax.tree.leaves(state))
+        t0 = time.perf_counter()
+        for c in range(warm_chains, n_chain):
+            state = one_chain(state, c)
+        jax.block_until_ready(jax.tree.leaves(state))
+        elapsed = time.perf_counter() - t0
+        return {
+            "device_fps": (n_chain - warm_chains) * scan_k * BATCH / elapsed,
+            "chip": jax.devices()[0].device_kind,
+            "flops_per_step": flops_per_step,
+            "mfu": (flops_per_step * (n_chain - warm_chains) * scan_k
+                    / elapsed / PEAK_TFLOPS[jax.devices()[0].device_kind]
+                    if flops_per_step and
+                    jax.devices()[0].device_kind in PEAK_TFLOPS else None),
+            "state": state,
+        }
+
     for k in range(WARMUP_STEPS):
         state = one_step(state, k)
     jax.block_until_ready(jax.tree.leaves(state))  # full-state sync

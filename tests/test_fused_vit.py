@@ -41,12 +41,12 @@ def test_mha_oneshot_matches_einsum(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
-@pytest.mark.parametrize("ln_chunks", [None, 1, 2])
+@pytest.mark.parametrize("ln_chunks", [None, 1, 2, 4])
 def test_ln_matmul_matches_flax_ln_dense(rng, monkeypatch, ln_chunks):
     # M deliberately NOT a multiple of the 512 block: exercises the masked
     # partial last block (the production M = 8*901 = 7208 is partial too).
-    # ln_chunks=2 forces the chunked-prologue branch the production fc layer
-    # (N=4096) selects via the auto rule (ADVICE r3: previously untested).
+    # ln_chunks=2/4 force the chunked-prologue branches the production fc
+    # (N=4096) and qkv (N=3072) layers select via the auto rule.
     monkeypatch.setattr(fused_vit, "LN_CHUNKS", ln_chunks)
     m, k, n = 1100, 96, 256
     eps = 1e-6
@@ -68,8 +68,9 @@ def test_ln_matmul_matches_flax_ln_dense(rng, monkeypatch, ln_chunks):
 
 def test_ln_matmul_auto_rule_chunks_wide_layers(rng, monkeypatch):
     """The auto rule (LN_CHUNKS=None) must pick chunks=2 at the fc width
-    and 1 below it, and an explicit 1 must disable chunking even at the
-    fc width — pinned by spying on the kernel partials."""
+    (N>=4096), 4 at the qkv width (N>=2048), and 1 below; an explicit 1
+    must disable chunking even at the fc width — pinned by spying on the
+    kernel partials."""
     import functools as ft
     seen = {}
     orig = fused_vit._blocked_matmul_call
@@ -90,6 +91,9 @@ def test_ln_matmul_auto_rule_chunks_wide_layers(rng, monkeypatch):
     monkeypatch.setattr(fused_vit, "LN_CHUNKS", None)
     ln_matmul(x, g, c, w_wide, bias_wide, eps=1e-6, interpret=True)
     assert seen["chunks"] == 2
+    w_qkv = w_wide[:, :3072]
+    ln_matmul(x, g, c, w_qkv, bias_wide[:3072], eps=1e-6, interpret=True)
+    assert seen["chunks"] == 4
     w_narrow = w_wide[:, :256]
     ln_matmul(x, g, c, w_narrow, bias_wide[:256], eps=1e-6, interpret=True)
     assert seen["chunks"] == 1
@@ -122,6 +126,57 @@ def test_gelu_matmul_kblocked_matches_unfused(rng):
     out = gelu_matmul(x, w, bias, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=1e-5)
+
+
+def test_ln_mlp_residual_matches_unfused_chain(rng):
+    # m > 512 and not a 512-multiple: exercises the chunks=4 software
+    # pipeline AND the masked partial last grid block; k/n1 mirror the
+    # ViT shape ratio (n1 = 4k).
+    m, k, n1 = 700, 64, 256
+    eps = 1e-6
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(k,)).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(k,)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(k, n1)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.normal(size=(n1,)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(n1, k)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.normal(size=(k,)).astype(np.float32))
+
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    ln = (x - mu) * jax.lax.rsqrt(var + eps) * g + c
+    ref = x + jax.nn.gelu(ln @ w1 + b1, approximate=False) @ w2 + b2
+
+    out = fused_vit.ln_mlp_residual(x, g, c, w1, b1, w2, b2, eps=eps,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=1e-5)
+
+
+def test_ln_mlp_residual_oversize_weights_fall_back(rng, monkeypatch):
+    # weights past the VMEM-stationary budget must route through the
+    # unfused ln_matmul + gelu_matmul pair (same math)
+    calls = []
+    orig = fused_vit.ln_matmul
+    monkeypatch.setattr(fused_vit, "ln_matmul",
+                        lambda *a, **kw: calls.append(1) or orig(*a, **kw))
+    m, k, n1 = 16, 2048, 4096  # 2048*4096*2 f32 weights = 64 MB > budget
+    x = jnp.asarray(rng.normal(size=(m, k)).astype(np.float32))
+    g = jnp.ones((k,), jnp.float32)
+    c = jnp.zeros((k,), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(k, n1)).astype(np.float32) * 0.02)
+    b1 = jnp.zeros((n1,), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(n1, k)).astype(np.float32) * 0.02)
+    b2 = jnp.zeros((k,), jnp.float32)
+    out = fused_vit.ln_mlp_residual(x, g, c, w1, b1, w2, b2, eps=1e-6,
+                                    interpret=True)
+    assert calls, "oversize weights should take the unfused path"
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    ln = (x - mu) * jax.lax.rsqrt(var + 1e-6)
+    ref = x + jax.nn.gelu(ln @ w1 + b1, approximate=False) @ w2 + b2
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-4, rtol=1e-5)
 
 
 def _blocks(attn_impl):

@@ -35,8 +35,8 @@ def capture(trace_dir: str, reps: int, whole: bool = False):
     from avlmaps_tpu.map.vlmap_builder import sample_pixels
 
     bench._enable_compile_cache()
-    step, step_whole, state, params, canvas_hw = \
-        bench._build_step_and_inputs()
+    (step, step_whole, step_whole_ds, state, params,
+     canvas_hw) = bench._build_step_and_inputs()
     if whole:  # the non-parity lseg_eval="whole" serving mode
         step = step_whole
     rng = np.random.default_rng(0)
