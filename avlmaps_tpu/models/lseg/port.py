@@ -126,11 +126,17 @@ def port_lseg_state_dict(sd: Dict[str, Any], vit_layers: int = 24,
 
     for r in range(1, 5):
         p = f"scratch.refinenet{r}"
-        decoder[f"refinenet{r}"] = {
-            "rcu1": _rcu(sd, f"{p}.resConfUnit1", use_bn),
+        entry = {
             "rcu2": _rcu(sd, f"{p}.resConfUnit2", use_bn),
             "out_conv": _conv(sd, f"{p}.out_conv"),
         }
+        if r != 4:
+            # refinenet4 is called with ONE input (lseg_net.py:296-306:
+            # path_4 = refinenet4(layer_4_rn)), so its resConfUnit1 branch
+            # never runs; the checkpoint carries those weights but the
+            # flax decoder has no module for them — drop, don't port.
+            entry["rcu1"] = _rcu(sd, f"{p}.resConfUnit1", use_bn)
+        decoder[f"refinenet{r}"] = entry
 
     return {"params": {
         "backbone": backbone,

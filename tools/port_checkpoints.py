@@ -19,6 +19,72 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# checkpoint flag -> (manifest name, loader that yields the raw state dict
+# exactly as the porter will see it)
+MANIFEST_FOR = {
+    "lseg": "lseg_demo_e200",
+    "clip": "clip_vitb32",
+    "audioclip": "audioclip_partial",
+    "superpoint": "superpoint_v1",
+    "superglue": "superglue_indoor",
+}
+
+
+def _raw_state_dict(flag: str, path: str):
+    import torch
+
+    if flag == "clip":
+        try:
+            return torch.jit.load(path, map_location="cpu").state_dict()
+        except RuntimeError:
+            pass
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    return sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+
+
+def check_against_manifest(flag: str, path: str, strict: bool) -> None:
+    """Diff the real checkpoint's keys/shapes against the recorded contract
+    (tools/ckpt_manifests/, VERDICT r3 #4) BEFORE porting, so structural
+    drift is reported as a summary instead of a porter KeyError."""
+    from ckpt_manifest import diff_state_dict, format_diff, load_manifest
+
+    name = MANIFEST_FOR.get(flag)
+    if name is None or str(path).endswith(".msgpack"):
+        return
+    try:
+        manifest = load_manifest(name)
+    except FileNotFoundError:
+        print(f"  [{flag}] no manifest {name}.json — skipping contract "
+              "check (run tools/gen_ckpt_manifests.py)")
+        return
+    diff = diff_state_dict(_raw_state_dict(flag, path), manifest)
+    drift = any(diff.values())
+    print(f"  [{flag}] manifest {name}: {format_diff(diff)}")
+    if strict and drift:
+        raise SystemExit(
+            f"{path} drifts from {name}.json; re-pin with "
+            "--record-manifests once the file is verified, or port "
+            "without --strict-manifest")
+
+
+def record_manifests(args) -> None:
+    """Re-pin manifests from the real downloaded files (ground truth
+    supersedes the derived enumeration)."""
+    from ckpt_manifest import MANIFEST_DIR, record_manifest, save_manifest
+
+    for flag, name in MANIFEST_FOR.items():
+        path = getattr(args, flag)
+        if not path:
+            continue
+        sd = _raw_state_dict(flag, path)
+        manifest = record_manifest(sd, artifact=Path(path).name,
+                                   source=str(path),
+                                   container="state_dict")
+        save_manifest(manifest, MANIFEST_DIR / f"{name}.json")
+        print(f"re-pinned {name}.json from {path} "
+              f"({len(manifest['keys'])} keys)")
 
 
 def save_tree(variables, out_path: Path) -> None:
@@ -43,8 +109,22 @@ def main() -> None:
     parser.add_argument("--lseg-layers", type=int, default=24,
                         help="ViT depth of the LSeg checkpoint")
     parser.add_argument("--out", default="ported")
+    parser.add_argument("--strict-manifest", action="store_true",
+                        help="fail (instead of warn) when a checkpoint "
+                             "drifts from its tools/ckpt_manifests contract")
+    parser.add_argument("--record-manifests", action="store_true",
+                        help="re-pin tools/ckpt_manifests/*.json from the "
+                             "given real files instead of porting")
     args = parser.parse_args()
     out = Path(args.out)
+
+    if args.record_manifests:
+        record_manifests(args)
+        return
+    for flag in MANIFEST_FOR:
+        if getattr(args, flag):
+            check_against_manifest(flag, getattr(args, flag),
+                                   args.strict_manifest)
 
     if args.lseg:
         from avlmaps_tpu.models.lseg.port import load_lseg_checkpoint
