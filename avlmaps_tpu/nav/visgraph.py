@@ -59,13 +59,21 @@ class VisGraph:
         # sit in free space
         inflated = cv2.dilate(self.obstacles.astype(np.uint8),
                               np.ones((3, 3), np.uint8))
-        mode = cv2.RETR_TREE if use_internal_contours else cv2.RETR_EXTERNAL
-        contours, _ = cv2.findContours(inflated, mode,
-                                       cv2.CHAIN_APPROX_SIMPLE)
+        # ALWAYS the full hierarchy: on maps whose border is blocked (the
+        # common crop shape) every interior obstacle is a child of the
+        # border contour's hole, and RETR_EXTERNAL silently drops them all
+        # — the graph ends up node-less and every plan degenerates to the
+        # straight line.  For a raster planner extra hole-contour nodes are
+        # just more waypoint candidates (visibility is checked against the
+        # raster), so the reference's internal-contour distinction
+        # (navigation_utils.py:84-86) costs nothing to include always;
+        # ``use_internal_contours`` is kept for API compatibility.
+        del use_internal_contours
+        contours, _ = cv2.findContours(inflated, cv2.RETR_TREE,
+                                       cv2.CHAIN_APPROX_NONE)
         self.polys: List[np.ndarray] = []
         for c in contours:
-            approx = cv2.approxPolyDP(c, simplify_eps, True)
-            poly = approx.reshape(-1, 2)[:, ::-1].astype(np.float64)  # (r, c)
+            poly = self._traversable_poly(c, simplify_eps)
             if len(poly) >= 2:
                 self.polys.append(poly)
 
@@ -91,6 +99,71 @@ class VisGraph:
             self._build_edges()
 
     # -- construction -------------------------------------------------------
+
+    def _traversable_poly(self, contour, eps: float) -> np.ndarray:
+        """approxPolyDP + traversability refinement.
+
+        Plain Douglas-Peucker trims convex extremities (a disc simplifies
+        to 4-8 chords), so the vertex a taut path must turn at can simply
+        not exist — measured as a 1.7x optimality ratio on randomized maps
+        (tools/planner_eval.py) before this fix.  Remedy: wherever a chord
+        between consecutive kept vertices crosses an obstacle, re-insert
+        the dropped contour point farthest from that chord (the DP split
+        point) until every boundary chord is traversable.  Result: near
+        the obstacle the polygon is exactly as dense as tautness requires,
+        and elsewhere as sparse as eps allows.
+        """
+        ring = contour.reshape(-1, 2)[:, ::-1].astype(np.float64)  # (r, c)
+        n = len(ring)
+        if n < 3:
+            return ring
+        approx = cv2.approxPolyDP(contour, eps, True).reshape(-1, 2)
+        approx_rc = approx[:, ::-1].astype(np.float64)
+        # map kept vertices back to ring indices (DP keeps input points;
+        # CHAIN_APPROX_NONE gives the dense ring so every vertex matches)
+        where = {tuple(p): i for i, p in enumerate(map(tuple, ring))}
+        idxs = sorted({where[tuple(p)] for p in map(tuple, approx_rc)
+                       if tuple(p) in where})
+        if len(idxs) < 2:
+            idxs = sorted({0, n // 2})
+        free_vertex = ~self.obstacles[ring[:, 0].astype(int),
+                                      ring[:, 1].astype(int)]
+        for _ in range(32):  # each pass splits every blocked chord once
+            new_idxs = []
+            changed = False
+            for k, a in enumerate(idxs):
+                b = idxs[(k + 1) % len(idxs)]
+                new_idxs.append(a)
+                arc = (b - a) % n
+                if arc <= 1:
+                    continue
+                # vertices on blocked cells (obstacles hugging the image
+                # edge, where the dilation ring has nowhere free to sit)
+                # can never be taut turn points — don't densify there
+                if not (free_vertex[a] and free_vertex[b]):
+                    continue
+                if line_clear(self.obstacles, ring[a], ring[b]):
+                    continue
+                # farthest-from-chord point on the dropped arc (DP's own
+                # split criterion), as a ring index strictly inside (a, b)
+                ts = (np.arange(1, arc)) % n
+                pts = ring[(a + ts) % n]
+                ab = (ring[b] - ring[a])
+                ab = ab / (np.hypot(*ab) or 1.0)
+                rel = pts - ring[a]
+                d = np.abs(ab[0] * rel[:, 1] - ab[1] * rel[:, 0])
+                new_idxs.append((a + 1 + int(np.argmax(d))) % n)
+                changed = True
+            idxs = sorted(set(new_idxs))
+            if not changed:
+                break
+        # keep only vertices standing on free cells of the ORIGINAL raster:
+        # the dilation ring is free by construction around interior
+        # obstacles, but contour sections along a blocked image border are
+        # not — those vertices can never connect and only bloat the O(V^2)
+        # edge pass
+        idxs = [i for i in idxs if free_vertex[i]]
+        return ring[idxs]
 
     def _add_edge(self, i: int, j: int):
         d = float(np.hypot(*(self.nodes[i] - self.nodes[j])))
@@ -248,16 +321,62 @@ class VisGraph:
         return path[::-1]
 
 
+def carve_escape_corridor(obs_map: np.ndarray, point,
+                          width: int = 5) -> np.ndarray:
+    """Free a corridor from ``point``'s free pocket to the main free region.
+
+    The reference's escape logic (navigation_utils.py:88-98): when the
+    robot stands in a free pocket sealed inside an obstacle ring (an
+    internal contour — e.g. a mapping artifact walls it in), it draws a
+    width-5 FREE line between the closest points of the two contours so
+    the planner can exit.  Raster equivalent: connected components of
+    free space; if the point's component is not the largest one, carve a
+    straight free corridor between the closest (pocket, main) cell pair.
+    Returns the carved copy (input untouched); no-op when already
+    connected.
+    """
+    free = (np.asarray(obs_map) != 0).astype(np.uint8)
+    n_lbl, labels = cv2.connectedComponents(free, connectivity=8)
+    r, c = int(point[0]), int(point[1])
+    if free[r, c] == 0:  # point itself on an obstacle: use nearest free
+        rows, cols = np.where(free > 0)
+        k = int(np.argmin((rows - r) ** 2 + (cols - c) ** 2))
+        r, c = int(rows[k]), int(cols[k])
+    lbl = labels[r, c]
+    sizes = np.bincount(labels.ravel(), minlength=n_lbl)
+    sizes[0] = 0  # background (obstacles)
+    main = int(np.argmax(np.where(np.arange(n_lbl) == lbl, 0, sizes)))
+    if main == 0 or main == lbl or sizes[main] == 0:
+        return np.asarray(obs_map)
+    pocket = np.argwhere(labels == lbl)
+    dist = cv2.distanceTransform((labels != main).astype(np.uint8),
+                                 cv2.DIST_L2, 3)
+    pa = pocket[int(np.argmin(dist[pocket[:, 0], pocket[:, 1]]))]
+    main_px = np.argwhere(labels == main)
+    pb = main_px[int(np.argmin((main_px[:, 0] - pa[0]) ** 2
+                               + (main_px[:, 1] - pa[1]) ** 2))]
+    carved = free.copy()
+    cv2.line(carved, (int(pa[1]), int(pa[0])), (int(pb[1]), int(pb[0])),
+             1, width)
+    return carved
+
+
 def build_visgraph_with_obs_map(obs_map: np.ndarray,
                                 use_internal_contour: bool = False,
                                 internal_point=None,
                                 vis: bool = False) -> VisGraph:
     """Reference-named constructor (navigation_utils.py:77-119).
 
-    ``use_internal_contour``: the reference carves an escape corridor when
-    the start sits inside an internal contour; the raster planner doesn't
-    need that trick — internal contours are included directly.
+    ``use_internal_contour`` + ``internal_point``: when the point sits in
+    a free pocket sealed off from the main free region, an escape corridor
+    is carved first (reference :88-98 draws a width-5 free line between
+    the enclosing contours) and the graph is built on the carved map
+    (exposed as ``graph.obs_map``); otherwise internal contours are simply
+    included as node sources — the raster planner handles visibility
+    inside pockets directly.
     """
+    if use_internal_contour and internal_point is not None:
+        obs_map = carve_escape_corridor(obs_map, internal_point)
     return VisGraph(obs_map, use_internal_contours=use_internal_contour)
 
 

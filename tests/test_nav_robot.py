@@ -144,6 +144,127 @@ class TestVisGraph:
         assert obs_map[int(end[0]), int(end[1])] == 1
 
 
+class TestPlannerOptimality:
+    """Quantified planner quality (VERDICT r3 #5): randomized maps scored
+    against a dense 8-connected grid-Dijkstra oracle (tools/planner_eval.py;
+    docs/PLANNER.md records the full 20-map run).  The oracle disallows
+    corner cutting, so its length upper-bounds the true Euclidean optimum —
+    an any-angle planner should land at ratio <= 1 and must stay under the
+    1.05x mean-excess target.  Matches the reference planner's role,
+    navigation_utils.py:77-197."""
+
+    def test_near_optimal_and_feasible_on_random_maps(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]
+                               / "tools"))
+        from planner_eval import evaluate
+
+        r = evaluate(n_maps=6, size=120, seed=0)
+        assert r["queries"] >= 12
+        assert r["infeasible"] == 0, "planner returned colliding paths"
+        assert r["feasible"] == r["queries"]
+        assert r["ratio_mean"] <= 1.05, r
+        # any-angle tautness: must beat the 8-connected staircase on
+        # average, and never exceed it by more than the dilation ring
+        assert r["ratio_mean"] <= 1.0, r
+        assert r["ratio_max"] <= 1.10, r
+
+    def test_taut_around_smooth_obstacle(self):
+        """Pinned regression for the approxPolyDP tip-trimming bug: a disc
+        between start and goal must be rounded tautly, not detoured (was
+        ratio 1.72 before contour refinement)."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]
+                               / "tools"))
+        from planner_eval import grid_shortest_length, path_length
+
+        size = 100
+        m = np.ones((size, size), np.uint8)
+        rr, cc = np.meshgrid(np.arange(size), np.arange(size),
+                             indexing="ij")
+        m[(rr - 50) ** 2 + (cc - 50) ** 2 <= 20 ** 2] = 0
+        g = VisGraph(m)
+        path = g.shortest_path((50, 5), (50, 95))
+        length = path_length(path)
+        oracle = grid_shortest_length(m, (50, 5), (50, 95))
+        assert all(line_clear(m == 0, a, b)
+                   for a, b in zip(path[:-1], path[1:]))
+        assert length <= 1.02 * oracle, (length, oracle)
+
+    def test_escape_from_sealed_internal_contour(self):
+        """Start sealed inside a doorless walled room: the rebuild path
+        must carve an escape corridor (the reference's escape logic,
+        navigation_utils.py:88-98 draws a free line between the enclosing
+        contours) and plan a path, feasible on the carved map, that exits
+        the room and reaches the goal."""
+        from avlmaps_tpu.nav.visgraph import build_visgraph_with_obs_map
+
+        m = np.ones((100, 100), np.uint8)
+        m[0, :] = m[-1, :] = m[:, 0] = m[:, -1] = 0
+        m[40:70, 40:70] = 0          # room walls
+        m[44:66, 44:66] = 1          # sealed free interior
+        start, goal = (55, 55), (10, 10)
+        g = build_visgraph_with_obs_map(m, use_internal_contour=True,
+                                        internal_point=start)
+        # the carve connected the pocket: a feasible path now exists
+        path = plan_to_pos_v2(start, goal, g.obs_map, graph=g)
+        assert len(path) > 2
+        assert tuple(map(int, path[-1])) == goal
+        for a, b in zip(path[:-1], path[1:]):
+            assert line_clear(g.obstacles, a, b)
+
+    def test_interior_obstacles_seen_on_bordered_maps(self):
+        """Pinned regression: on a map whose border is blocked (the usual
+        crop shape) the interior obstacles are children of the border
+        contour's hole — RETR_EXTERNAL dropped them all, leaving a
+        node-less graph whose every plan degenerated to the straight
+        line."""
+        m = np.ones((200, 200), np.uint8)
+        m[0, :] = m[-1, :] = m[:, 0] = m[:, -1] = 0
+        m[60:140, 90:110] = 0
+        m[30:60, 30:60] = 0
+        g = VisGraph(m)
+        assert len(g.polys) >= 3  # border hole ring + both obstacles
+        path = g.shortest_path((100, 20), (100, 180))
+        assert len(path) > 2  # must detour around the wall
+        for a, b in zip(path[:-1], path[1:]):
+            assert line_clear(m == 0, a, b)
+
+    def test_carve_noop_when_already_connected(self):
+        from avlmaps_tpu.nav.visgraph import carve_escape_corridor
+
+        m = np.ones((50, 50), np.uint8)
+        m[20:30, 20:30] = 0
+        out = carve_escape_corridor(m, (5, 5))
+        np.testing.assert_array_equal((out != 0), (m != 0))
+
+    def test_goal_in_obstacle_with_internal_graph(self):
+        """Goal inside an obstacle on a map with internal contours: goal
+        clamps to a free cell and the post-recovery legs are clear
+        (reference navigation_utils.py:158-166)."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]
+                               / "tools"))
+        from planner_eval import random_obstacle_map
+
+        m = random_obstacle_map(np.random.default_rng(3), size=120,
+                                hollow=True)
+        free = np.argwhere(m == 1)
+        start = tuple(free[0])
+        goal_in_obs = tuple(np.argwhere(m == 0)[50])
+        g = VisGraph(m, use_internal_contours=True)
+        path = plan_to_pos_v2(start, goal_in_obs, m, graph=g)
+        assert len(path) >= 2
+        end = path[-1]
+        assert m[int(end[0]), int(end[1])] == 1  # goal clamped to free
+
+
 class TestController:
     def test_goal_to_actions_and_prediction(self, cfg):
         ctrl = DiscreteNavController(cfg.controller_config)
