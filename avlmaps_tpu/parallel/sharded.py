@@ -41,7 +41,9 @@ class ShardedFusion:
                  payload_dtype=jnp.bfloat16, half_res_apply: bool = False,
                  transport: str = "frame", lseg_eval: str = "sliding",
                  geometry_fn: Optional[Callable] = None,
-                 dedup_scatter: Optional[bool] = None):
+                 dedup_scatter: Optional[bool] = None,
+                 payload_routing: str = "all_gather",
+                 a2a_slack: float = 2.0):
         """``payload_dtype``: wire format of the gathered feature payload —
         bf16 halves the dominant ICI traffic (docs/SCALING.md arithmetic);
         accumulation stays f32 inside fuse_points either way.  Pass
@@ -53,7 +55,19 @@ class ShardedFusion:
 
         ``dedup_scatter``: route each shard's fusion through the sorted
         segment scatter-add kernel — same default as make_frame_step
-        (on for TPU backends, off elsewhere)."""
+        (on for TPU backends, off elsewhere).
+
+        ``payload_routing``: how the per-point payload reaches its owner
+        shard (VERDICT r3 #7).  "all_gather" replicates every point to
+        every device (D x the needed ICI bytes, zero loss);
+        "all_to_all" bins points by owner row-range on the sender and
+        exchanges only each owner's bucket — ~D/``a2a_slack`` x fewer
+        bytes on the wire (docs/SCALING.md crossover arithmetic).  Bucket
+        capacity is ``ceil(points/D) * a2a_slack``; points past a full
+        bucket (pathological case: one frame's points all in one shard)
+        are dropped and counted in ``state.n_dropped``."""
+        if payload_routing not in ("all_gather", "all_to_all"):
+            raise ValueError(f"unknown payload_routing {payload_routing!r}")
         if dedup_scatter is None:
             dedup_scatter = jax.default_backend() == "tpu"
         self.mesh = mesh
@@ -119,6 +133,72 @@ class ShardedFusion:
             return fuse_points(state, vids, feats_f, rgbs_f, alpha_f,
                                valid_f & owned, gs=gs, vh=vh, n_rows=rows,
                                dedup_scatter=dedup_scatter)
+
+        n_dev = self.n_dev
+
+        def a2a_and_fuse(state, gid, feats, rgbs, alpha, valid):
+            """Owner-routed exchange: bin the local payload by owner
+            row-range, ship each bucket to its owner with ONE all_to_all
+            (each device sends/receives ~slack x B bytes instead of the
+            all_gather's D x B), fuse what arrives — every received row is
+            already owned by construction."""
+            d = feats.shape[-1]
+            gid2 = gid.reshape(-1, 3)
+            n_pts = gid2.shape[0]
+            feats2 = feats.reshape(-1, d).astype(payload_dtype)
+            rgbs2 = rgbs.reshape(-1, 3)
+            alpha2 = alpha.reshape(-1)
+            valid2 = valid.reshape(-1)
+
+            cap = int(min(n_pts, -(-n_pts // n_dev) * a2a_slack))
+            cap = max(8, ((cap + 7) // 8) * 8)
+
+            owner = jnp.clip(gid2[:, 0], 0, gs - 1) // rows
+            owner = jnp.where(valid2, owner, n_dev)  # invalid -> sentinel
+            order = jnp.argsort(owner, stable=True)
+            so = owner[order]
+            start = jnp.searchsorted(so, jnp.arange(n_dev + 1))
+            pos = jnp.arange(n_pts) - start[so]
+            keep = (so < n_dev) & (pos < cap)
+            dst = jnp.where(keep, so * cap + pos, n_dev * cap)  # drop row
+
+            def bucketize(x, fill):
+                out = jnp.full((n_dev * cap + 1,) + x.shape[1:], fill,
+                               x.dtype)
+                return out.at[dst].set(x[order])[:n_dev * cap]
+
+            def xchg(x):
+                return jax.lax.all_to_all(
+                    x.reshape(n_dev, cap, *x.shape[1:]), axis,
+                    split_axis=0, concat_axis=0).reshape(
+                        n_dev * cap, *x.shape[1:])
+
+            g_r = xchg(bucketize(gid2, 0))
+            f_r = xchg(bucketize(feats2, 0)).astype(jnp.float32)
+            r_r = xchg(bucketize(rgbs2, 0))
+            a_r = xchg(bucketize(alpha2, 0))
+            v_r = xchg(bucketize(valid2, False))
+
+            my = jax.lax.axis_index(axis)
+            local_row = g_r[:, 0] - my * rows
+            owned = (local_row >= 0) & (local_row < rows)
+            lgid = jnp.concatenate([local_row[:, None], g_r[:, 1:]],
+                                   axis=-1)
+            vids = jnp.clip(voxel_linear_id_jax(lgid, gs, vh), 0,
+                            rows * gs * vh - 1)
+            # bucket overflow is a SEND-side drop: count it in this
+            # shard's n_dropped so lossy routing is always observable
+            overflow = jnp.sum((so < n_dev) & ~keep)
+            state = fuse_points(state, vids, f_r, r_r, a_r, v_r & owned,
+                                gs=gs, vh=vh, n_rows=rows,
+                                dedup_scatter=dedup_scatter)
+            return state._replace(
+                n_dropped=state.n_dropped
+                + overflow.astype(state.n_dropped.dtype))
+
+        if payload_routing == "all_to_all":
+            gather_and_fuse = a2a_and_fuse
+        self.payload_routing = payload_routing
 
         def shard_body(state, lseg_params, rgb_norm, depth, pose, sample_idx,
                        frame_valid):

@@ -240,6 +240,79 @@ class TestShardedParity:
         np.testing.assert_allclose(f1[k1], f3[k3], rtol=2e-2, atol=2e-2)
 
     @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    def test_all_to_all_routing_matches_all_gather(self, tiny_lseg, rng):
+        """payload_routing="all_to_all" (owner-binned exchange, ~D/slack x
+        fewer ICI bytes, VERDICT r3 #7) must build the same map as the
+        replicate-everything all_gather default; bucket overflow must be
+        observable in n_dropped."""
+        from avlmaps_tpu.parallel.sharded import ShardedFusion, make_mesh
+
+        model, params = tiny_lseg
+        calib = get_sim_cam_mat(H, W)
+        n_dev = 8
+        b, n = n_dev, 64
+        rgb = jnp.asarray(rng.normal(size=(b, H, W, 3)).astype(np.float32))
+        depth = jnp.asarray(
+            rng.uniform(0.3, 1.2, (b, H, W)).astype(np.float32))
+        # distinct poses spread ownership across shards
+        poses = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+        poses[:, 0, 3] = 0.4 * np.arange(b) - 1.6
+        pose = jnp.asarray(poses)
+        idx = jnp.asarray(sample_pixels(np.random.default_rng(1), H, W, 16,
+                                        n, b))
+        fvalid = jnp.ones((b,), bool)
+        mesh = make_mesh(n_dev)
+
+        def build(routing, slack=2.0):
+            fusion = ShardedFusion(mesh, gs=GS, cs=CS, vh=VH, feat_dim=24,
+                                   capacity=8192 * n_dev, calib_mat=calib,
+                                   image_hw=(H, W), lseg_apply=model.apply,
+                                   base_size=W, crop_size=W,
+                                   payload_dtype=jnp.float32,
+                                   payload_routing=routing,
+                                   a2a_slack=slack)
+            fusion.step(params, rgb, depth, pose, idx, fvalid)
+            dropped = int(np.sum(jax.device_get(fusion.state.n_dropped)))
+            return fusion.export(), dropped
+
+        (f1, p1, w1, o1, _), d1 = build("all_gather")
+        # slack=8 => bucket cap == n_pts: lossless for ANY ownership skew
+        (f2, p2, w2, o2, _), d2 = build("all_to_all", slack=8.0)
+        assert d2 == d1 == 0
+        assert (o1 >= 0).sum() > 0
+        np.testing.assert_array_equal(o1 >= 0, o2 >= 0)
+        k1, k2 = np.lexsort(p1.T), np.lexsort(p2.T)
+        np.testing.assert_array_equal(p1[k1], p2[k2])
+        np.testing.assert_allclose(w1[k1], w2[k2], rtol=1e-5)
+        np.testing.assert_allclose(f1[k1], f2[k2], rtol=1e-4, atol=1e-4)
+
+        # pathological skew: identity poses land every frame's points in
+        # the same row band; a tight bucket must DROP and COUNT, not
+        # corrupt
+        pose_same = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                     (b, 4, 4))
+        fusion = ShardedFusion(mesh, gs=GS, cs=CS, vh=VH, feat_dim=24,
+                               capacity=8192 * n_dev, calib_mat=calib,
+                               image_hw=(H, W), lseg_apply=model.apply,
+                               base_size=W, crop_size=W,
+                               payload_dtype=jnp.float32,
+                               payload_routing="all_to_all", a2a_slack=1.0)
+        fusion.step(params, rgb, depth, pose_same, idx, fvalid)
+        f3, p3, w3, o3, _ = fusion.export()
+        dropped = int(np.sum(jax.device_get(fusion.state.n_dropped)))
+        assert dropped > 0  # overflow observable
+        # dropped points only ever REMOVE mass: every fused voxel must
+        # exist in the lossless build of the same inputs
+        fusion_ref = ShardedFusion(mesh, gs=GS, cs=CS, vh=VH, feat_dim=24,
+                                   capacity=8192 * n_dev, calib_mat=calib,
+                                   image_hw=(H, W), lseg_apply=model.apply,
+                                   base_size=W, crop_size=W,
+                                   payload_dtype=jnp.float32)
+        fusion_ref.step(params, rgb, depth, pose_same, idx, fvalid)
+        _, p4, _, o4, _ = fusion_ref.export()
+        assert not np.any((o3 >= 0) & ~(o4 >= 0))
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
     def test_sharded_uint16_depth_matches_metres(self, tiny_lseg, rng):
         """Packed scenes feed the frame-transport mesh step uint16-mm
         depth; the shard body must rescale it like make_frame_step does

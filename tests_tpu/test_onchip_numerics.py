@@ -302,3 +302,107 @@ class TestDedupScatterOnChip:
         np.testing.assert_allclose(np.asarray(s_ded.accum)[:n],
                                    np.asarray(s_ref.accum)[:n],
                                    rtol=1e-5, atol=1e-3)
+
+
+class TestDedupScatterAdversarial:
+    """Adversarial on-chip cases for the hand-rolled windowed RMW scatter
+    (VERDICT r3 #6): the hazard classes its own docstring calls out
+    (ops/segment_scatter.py:1-34), each asserted BIT-equal to the XLA
+    scatter path — both orderings add each slot's updates in ascending row
+    order, so f32 results must match exactly."""
+
+    W = 256  # production-like 128-lane multiple (fusion width is D+128)
+
+    def _run_both(self, slots, updates, s):
+        import jax.numpy as jnp
+
+        from avlmaps_tpu.ops.segment_scatter import \
+            sorted_segment_scatter_add
+
+        acc0 = jnp.zeros((s, self.W), jnp.float32)
+        got = np.asarray(sorted_segment_scatter_add(
+            acc0, jnp.asarray(slots), jnp.asarray(updates)))
+        want = np.asarray(jnp.zeros((s, self.W), jnp.float32)
+                          .at[jnp.asarray(slots)]
+                          .add(jnp.asarray(updates)))
+        return got, want
+
+    def test_window_spanning_many_grid_blocks(self, rng):
+        """One window's run covering >4 grid blocks (block_rows=64): the
+        VMEM carry tile must survive every block handoff and the RMW must
+        still happen exactly once."""
+        s = 4096
+        runs = [(17, 300), (18, 5), (400, 260), (401, 1), (4000, 70)]
+        slots = np.concatenate([np.full(n, v, np.int32) for v, n in runs])
+        updates = rng.normal(size=(len(slots), self.W)).astype(np.float32)
+        got, want = self._run_both(slots, updates, s)
+        np.testing.assert_array_equal(got, want)
+
+    def test_all_rows_one_slot_production_batch(self, rng):
+        """Every row hits ONE voxel at the production batch-16 row count
+        (~115k rows: the packed SMEM word array is ~460 KB — the shape the
+        1 MB SMEM budget was sized against)."""
+        s, b = 8192, 16 * 7208
+        slots = np.full(b, 4242, np.int32)
+        updates = rng.normal(size=(b, self.W)).astype(np.float32)
+        got, want = self._run_both(slots, updates, s)
+        np.testing.assert_array_equal(got, want)
+
+    def test_alternating_window_parity(self, rng):
+        """Every row finalizes a different window (end flag on each row):
+        maximum landing-buffer and semaphore pressure — one RMW in flight
+        per row of the block."""
+        s = 32768
+        nwin = s // 8  # 4096 windows; b < nwin so each row's window is fresh
+        b = 2048
+        # strictly ascending slots, each in a fresh window, odd in-window
+        # rows to exercise the one-hot placement
+        wins = np.sort(rng.choice(nwin, size=b, replace=False))
+        slots = (wins * 8 + rng.integers(0, 8, b)).astype(np.int32)
+        slots = np.sort(slots)
+        updates = rng.normal(size=(b, self.W)).astype(np.float32)
+        got, want = self._run_both(slots, updates, s)
+        np.testing.assert_array_equal(got, want)
+
+    def test_trash_row_redirection_at_capacity_boundary(self, rng):
+        """S % 8 == 1 (voxel fusion's capacity+1 layout): updates aimed at
+        the unreachable trash row must be dropped with a zeroed payload —
+        every other row must still be BIT-equal to the XLA scatter of the
+        non-trash rows, including the redirect target s8-1."""
+        import jax.numpy as jnp
+
+        from avlmaps_tpu.ops.segment_scatter import \
+            sorted_segment_scatter_add
+
+        s = 4096 + 1
+        b = 4096
+        slots = np.sort(rng.integers(0, s, b)).astype(np.int32)
+        slots[-7:] = s - 1  # force trash-slot traffic
+        updates = rng.normal(size=(b, self.W)).astype(np.float32)
+        acc0 = jnp.zeros((s, self.W), jnp.float32)
+        got = np.asarray(sorted_segment_scatter_add(
+            acc0, jnp.asarray(slots), jnp.asarray(updates)))
+        keep = slots < s - 1
+        want = np.asarray(jnp.zeros((s, self.W), jnp.float32)
+                          .at[jnp.asarray(slots[keep])]
+                          .add(jnp.asarray(updates[keep])))
+        np.testing.assert_array_equal(got[:s - 1], want[:s - 1])
+
+    def test_empty_and_single_row(self, rng):
+        """Degenerate sizes: 0 rows (no-op) and 1 row (single window,
+        single block)."""
+        import jax.numpy as jnp
+
+        from avlmaps_tpu.ops.segment_scatter import \
+            sorted_segment_scatter_add
+
+        s = 64
+        acc = jnp.asarray(rng.normal(size=(s, self.W)).astype(np.float32))
+        out = sorted_segment_scatter_add(
+            acc, jnp.zeros((0,), jnp.int32),
+            jnp.zeros((0, self.W), jnp.float32))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(acc))
+        got, want = self._run_both(np.array([37], np.int32),
+                                   rng.normal(size=(1, self.W))
+                                   .astype(np.float32), s)
+        np.testing.assert_array_equal(got, want)
