@@ -543,11 +543,19 @@ def measure_full_query() -> dict:
     out = {}
 
     def timed(fn, reps=4):
+        # best of two pipelined passes (reps stay unsynced inside a pass so
+        # dispatch overlaps execution): tunnel tenancy stalls only ever
+        # slow a pass down (observed 2x on the heat legs vs controlled
+        # standalone runs), so the faster pass is the honest capability
+        # estimate — same reasoning as measure_e2e's best-of-two epochs
         fn()  # warm/compile
-        t0 = time.perf_counter()
-        rs = [fn() for _ in range(reps)]
-        jax.block_until_ready(rs)
-        return (time.perf_counter() - t0) / reps * 1e3
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rs = [fn() for _ in range(reps)]
+            jax.block_until_ready(rs)
+            best = min(best, (time.perf_counter() - t0) / reps)
+        return best * 1e3
 
     # stage 0: query text features, 64 templates for one category (the
     # per-query encode of reference index_map; the init-category matrix is
