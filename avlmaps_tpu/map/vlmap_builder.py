@@ -14,6 +14,7 @@ host (numpy RNG), mirroring the reference's np.random.shuffle subsample
 from __future__ import annotations
 
 import os
+import sys
 from pathlib import Path
 from typing import Callable, Optional, Tuple
 
@@ -408,6 +409,9 @@ class VLMapBuilder:
         # by RawCanvasBatch (canvas + full-res u16 depth) — zero host
         # per-point work, ~3.5x the link bytes.  Pick "device" on hosts
         # whose CPU (not device link) is the pipeline bound.
+        if sampling not in ("host", "device"):
+            raise ValueError(f"sampling={sampling!r}: use 'host' or "
+                             "'device'")
         self.sampling = sampling
         self.seed = seed
         self.rng = np.random.default_rng(seed)
@@ -475,6 +479,10 @@ class VLMapBuilder:
         max_pts = cfg.point_budget(h, w)
 
         if self.mesh is not None:
+            if self.sampling == "device":
+                print("WARNING: sampling='device' is not implemented for "
+                      "sharded (mesh) builds; using the host sampler",
+                      file=sys.stderr)
             return self._create_sharded(gs, cs, vh, h, w, max_pts, saved,
                                         mapped, save_every, progress)
 
@@ -490,6 +498,9 @@ class VLMapBuilder:
         crop_size = getattr(cfg, "lseg_crop_size", 480)
         use_canvas = self.transport == "canvas"
         device_sampling = use_canvas and self.sampling == "device"
+        if self.sampling == "device" and not use_canvas:
+            print("WARNING: sampling='device' needs transport="
+                  "'canvas'; using the host sampler", file=sys.stderr)
         if device_sampling:
             from avlmaps_tpu.pipeline.transport import (
                 make_raw_canvas_transform)

@@ -346,7 +346,12 @@ def carve_escape_corridor(obs_map: np.ndarray, point,
     sizes = np.bincount(labels.ravel(), minlength=n_lbl)
     sizes[0] = 0  # background (obstacles)
     main = int(np.argmax(np.where(np.arange(n_lbl) == lbl, 0, sizes)))
-    if main == 0 or main == lbl or sizes[main] == 0:
+    if main == 0 or main == lbl or sizes[main] == 0 \
+            or sizes[main] <= sizes[lbl]:
+        # the point's component IS the largest free region: nothing to
+        # escape from.  Without this check any unreachable sealed pocket
+        # elsewhere on the map (common mapping noise) became the carve
+        # target and a width-5 FREE strip was drawn through real walls.
         return np.asarray(obs_map)
     pocket = np.argwhere(labels == lbl)
     dist = cv2.distanceTransform((labels != main).astype(np.uint8),

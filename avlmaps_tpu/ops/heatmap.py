@@ -6,11 +6,13 @@ non-target voxels, each doing a full distance scan over target voxels
 via scipy's EDT (:97-102).  Both are reformulated as static-shaped device
 ops:
 
-* 3D: a tiled min-distance reduction — voxels stream in row chunks, target
-  chunks are reduced with a running minimum; distances via the
-  |a|² + |b|² - 2a·b expansion so the inner contraction hits the MXU.
+* 3D: a banded separable dense EDT over the bounding grid (cost independent
+  of the target count), with a tiled VPU min-distance reduction for small
+  target sets / non-lattice positions — the auto choice uses a v5e-measured
+  cost model (see heatmap_from_mask_3d).
 * 2D: an exact two-pass Euclidean distance transform (vertical sweep +
-  horizontal lower-envelope minimisation), fully vectorised.
+  horizontal lower-envelope minimisation), fully vectorised; banded when
+  the decay radius allows.
 
 Unit quirk preserved from the reference: ``grid_pos`` is in *cells*, yet
 distances are divided by ``cell_size`` again before applying the decay
@@ -201,6 +203,10 @@ def heatmap_from_mask_3d(grid_pos, mask, cell_size: float = 0.05,
         return heat if as_device \
             else np.asarray(jax.device_get(heat), np.float32)
 
+    def flat(value):
+        out = np.full((n,), value, np.float32)
+        return jnp.asarray(out) if as_device else out
+
     m = None  # target count — resolved lazily (costs a D2H sync on device)
 
     def target_count():
@@ -230,8 +236,7 @@ def heatmap_from_mask_3d(grid_pos, mask, cell_size: float = 0.05,
                 # no target voxels: zero heat everywhere (the decay limit).
                 # The reference would crash on an empty argmin
                 # (visualize_utils.py:41) — the limit is the usable fix.
-                out = np.zeros((n,), np.float32)
-                return jnp.asarray(out) if as_device else out
+                return flat(0.0)
             coords, unit = _lattice_snap(pos_np, cell_size)
             if coords is None and method == "dense":
                 raise ValueError("method='dense' needs lattice positions")
@@ -275,8 +280,7 @@ def heatmap_from_mask_3d(grid_pos, mask, cell_size: float = 0.05,
                 pick_dense = est_dense < est_direct
             if pick_dense:
                 if m == 0:  # only reachable when m was resolved above
-                    out = np.zeros((n,), np.float32)
-                    return jnp.asarray(out) if as_device else out
+                    return flat(0.0)
                 coords = jnp.asarray(coords, jnp.int32) \
                     - jnp.asarray(pmin, jnp.int32)
                 return finish(_dense_banded_heat(
@@ -288,8 +292,7 @@ def heatmap_from_mask_3d(grid_pos, mask, cell_size: float = 0.05,
     if m is None:
         m = int(jax.device_get(jnp.sum(mask_dev)))
     if m == 0:
-        out = np.zeros((n,), np.float32)
-        return jnp.asarray(out) if as_device else out
+        return flat(0.0)
     pos_dev = jnp.asarray(grid_pos, jnp.float32)
     cap = 1 << max(m - 1, 127).bit_length()
     (tidx,) = jnp.nonzero(mask_dev, size=min(cap, n), fill_value=-1)

@@ -110,6 +110,20 @@ class ShardedFusion:
             gid, fx, fy, alpha, valid = geometry_fn(z, sample_idx, pose)
             return gid, fx, fy, valid, alpha
 
+        def fuse_owned(state, gid_rows, feats, rgbs, alpha, valid):
+            """Shared tail of both routing modes: rebase global grid ids
+            onto this shard's row range and fuse the rows it owns."""
+            my = jax.lax.axis_index(axis)
+            local_row = gid_rows[:, 0] - my * rows
+            owned = (local_row >= 0) & (local_row < rows)
+            lgid = jnp.concatenate([local_row[:, None], gid_rows[:, 1:]],
+                                   axis=-1)
+            vids = jnp.clip(voxel_linear_id_jax(lgid, gs, vh), 0,
+                            rows * gs * vh - 1)
+            return fuse_points(state, vids, feats, rgbs, alpha,
+                               valid & owned, gs=gs, vh=vh, n_rows=rows,
+                               dedup_scatter=dedup_scatter)
+
         def gather_and_fuse(state, gid, feats, rgbs, alpha, valid):
             """All-gather the compact payload over ICI; fuse owned rows."""
             d = feats.shape[-1]
@@ -122,17 +136,8 @@ class ShardedFusion:
                                         tiled=True)
             alpha_f = jax.lax.all_gather(alpha.reshape(-1), axis, tiled=True)
             valid_f = jax.lax.all_gather(valid.reshape(-1), axis, tiled=True)
-
-            my = jax.lax.axis_index(axis)
-            local_row = gid_f[:, 0] - my * rows
-            owned = (local_row >= 0) & (local_row < rows)
-            lgid = jnp.concatenate([local_row[:, None], gid_f[:, 1:]],
-                                   axis=-1)
-            vids = voxel_linear_id_jax(lgid, gs, vh)
-            vids = jnp.clip(vids, 0, rows * gs * vh - 1)
-            return fuse_points(state, vids, feats_f, rgbs_f, alpha_f,
-                               valid_f & owned, gs=gs, vh=vh, n_rows=rows,
-                               dedup_scatter=dedup_scatter)
+            return fuse_owned(state, gid_f, feats_f, rgbs_f, alpha_f,
+                              valid_f)
 
         n_dev = self.n_dev
 
@@ -179,19 +184,10 @@ class ShardedFusion:
             a_r = xchg(bucketize(alpha2, 0))
             v_r = xchg(bucketize(valid2, False))
 
-            my = jax.lax.axis_index(axis)
-            local_row = g_r[:, 0] - my * rows
-            owned = (local_row >= 0) & (local_row < rows)
-            lgid = jnp.concatenate([local_row[:, None], g_r[:, 1:]],
-                                   axis=-1)
-            vids = jnp.clip(voxel_linear_id_jax(lgid, gs, vh), 0,
-                            rows * gs * vh - 1)
             # bucket overflow is a SEND-side drop: count it in this
             # shard's n_dropped so lossy routing is always observable
             overflow = jnp.sum((so < n_dev) & ~keep)
-            state = fuse_points(state, vids, f_r, r_r, a_r, v_r & owned,
-                                gs=gs, vh=vh, n_rows=rows,
-                                dedup_scatter=dedup_scatter)
+            state = fuse_owned(state, g_r, f_r, r_r, a_r, v_r)
             return state._replace(
                 n_dropped=state.n_dropped
                 + overflow.astype(state.n_dropped.dtype))

@@ -192,6 +192,16 @@ def measure_device(step, state, params, canvas_hw) -> dict:
     # encoder — the FLOPs — would run once per chain instead of once per
     # step (observed: "MFU 1.38" with a shared canvas).
     scan_k = int(os.environ.get("BENCH_SCAN", "1"))
+    total_steps = WARMUP_STEPS + TIMED_STEPS
+    if scan_k > 1 and (total_steps % scan_k != 0
+                       or total_steps // scan_k < 2):
+        # the chain split needs scan_k | total and >= 1 warm + 1 timed
+        # chain (BENCH_SCAN=3 crashed the idx reshape; =8 timed an empty
+        # loop and reported device_fps=0)
+        print(f"BENCH_SCAN={scan_k} invalid for {total_steps} steps "
+              f"(must divide it, with >= 2 chains); running unchained",
+              file=sys.stderr)
+        scan_k = 1
     if scan_k > 1:
         def chain(state, params, xs, fvalid):
             def body(s, x):
@@ -601,10 +611,16 @@ def measure_full_query() -> dict:
                                          decay_rate=0.01, lattice_unit=1.0,
                                          as_device=True), reps=3), 2)
 
+    # the named metric includes the per-query text encode (a fresh
+    # category each query); *_cached_text is the repeat-query rate where
+    # the category matrix comes from the HBM map cache
+    enc = out.get("text_encode_ms", 0.0)
     full_dev = out["score_mask_ms"] + out["heat_ms_device"]
     full_host = out["score_mask_ms"] + out["heat_ms_host"]
-    out["full_query_qps_device"] = round(1e3 / full_dev, 2)
-    out["full_query_qps"] = round(1e3 / full_host, 2)
+    out["full_query_qps_device"] = round(1e3 / (full_dev + enc), 2)
+    out["full_query_qps"] = round(1e3 / (full_host + enc), 2)
+    out["full_query_qps_device_cached_text"] = round(1e3 / full_dev, 2)
+    out["full_query_qps_cached_text"] = round(1e3 / full_host, 2)
 
     # D2H diagnostic: fetching one fresh 4 MB result through this host's
     # device link — the gap between *_device and host-delivered numbers is

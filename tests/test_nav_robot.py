@@ -242,6 +242,21 @@ class TestPlannerOptimality:
         out = carve_escape_corridor(m, (5, 5))
         np.testing.assert_array_equal((out != 0), (m != 0))
 
+    def test_carve_noop_from_main_region_with_sealed_pocket(self):
+        """Pinned regression: the point stands in the LARGEST free region
+        while an unreachable sealed pocket (mapping noise) exists
+        elsewhere — there is nothing to escape from, so no corridor may
+        be carved (the old code picked the pocket as the carve target and
+        drew a width-5 FREE strip through the real wall)."""
+        from avlmaps_tpu.nav.visgraph import carve_escape_corridor
+
+        m = np.ones((100, 100), np.uint8)
+        m[0, :] = m[-1, :] = m[:, 0] = m[:, -1] = 0
+        m[40:70, 40:70] = 0          # doorless room
+        m[44:66, 44:66] = 1          # sealed free pocket inside it
+        out = carve_escape_corridor(m, (10, 10))  # point in the MAIN region
+        np.testing.assert_array_equal((out != 0), (m != 0))
+
     def test_goal_in_obstacle_with_internal_graph(self):
         """Goal inside an obstacle on a map with internal contours: goal
         clamps to a free cell and the post-recovery legs are clear
