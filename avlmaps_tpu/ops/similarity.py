@@ -33,9 +33,6 @@ def _round_up(x: int, m: int) -> int:
 
 def _score_kernel(norm_map_ref, norm_text_ref, feats_ref, text_ref, out_ref):
     x = feats_ref[:].astype(jnp.float32)
-    sq = jnp.sum(x * x, axis=-1, keepdims=True)
-    inv = jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
-    xn = jnp.where(norm_map_ref[0] == 1, x * inv, x)
 
     t = text_ref[:].astype(jnp.float32)
     tsq = jnp.sum(t * t, axis=0, keepdims=True)
@@ -44,8 +41,15 @@ def _score_kernel(norm_map_ref, norm_text_ref, feats_ref, text_ref, out_ref):
 
     # full f32 accumulation: category argmaxes must not flip vs the
     # reference's f64/f32 numpy matmul (recall parity)
-    out_ref[:] = jnp.dot(xn, tn, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+    s = jnp.dot(x, tn, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    # row normalisation applied to the OUTPUT: (x/||x||)@tn == (x@tn)/||x||
+    # exactly in f32 up to one rounding of the scale multiply, but N*C
+    # scale ops instead of N*D and the MXU starts without waiting on a
+    # VPU prologue over the whole (TILE_N, D) tile
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
+    out_ref[:] = jnp.where(norm_map_ref[0] == 1, s * inv, s)
 
 
 @functools.partial(jax.jit, static_argnames=("normalize_map", "normalize_text"))
@@ -119,17 +123,24 @@ def _pad_operands(map_feats: jnp.ndarray, text_feats: jnp.ndarray):
 
 def _score_argmax_kernel(n_cat: int, norm_map_ref, norm_text_ref, feats_ref,
                          text_ref, out_ref):
+    # Map-side normalisation is ARGMAX-INVARIANT and skipped entirely:
+    # argmax_c (x·t_c)/||x|| == argmax_c x·t_c for any row (the scale
+    # 1/||x|| is strictly positive; all-zero rows tie every category to
+    # score 0 with or without it).  That removes the kernel's whole VPU
+    # prologue over the (TILE_N, D) tile — a squared-sum reduction plus a
+    # broadcast multiply, ~1.5e9 VPU ops per 1M-voxel query — so the MXU
+    # contraction starts as soon as the tile lands.  norm_map_ref stays a
+    # prefetch operand only for call-signature parity with _score_kernel.
+    del norm_map_ref
     x = feats_ref[:].astype(jnp.float32)
-    sq = jnp.sum(x * x, axis=-1, keepdims=True)
-    inv = jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
-    xn = jnp.where(norm_map_ref[0] == 1, x * inv, x)
 
+    # text normalisation DOES matter: per-category scales bias the argmax
     t = text_ref[:].astype(jnp.float32)
     tsq = jnp.sum(t * t, axis=0, keepdims=True)
     tinv = jax.lax.rsqrt(jnp.maximum(tsq, 1e-12))
     tn = jnp.where(norm_text_ref[0] == 1, t * tinv, t)
 
-    s = jnp.dot(xn, tn, preferred_element_type=jnp.float32,
+    s = jnp.dot(x, tn, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n_cat, s, -jnp.inf)  # padded categories never win
