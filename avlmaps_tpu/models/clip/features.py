@@ -176,32 +176,40 @@ class ClipEncoder:
     # -- text --------------------------------------------------------------
 
     def get_text_feats(self, texts: Sequence[str],
-                       batch_size: int = 64) -> np.ndarray:
+                       batch_size: int = 64,
+                       as_device: bool = False) -> np.ndarray:
         """L2-normalised text features, (len(texts), embed_dim) float32
         (reference get_text_feats, clip_utils.py:133-149).  Batches are
-        padded to ``batch_size`` so only one program is compiled."""
+        padded to ``batch_size`` so only one program is compiled.
+
+        ``as_device=True`` keeps the result in HBM (normalisation on
+        device, no D2H fetch) — the internal query path uses it because
+        one device_get costs a full tunnel RTT (~68 ms measured) before
+        the features are re-uploaded to the score kernel anyway."""
         tokens = self.tokenizer(list(texts), self.cfg.context_length)
-        out = np.zeros((len(texts), self.feat_dim), np.float32)
+        chunks = []
         for start in range(0, len(texts), batch_size):
             chunk = tokens[start:start + batch_size]
             pad = batch_size - chunk.shape[0]
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.tile(chunk[-1:], (pad, 1))], axis=0)
-            feats = np.asarray(
-                jax.device_get(self._encode_text(self.params,
-                                                 jnp.asarray(chunk))),
-                np.float32)
-            feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
-            out[start:start + batch_size] = feats[:batch_size - pad]
-        return out
+            feats = self._encode_text(self.params, jnp.asarray(chunk))
+            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+            chunks.append(feats[:batch_size - pad])
+        dev = (jnp.concatenate(chunks, axis=0) if len(chunks) > 1
+               else chunks[0]).astype(jnp.float32)
+        if as_device:
+            return dev
+        return np.asarray(jax.device_get(dev), np.float32)
 
-    def get_text_feats_multiple_templates(self, texts: Sequence[str]
+    def get_text_feats_multiple_templates(self, texts: Sequence[str],
+                                          as_device: bool = False
                                           ) -> np.ndarray:
         """Template-ensembled text features: encode every (template, text)
         pair and average per text (reference clip_utils.py:152-159)."""
         prompts = [t.format(x) for x in texts for t in MULTIPLE_TEMPLATES]
-        feats = self.get_text_feats(prompts)
+        feats = self.get_text_feats(prompts, as_device=as_device)
         feats = feats.reshape(len(texts), len(MULTIPLE_TEMPLATES), -1)
         return feats.mean(axis=1)
 
@@ -243,18 +251,21 @@ class ClipEncoder:
         if add_other and landmarks_other[-1] != "other":
             landmarks_other = landmarks_other + ["other"]
 
+        # text feats stay in HBM end-to-end (as_device): fetching them
+        # to host first cost a full tunnel RTT per query
         if use_multiple_templates and avg_mode == 0:
             text_feats = self.get_text_feats_multiple_templates(
-                landmarks_other)
+                landmarks_other, as_device=True)
         elif use_multiple_templates:
             prompts = [t.format(x) for x in landmarks_other
                        for t in MULTIPLE_TEMPLATES]
-            text_feats = self.get_text_feats(prompts)
+            text_feats = self.get_text_feats(prompts, as_device=True)
         else:
-            text_feats = self.get_text_feats(landmarks_other)
+            text_feats = self.get_text_feats(landmarks_other,
+                                             as_device=True)
 
         scores = np.asarray(jax.device_get(score_features(
-            self._map_feats_device(map_feats), jnp.asarray(text_feats))))
+            self._map_feats_device(map_feats), text_feats)))
         if use_multiple_templates and avg_mode == 1:
             scores = scores.reshape(-1, len(landmarks_other),
                                     len(MULTIPLE_TEMPLATES)).mean(axis=2)
@@ -305,8 +316,9 @@ class ClipEncoder:
             landmarks_other = landmarks_other + ["other"]
         if use_multiple_templates:
             text_feats = self.get_text_feats_multiple_templates(
-                landmarks_other)
+                landmarks_other, as_device=True)
         else:
-            text_feats = self.get_text_feats(landmarks_other)
+            text_feats = self.get_text_feats(landmarks_other,
+                                             as_device=True)
         return np.asarray(jax.device_get(score_argmax(
-            self._map_feats_device(map_feats), jnp.asarray(text_feats))))
+            self._map_feats_device(map_feats), text_feats)))
