@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import sys
+import warnings
 from pathlib import Path
 from typing import Callable, Optional, Tuple
 
@@ -480,9 +481,9 @@ class VLMapBuilder:
 
         if self.mesh is not None:
             if self.sampling == "device":
-                print("WARNING: sampling='device' is not implemented for "
-                      "sharded (mesh) builds; using the host sampler",
-                      file=sys.stderr)
+                warnings.warn(
+                    "sampling='device' is not implemented for sharded "
+                    "(mesh) builds; using the host sampler", stacklevel=2)
             return self._create_sharded(gs, cs, vh, h, w, max_pts, saved,
                                         mapped, save_every, progress)
 
@@ -499,8 +500,8 @@ class VLMapBuilder:
         use_canvas = self.transport == "canvas"
         device_sampling = use_canvas and self.sampling == "device"
         if self.sampling == "device" and not use_canvas:
-            print("WARNING: sampling='device' needs transport="
-                  "'canvas'; using the host sampler", file=sys.stderr)
+            warnings.warn("sampling='device' needs transport='canvas'; "
+                          "using the host sampler", stacklevel=2)
         if device_sampling:
             from avlmaps_tpu.pipeline.transport import (
                 make_raw_canvas_transform)

@@ -186,6 +186,9 @@ class ClipEncoder:
         device, no D2H fetch) — the internal query path uses it because
         one device_get costs a full tunnel RTT (~68 ms measured) before
         the features are re-uploaded to the score kernel anyway."""
+        if not len(texts):
+            empty = np.zeros((0, self.feat_dim), np.float32)
+            return jnp.asarray(empty) if as_device else empty
         tokens = self.tokenizer(list(texts), self.cfg.context_length)
         chunks = []
         for start in range(0, len(texts), batch_size):

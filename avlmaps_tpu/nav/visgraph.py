@@ -13,6 +13,7 @@ boundaries.
 from __future__ import annotations
 
 import heapq
+import warnings
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -49,7 +50,7 @@ class VisGraph:
     """Visibility graph over a binary obstacle map (1 free, 0 occupied)."""
 
     def __init__(self, obs_map: np.ndarray, simplify_eps: float = 2.0,
-                 use_internal_contours: bool = False,
+                 use_internal_contours: Optional[bool] = None,
                  use_native: bool = True):
         if cv2 is None:
             raise RuntimeError("OpenCV required for contour extraction")
@@ -68,7 +69,12 @@ class VisGraph:
         # raster), so the reference's internal-contour distinction
         # (navigation_utils.py:84-86) costs nothing to include always;
         # ``use_internal_contours`` is kept for API compatibility.
-        del use_internal_contours
+        if use_internal_contours is False:
+            warnings.warn(
+                "use_internal_contours=False is deprecated and ignored: "
+                "RETR_EXTERNAL drops every obstacle nested inside a blocked "
+                "border contour, so the full hierarchy is always used",
+                DeprecationWarning, stacklevel=2)
         contours, _ = cv2.findContours(inflated, cv2.RETR_TREE,
                                        cv2.CHAIN_APPROX_NONE)
         self.polys: List[np.ndarray] = []
@@ -347,11 +353,13 @@ def carve_escape_corridor(obs_map: np.ndarray, point,
     sizes[0] = 0  # background (obstacles)
     main = int(np.argmax(np.where(np.arange(n_lbl) == lbl, 0, sizes)))
     if main == 0 or main == lbl or sizes[main] == 0 \
-            or sizes[main] <= sizes[lbl]:
+            or sizes[main] < sizes[lbl]:
         # the point's component IS the largest free region: nothing to
         # escape from.  Without this check any unreachable sealed pocket
         # elsewhere on the map (common mapping noise) became the carve
         # target and a width-5 FREE strip was drawn through real walls.
+        # Strict comparison: when the pocket exactly TIES the largest
+        # other component the robot is still sealed — carve anyway.
         return np.asarray(obs_map)
     pocket = np.argwhere(labels == lbl)
     dist = cv2.distanceTransform((labels != main).astype(np.uint8),
@@ -382,7 +390,7 @@ def build_visgraph_with_obs_map(obs_map: np.ndarray,
     """
     if use_internal_contour and internal_point is not None:
         obs_map = carve_escape_corridor(obs_map, internal_point)
-    return VisGraph(obs_map, use_internal_contours=use_internal_contour)
+    return VisGraph(obs_map)  # param ignored: full hierarchy always used
 
 
 def plan_to_pos_v2(start, goal, obstacles: np.ndarray,

@@ -325,6 +325,11 @@ def test_encoder_wrapper_text_feats():
         add_other=True)
     assert scores.shape == (50, 3)  # + "other"
 
+    # ADVICE r4: empty input returns (0, feat_dim), not IndexError
+    empty = enc.get_text_feats([])
+    assert empty.shape == (0, 16) and empty.dtype == np.float32
+    assert enc.get_text_feats([], as_device=True).shape == (0, 16)
+
 
 def test_map_feats_cache_detects_mutation():
     """ADVICE r2: the device map-feature cache must not serve stale features

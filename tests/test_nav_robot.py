@@ -257,6 +257,22 @@ class TestPlannerOptimality:
         out = carve_escape_corridor(m, (10, 10))  # point in the MAIN region
         np.testing.assert_array_equal((out != 0), (m != 0))
 
+    def test_carve_on_size_tie(self):
+        """A pocket that exactly ties the largest other free component is
+        still sealed: the tie must carve (strict comparison — the old
+        ``<=`` declined and left the robot walled in)."""
+        import cv2
+
+        from avlmaps_tpu.nav.visgraph import carve_escape_corridor
+
+        m = np.zeros((9, 9), np.uint8)
+        m[1:3, 1:3] = 1          # pocket: 4 free cells
+        m[6:8, 6:8] = 1          # other region: 4 free cells (tie)
+        out = carve_escape_corridor(m, (1, 1))
+        _, labels = cv2.connectedComponents((out != 0).astype(np.uint8),
+                                            connectivity=8)
+        assert labels[1, 1] == labels[6, 6]
+
     def test_goal_in_obstacle_with_internal_graph(self):
         """Goal inside an obstacle on a map with internal contours: goal
         clamps to a free cell and the post-recovery legs are clear
