@@ -23,7 +23,8 @@ from ckpt_manifest import (MANIFEST_DIR, diff_state_dict,  # noqa: E402
                            load_manifest, parse_spec, synthesize_state_dict)
 
 ALL_MANIFESTS = ["lseg_demo_e200", "clip_vitb32", "audioclip_partial",
-                 "superpoint_v1", "superglue_indoor"]
+                 "superpoint_v1", "superglue_indoor", "superglue_outdoor",
+                 "netvlad_pitts30k", "wav2clip_resnet18"]
 
 
 def _paths(tree, prefix=""):
@@ -160,7 +161,9 @@ def test_superpoint_porter_consumes_manifest_shape():
     assert _paths(variables["params"]) == _paths(ref["params"])
 
 
-def test_superglue_porter_consumes_manifest_shape():
+@pytest.mark.parametrize("variant", ["superglue_indoor",
+                                     "superglue_outdoor"])
+def test_superglue_porter_consumes_manifest_shape(variant):
     import jax
     import jax.numpy as jnp
 
@@ -168,7 +171,7 @@ def test_superglue_porter_consumes_manifest_shape():
     from avlmaps_tpu.models.superglue.port import (config_from_state_dict,
                                                    port_superglue_state_dict)
 
-    sd = synthesize_state_dict(load_manifest("superglue_indoor"), seed=6)
+    sd = synthesize_state_dict(load_manifest(variant), seed=6)
     cfg = config_from_state_dict(sd)
     assert cfg.desc_dim == 256 and cfg.gnn_layers == 9
     variables = port_superglue_state_dict(sd)
@@ -182,6 +185,85 @@ def test_superglue_porter_consumes_manifest_shape():
         lambda key: model.init(key, *f(), *f(), (480, 640), (480, 640)),
         jax.random.PRNGKey(0))
     assert _paths(variables["params"]) == _paths(ref["params"])
+
+
+def _write_netvlad_mat(tmp_path, seed=8):
+    from scipy.io import savemat
+
+    from ckpt_manifest import assemble_netvlad_mat
+
+    sd = synthesize_state_dict(load_manifest("netvlad_pitts30k"), seed=seed)
+    path = tmp_path / "Pitts30K_struct.mat"
+    savemat(str(path), assemble_netvlad_mat(sd))
+    return path, sd
+
+
+def test_netvlad_porter_consumes_manifest_mat(tmp_path):
+    """NetVLAD .mat contract (VERDICT r4 #4): synthesize the manifest-shaped
+    matconvnet struct, round-trip through scipy savemat/loadmat (the real
+    input path, simplify_cells layer/weights cells), and check the porter's
+    flax tree against NetVLAD.init at release scale — including the
+    center negation and averageImage reduction."""
+    import jax
+    import jax.numpy as jnp
+
+    from avlmaps_tpu.models.netvlad.model import NetVLAD
+    from avlmaps_tpu.models.netvlad.port import load_netvlad_mat
+
+    path, sd = _write_netvlad_mat(tmp_path)
+    params, avg, cfg = load_netvlad_mat(str(path))
+    assert (cfg.clusters, cfg.dim, cfg.whiten_dim) == (64, 512, 4096)
+    np.testing.assert_allclose(
+        avg, sd["meta.normalization.averageImage"].reshape(-1, 3
+                                                           ).mean(axis=0))
+    # the file stores NEGATED centers; the porter recovers the true ones
+    raw_centers = sd["layers.13_vlad:core.weights.1"]  # (D, K)
+    np.testing.assert_allclose(params["params"]["centers"],
+                               -raw_centers.T, rtol=1e-6)
+
+    model = NetVLAD(cfg)
+    ref = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                         jnp.zeros((1, 64, 64, 3), jnp.float32))
+    assert _paths(params["params"]) == _paths(ref["params"])
+
+
+def test_wav2clip_porter_consumes_manifest_shape():
+    import jax
+    import jax.numpy as jnp
+
+    from avlmaps_tpu.models.wav2clip import (Wav2Clip, Wav2ClipConfig,
+                                             port_wav2clip_state_dict)
+
+    sd = synthesize_state_dict(load_manifest("wav2clip_resnet18"), seed=9)
+    cfg = Wav2ClipConfig()
+    variables = port_wav2clip_state_dict(sd, cfg)
+    model = Wav2Clip(cfg)
+    ref = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                         jnp.zeros((1, cfg.sample_rate), jnp.float32))
+    assert _paths(variables["params"]) == _paths(ref["params"])
+
+
+def test_port_cli_netvlad_manifest_diff(tmp_path, capsys):
+    """The port CLI's netvlad family diff runs through the .mat flattener
+    (weighted-layer enumeration) and reports clean/drift correctly."""
+    import port_checkpoints as pc
+
+    path, _ = _write_netvlad_mat(tmp_path, seed=10)
+    pc.check_against_manifest("netvlad", str(path), strict=True)
+    assert "OK (matches manifest)" in capsys.readouterr().out
+
+
+def test_manifest_name_picks_superglue_variant():
+    import port_checkpoints as pc
+
+    assert pc._manifest_name("superglue", "x/superglue_indoor.pth") == \
+        "superglue_indoor"
+    assert pc._manifest_name("superglue", "x/superglue_outdoor.pth") == \
+        "superglue_outdoor"
+    assert pc._manifest_name("netvlad", "Pitts30K_struct.mat") == \
+        "netvlad_pitts30k"
+    assert pc._manifest_name("wav2clip", "Wav2CLIP.pt") == \
+        "wav2clip_resnet18"
 
 
 def test_port_cli_manifest_check_reports_drift(tmp_path, capsys):

@@ -117,6 +117,43 @@ def synthesize_state_dict(manifest: Dict[str, Any], seed: int = 0,
     return sd
 
 
+def assemble_netvlad_mat(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Build the nested matconvnet ``net`` struct from a FLAT manifest-shaped
+    state dict (keys ``layers.<idx>_<name>.weights.<j>`` and
+    ``meta.normalization.averageImage``), suitable for
+    ``scipy.io.savemat`` so the NetVLAD porter's real input path
+    (``scipy.io.loadmat(..., simplify_cells=True)`` in
+    models/netvlad/port.load_netvlad_mat) can be exercised end-to-end
+    without the 400 MB release file."""
+    layers: Dict[int, Dict[str, Any]] = {}
+    avg = None
+    for k, v in sd.items():
+        if k == "meta.normalization.averageImage":
+            avg = v
+            continue
+        # "layers.<idx>_<name>.weights.<j>"
+        rest = k.split(".", 1)[1]
+        head, _, j = rest.rsplit(".", 2)
+        idx_s, name = head.split("_", 1)
+        entry = layers.setdefault(int(idx_s), {"name": name, "weights": {}})
+        entry["weights"][int(j)] = v
+    cells = []
+    for idx in sorted(layers):
+        entry = layers[idx]
+        w = entry["weights"]
+        weights = np.empty(len(w), dtype=object)
+        for j in sorted(w):
+            weights[j] = w[j]
+        cells.append({"name": entry["name"], "weights": weights})
+    layer_arr = np.empty(len(cells), dtype=object)
+    for i, c in enumerate(cells):
+        layer_arr[i] = c
+    net: Dict[str, Any] = {"layers": layer_arr}
+    if avg is not None:
+        net["meta"] = {"normalization": {"averageImage": avg}}
+    return {"net": net}
+
+
 def record_manifest(sd: Dict[str, Any], artifact: str, source: str,
                     container: str) -> Dict[str, Any]:
     """Pin a manifest from a REAL loaded state dict (ground truth beats

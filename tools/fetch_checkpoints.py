@@ -45,6 +45,14 @@ HTTP_ASSETS = {
         "https://openaipublic.azureedge.net/clip/models/"
         "40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af/"
         "ViT-B-32.pt",
+    "superglue_outdoor.pth":
+        "https://github.com/magicleap/SuperGluePretrainedNetwork/raw/master/"
+        "models/weights/superglue_outdoor.pth",
+    "Pitts30K_struct.mat":
+        "https://cvg-data.inf.ethz.ch/hloc/netvlad/Pitts30K_struct.mat",
+    "Wav2CLIP.pt":
+        "https://github.com/descriptinc/lyrebird-wav2clip/releases/"
+        "download/v0.1.0-alpha/Wav2CLIP.pt",
 }
 
 # Google-Drive assets need gdown (reference download_checkpoints.bash:9-11).
@@ -118,15 +126,27 @@ def main() -> None:
     flag_for = {"demo_e200.ckpt": "--lseg", "ViT-B-32.pt": "--clip",
                 "AudioCLIP-Partial-Training.pt": "--audioclip",
                 "superpoint_v1.pth": "--superpoint",
-                "superglue_indoor.pth": "--superglue"}
+                "superglue_indoor.pth": "--superglue",
+                "Pitts30K_struct.mat": "--netvlad",
+                "Wav2CLIP.pt": "--wav2clip"}
     for name, flag in flag_for.items():
         if name in present:
             port_args += [flag, str(present[name])]
-    if len(port_args) <= 4:
+    if len(port_args) <= 4 and "superglue_outdoor.pth" not in present:
         print("nothing to port")
         return
-    print("porting:", " ".join(port_args[1:]))
-    raise SystemExit(subprocess.call(port_args))
+    rc = 0
+    if len(port_args) > 4:
+        print("porting:", " ".join(port_args[1:]))
+        rc = subprocess.call(port_args)
+    if "superglue_outdoor.pth" in present:
+        # second pass: --superglue takes one path per invocation; the port
+        # CLI picks the superglue_outdoor manifest + output name by filename
+        outdoor_args = port_args[:4] + [
+            "--superglue", str(present["superglue_outdoor.pth"])]
+        print("porting:", " ".join(outdoor_args[1:]))
+        rc = subprocess.call(outdoor_args) or rc
+    raise SystemExit(rc)
 
 
 if __name__ == "__main__":

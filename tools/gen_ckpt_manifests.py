@@ -275,12 +275,123 @@ def superglue_manifest() -> dict:
     }
 
 
+def superglue_outdoor_manifest() -> dict:
+    """Same architecture as indoor (MagicLeap ships one model at one
+    scale; only the training data differs), different artifact."""
+    m = superglue_manifest()
+    m["artifact"] = "superglue_outdoor.pth"
+    m["source"] = ("https://github.com/magicleap/SuperGluePretrainedNetwork/"
+                   "raw/master/models/weights/superglue_outdoor.pth")
+    return m
+
+
+# VGG16 conv plan through conv5_3 (matconvnet vd16 NetVLAD backbone):
+# (name, in_ch, out_ch) in file order — the porter consumes convs in order
+_VGG16_CONVS = [
+    ("conv1_1", 3, 64), ("conv1_2", 64, 64),
+    ("conv2_1", 64, 128), ("conv2_2", 128, 128),
+    ("conv3_1", 128, 256), ("conv3_2", 256, 256), ("conv3_3", 256, 256),
+    ("conv4_1", 256, 512), ("conv4_2", 512, 512), ("conv4_3", 512, 512),
+    ("conv5_1", 512, 512), ("conv5_2", 512, 512), ("conv5_3", 512, 512),
+]
+
+
+def netvlad_manifest() -> dict:
+    """Pitts30K matconvnet NetVLAD (.mat) — the artifact hloc's NetVLAD
+    extractor consumes (reference localization_utils.py:134-145 via hloc;
+    hloc/extractors/netvlad.py rebuilds torch from this layout).
+
+    Flat key scheme ``layers.<i>_<name>.weights.<j>`` where ``i`` counts
+    WEIGHTED layers only (relu/pool/normalise layers carry no arrays and
+    their raw file positions vary by release) — the same enumeration
+    tools/port_checkpoints._flatten_netvlad_mat applies to a real file, so
+    the diff is interleaving-insensitive.  Reassemble the nested struct
+    with ckpt_manifest.assemble_netvlad_mat for a savemat/loadmat
+    round-trip."""
+    keys: Dict[str, str] = {}
+    idx = 0
+    for name, cin, cout in _VGG16_CONVS:
+        keys[f"layers.{idx:02d}_{name}.weights.0"] = spec_of(
+            (3, 3, cin, cout), F32)  # matconvnet kernels are HWIO natively
+        keys[f"layers.{idx:02d}_{name}.weights.1"] = spec_of((cout,), F32)
+        idx += 1
+    d, k = 512, 64
+    # shapes are POST-loadmat(simplify_cells=True), which squeezes the 1x1
+    # conv kernels' leading singleton dims — the view both the porter and
+    # the drift diff consume
+    keys[f"layers.{idx:02d}_vlad:core.weights.0"] = spec_of((d, k), F32)
+    keys[f"layers.{idx:02d}_vlad:core.weights.1"] = spec_of((d, k), F32)
+    idx += 1
+    keys[f"layers.{idx:02d}_WPCA.weights.0"] = spec_of((d * k, 4096), F32)
+    keys[f"layers.{idx:02d}_WPCA.weights.1"] = spec_of((4096,), F32)
+    keys["meta.normalization.averageImage"] = spec_of((3,), F32)
+    return {
+        "artifact": "Pitts30K_struct.mat "
+                    "(vd16_pitts30k_conv5_3_vlad_preL2_intra_white)",
+        "source": "https://cvg-data.inf.ethz.ch/hloc/netvlad/"
+                  "Pitts30K_struct.mat",
+        "container": "matconvnet",
+        "derived_from": "hloc extractors/netvlad.py matconvnet layout "
+                        "(VGG16 conv1_1..conv5_3 + vlad:core "
+                        "{assign, centers} + WPCA 1x1; consumed by "
+                        "avlmaps_tpu/models/netvlad/port.py)",
+        "keys": keys,
+    }
+
+
+def wav2clip_manifest() -> dict:
+    """wav2clip release encoder — a torchvision-layout ResNet-18 over
+    1-channel log-mel spectrograms with an fc head to CLIP's 512-d space
+    (reference audio_utils.py:695-735 via the pip wav2clip package;
+    consumed by models/wav2clip.port_wav2clip_state_dict)."""
+    keys: Dict[str, str] = {}
+
+    def bn(p, c):
+        keys[f"{p}.weight"] = spec_of((c,), F32)
+        keys[f"{p}.bias"] = spec_of((c,), F32)
+        keys[f"{p}.running_mean"] = spec_of((c,), F32)
+        keys[f"{p}.running_var"] = spec_of((c,), F32)
+        keys[f"{p}.num_batches_tracked"] = spec_of((), np.int64,
+                                                   optional=True)
+
+    keys["conv1.weight"] = spec_of((64, 1, 7, 7), F32)  # 1-ch spectrogram
+    bn("bn1", 64)
+    widths = (64, 128, 256, 512)
+    for stage, w in enumerate(widths):
+        for blk in range(2):
+            p = f"layer{stage + 1}.{blk}"
+            cin = widths[stage - 1] if stage > 0 and blk == 0 else w
+            keys[f"{p}.conv1.weight"] = spec_of((w, cin, 3, 3), F32)
+            bn(f"{p}.bn1", w)
+            keys[f"{p}.conv2.weight"] = spec_of((w, w, 3, 3), F32)
+            bn(f"{p}.bn2", w)
+            if stage > 0 and blk == 0:
+                keys[f"{p}.downsample.0.weight"] = spec_of((w, cin, 1, 1),
+                                                           F32)
+                bn(f"{p}.downsample.1", w)
+    keys["fc.weight"] = spec_of((512, 512), F32)
+    keys["fc.bias"] = spec_of((512,), F32)
+    return {
+        "artifact": "wav2clip.pt",
+        "source": "https://github.com/descriptinc/lyrebird-wav2clip/"
+                  "releases/download/v0.1.0-alpha/Wav2CLIP.pt",
+        "container": "state_dict",
+        "derived_from": "torchvision resnet18 naming with 1-channel conv1 "
+                        "and a 512-d fc head (wav2clip encoder layout; "
+                        "porter accepts encoder./model. prefixes)",
+        "keys": keys,
+    }
+
+
 ALL = {
     "lseg_demo_e200": lseg_manifest,
     "clip_vitb32": clip_vitb32_manifest,
     "audioclip_partial": audioclip_manifest,
     "superpoint_v1": superpoint_manifest,
     "superglue_indoor": superglue_manifest,
+    "superglue_outdoor": superglue_outdoor_manifest,
+    "netvlad_pitts30k": netvlad_manifest,
+    "wav2clip_resnet18": wav2clip_manifest,
 }
 
 

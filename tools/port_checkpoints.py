@@ -29,10 +29,51 @@ MANIFEST_FOR = {
     "audioclip": "audioclip_partial",
     "superpoint": "superpoint_v1",
     "superglue": "superglue_indoor",
+    "netvlad": "netvlad_pitts30k",
+    "wav2clip": "wav2clip_resnet18",
 }
 
 
+def _manifest_name(flag: str, path: str) -> str | None:
+    name = MANIFEST_FOR.get(flag)
+    if flag == "superglue" and "outdoor" in Path(path).name.lower():
+        return "superglue_outdoor"
+    return name
+
+
+def _flatten_netvlad_mat(path: str) -> dict:
+    """Flat manifest-key view of a matconvnet NetVLAD file: weighted
+    layers enumerated in order as ``layers.<i>_<name>.weights.<j>`` plus
+    the averageImage — the inverse of ckpt_manifest.assemble_netvlad_mat's
+    key scheme (relu/pool layers carry no arrays and are skipped, so the
+    enumeration is interleaving-insensitive)."""
+    import numpy as np
+    from scipy.io import loadmat
+
+    from avlmaps_tpu.models.netvlad.port import _as_list, _weights_pair
+
+    net = loadmat(path, simplify_cells=True)["net"]
+    out = {}
+    i = 0
+    for layer in _as_list(net["layers"]):
+        if not isinstance(layer, dict) or _weights_pair(layer) is None:
+            continue
+        for j, w in enumerate(_as_list(layer["weights"])):
+            out[f"layers.{i:02d}_{layer.get('name', '')}.weights.{j}"] = \
+                np.asarray(w)
+        i += 1
+    meta = net.get("meta")
+    if isinstance(meta, dict):
+        norm = meta.get("normalization")
+        if isinstance(norm, dict) and "averageImage" in norm:
+            out["meta.normalization.averageImage"] = np.asarray(
+                norm["averageImage"])
+    return out
+
+
 def _raw_state_dict(flag: str, path: str):
+    if flag == "netvlad":
+        return _flatten_netvlad_mat(path)
     import torch
 
     if flag == "clip":
@@ -50,7 +91,7 @@ def check_against_manifest(flag: str, path: str, strict: bool) -> None:
     drift is reported as a summary instead of a porter KeyError."""
     from ckpt_manifest import diff_state_dict, format_diff, load_manifest
 
-    name = MANIFEST_FOR.get(flag)
+    name = _manifest_name(flag, path)
     if name is None or str(path).endswith(".msgpack"):
         return
     try:
@@ -74,14 +115,15 @@ def record_manifests(args) -> None:
     supersedes the derived enumeration)."""
     from ckpt_manifest import MANIFEST_DIR, record_manifest, save_manifest
 
-    for flag, name in MANIFEST_FOR.items():
+    for flag in MANIFEST_FOR:
         path = getattr(args, flag)
         if not path:
             continue
+        name = _manifest_name(flag, path)
         sd = _raw_state_dict(flag, path)
-        manifest = record_manifest(sd, artifact=Path(path).name,
-                                   source=str(path),
-                                   container="state_dict")
+        manifest = record_manifest(
+            sd, artifact=Path(path).name, source=str(path),
+            container="matconvnet" if flag == "netvlad" else "state_dict")
         save_manifest(manifest, MANIFEST_DIR / f"{name}.json")
         print(f"re-pinned {name}.json from {path} "
               f"({len(manifest['keys'])} keys)")
@@ -106,6 +148,8 @@ def main() -> None:
                         help="superglue_{indoor,outdoor}.pth path")
     parser.add_argument("--wav2clip",
                         help="wav2clip resnet18 state-dict path")
+    parser.add_argument("--netvlad",
+                        help="matconvnet Pitts30K NetVLAD .mat path")
     parser.add_argument("--lseg-layers", type=int, default=24,
                         help="ViT depth of the LSeg checkpoint")
     parser.add_argument("--out", default="ported")
@@ -169,7 +213,10 @@ def main() -> None:
         )
 
         sg_cfg, sg_vars = load_superglue_checkpoint(args.superglue)
-        save_tree(sg_vars, out / "superglue.msgpack")
+        sg_out = ("superglue_outdoor.msgpack"
+                  if "outdoor" in Path(args.superglue).name.lower()
+                  else "superglue.msgpack")
+        save_tree(sg_vars, out / sg_out)
         print(f"  superglue config: desc={sg_cfg.desc_dim} "
               f"layers={sg_cfg.gnn_layers}")
     if args.wav2clip:
@@ -181,8 +228,19 @@ def main() -> None:
                         weights_only=False)
         sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
         save_tree(port_wav2clip_state_dict(sd), out / "wav2clip.msgpack")
+    if args.netvlad:
+        from avlmaps_tpu.models.netvlad.port import load_netvlad_mat
+
+        nv_params, nv_avg, nv_cfg = load_netvlad_mat(args.netvlad)
+        save_tree(nv_params, out / "netvlad.msgpack")
+        (out / "netvlad.config.json").write_text(json.dumps({
+            "clusters": nv_cfg.clusters, "dim": nv_cfg.dim,
+            "whiten_dim": nv_cfg.whiten_dim,
+            "average_image": [float(v) for v in nv_avg]}))
+        print(f"  netvlad config: clusters={nv_cfg.clusters} "
+              f"dim={nv_cfg.dim} whiten={nv_cfg.whiten_dim}")
     if not (args.lseg or args.clip or args.audioclip or args.superpoint
-            or args.superglue or args.wav2clip):
+            or args.superglue or args.wav2clip or args.netvlad):
         parser.error("provide at least one checkpoint path")
 
 
