@@ -93,7 +93,23 @@ class AVLMap:
 
     def index_object(self, object_name: str,
                      init_categories: Optional[List[str]] = None,
-                     decay_rate: float = 0.1) -> np.ndarray:
+                     decay_rate: float = 0.1, delivery: str = "f32"):
+        """Open-vocabulary object heatmap over the voxel map.
+
+        ``delivery`` picks the wire format (VERDICT r4 #1 — the f32 density
+        fetch is 4 MB/query and dominates tunnelled hosts):
+
+        * ``"f32"``   — reference-shaped (N,) float32 host array (default);
+        * ``"u8"``    — same host array, but quantised to 1/255 steps on
+          device so only 1 MB crosses the link;
+        * ``"device"``— the (N,) f32 heat left in HBM (for on-device
+          cross-modal fusion, ops.delivery.fused_goal_pick);
+        * ``"topk"``  — (values (64,), positions (64, 3)) host arrays,
+          ~bytes on the wire;
+        * ``"goal"``  — the argmax voxel position (3,) int32 (the only
+          thing the robot's move_to consumes, reference
+          habitat_lang_robot.py:419-430).
+        """
         if init_categories is not None:
             # the reference strips the first and last entries ('void' and
             # 'objects' of mp3dcat) before scoring (avlmap.py:69)
@@ -101,20 +117,40 @@ class AVLMap:
             mask = self.vlmap.index_map(object_name, with_init_cat=True)
         else:
             mask = self.vlmap.index_map(object_name, with_init_cat=False)
-        return heatmap_from_mask_3d(self.vlmap.grid_pos, mask,
+        heat = heatmap_from_mask_3d(self.vlmap.grid_pos, mask,
                                     cell_size=self.config.params.cs,
                                     decay_rate=decay_rate,
-                                    grid_shape=self.vlmap.occupied_ids.shape)
+                                    grid_shape=self.vlmap.occupied_ids.shape,
+                                    as_device=delivery != "f32")
+        if delivery == "f32":
+            return heat
+        from avlmaps_tpu.ops import delivery as dlv
+
+        if delivery == "device":
+            return heat
+        if delivery == "u8":
+            return dlv.dequantize_heat_u8(
+                dlv.fetch_np(dlv.quantize_heat_u8(heat)))
+        if delivery == "topk":
+            vals, pos = dlv.topk_peaks(heat, self.vlmap.grid_pos)
+            return dlv.fetch_np(vals, pos)
+        if delivery == "goal":
+            pos, _ = dlv.fused_goal_pick([heat], self.vlmap.grid_pos)
+            return dlv.fetch_np(pos)
+        raise ValueError(f"unknown delivery format {delivery!r}")
 
     # -- area (reference avlmap.py:78-109) ---------------------------------
 
     def index_area_2d(self, area_name: str,
-                      decay_rate: float = 0.1) -> np.ndarray:
+                      decay_rate: float = 0.1,
+                      delivery: str = "f32") -> np.ndarray:
         """Per-pose CLIP scores splatted as radial decays, max-composited.
 
         Pose→map-cell conversion stays on host (cheap, per pose); the
-        per-pose decay stacking runs as one device scan
-        (ops/heatmap.decayed_point_heatmap_2d)."""
+        per-pose decay stacking AND the min-max normalisation run as one
+        device program (ops/heatmap.decayed_point_heatmap_2d).
+        ``delivery``: "f32" (default) / "u8" (1-byte wire format) /
+        "device" (heat left in HBM)."""
         shape = self.vlmap.occupied_ids.shape[:2]
         scores = self.area_map.index_map(area_name, with_init_cat=False)
         rng = scores.max() - scores.min()
@@ -129,10 +165,20 @@ class AVLMap:
             seeds.append(np.array([[row, col]], np.float32))
             confs.append(float(scores[i]))
 
-        dist_map = decayed_point_heatmap_2d(shape, seeds, confs,
-                                            decay_rate, combine="max")
-        rng = dist_map.max() - dist_map.min()
-        return (dist_map - dist_map.min()) / (rng if rng > 0 else 1.0)
+        return self._deliver_2d(decayed_point_heatmap_2d(
+            shape, seeds, confs, decay_rate, combine="max", normalize=True,
+            as_device=delivery != "f32"), delivery)
+
+    @staticmethod
+    def _deliver_2d(heat, delivery: str):
+        if delivery in ("f32", "device"):
+            return heat
+        from avlmaps_tpu.ops import delivery as dlv
+
+        if delivery == "u8":
+            return dlv.dequantize_heat_u8(
+                dlv.fetch_np(dlv.quantize_heat_u8(heat)))
+        raise ValueError(f"unknown delivery format {delivery!r}")
 
     def index_area(self, area_name: str,
                    decay_rate: float = 0.1) -> np.ndarray:
@@ -142,12 +188,14 @@ class AVLMap:
     # -- sound (reference avlmap.py:111-144) --------------------------------
 
     def index_sound_2d(self, sound_name: str,
-                       decay_rate: float = 0.01) -> np.ndarray:
+                       decay_rate: float = 0.01,
+                       delivery: str = "f32") -> np.ndarray:
         """Per-event confidence decays from the event's pose track, summed.
 
-        Each event's seed track (min radial distance == multi-seed EDT) and
-        the sum composite run as one device scan
-        (ops/heatmap.decayed_point_heatmap_2d)."""
+        Each event's seed track (min radial distance == multi-seed EDT),
+        the sum composite and the min-max normalisation run as one device
+        program (ops/heatmap.decayed_point_heatmap_2d).  ``delivery``:
+        "f32" (default) / "u8" / "device" as in :meth:`index_area_2d`."""
         probs, locations_list = \
             self.sound_map.get_distribution_and_locations(sound_name)
         shape = self.vlmap.occupied_ids.shape[:2]
@@ -166,10 +214,9 @@ class AVLMap:
             tracks.append(np.asarray(seeds, np.float32))
             confs.append(float(probs[loc_i]))
 
-        dist_map = decayed_point_heatmap_2d(shape, tracks, confs,
-                                            decay_rate, combine="sum")
-        rng = dist_map.max() - dist_map.min()
-        return (dist_map - dist_map.min()) / (rng if rng > 0 else 1.0)
+        return self._deliver_2d(decayed_point_heatmap_2d(
+            shape, tracks, confs, decay_rate, combine="sum", normalize=True,
+            as_device=delivery != "f32"), delivery)
 
     def index_sound(self, sound_name: str,
                     decay_rate: float = 0.01) -> np.ndarray:

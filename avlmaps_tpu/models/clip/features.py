@@ -206,15 +206,49 @@ class ClipEncoder:
             return dev
         return np.asarray(jax.device_get(dev), np.float32)
 
+    def _template_encoder(self):
+        """One jitted program for the whole template ensemble: encode all
+        (template, text) pairs, L2-normalise, mean per text.  The previous
+        form went through get_text_feats' 64-prompt chunking — one dispatch
+        PER TEXT plus separate norm/mean dispatches (~3 ms floor each on
+        tunnelled hosts, docs/PROFILE.md) — this is one dispatch total."""
+        fn = getattr(self, "_encode_templates", None)
+        if fn is None:
+            n_t = len(MULTIPLE_TEMPLATES)
+
+            @jax.jit
+            def fn(p, tokens):
+                feats = self.model.apply(p, tokens, method=Clip.encode_text)
+                feats = feats.astype(jnp.float32)
+                feats = feats / jnp.linalg.norm(feats, axis=-1,
+                                                keepdims=True)
+                return feats.reshape(-1, n_t, feats.shape[-1]).mean(axis=1)
+
+            self._encode_templates = fn
+        return fn
+
     def get_text_feats_multiple_templates(self, texts: Sequence[str],
                                           as_device: bool = False
                                           ) -> np.ndarray:
         """Template-ensembled text features: encode every (template, text)
-        pair and average per text (reference clip_utils.py:152-159)."""
+        pair and average per text (reference clip_utils.py:152-159), as a
+        single fused device program.  The text axis is bucketed to a power
+        of two so repeat queries of any small category count share one
+        compile."""
+        n = len(texts)
+        if not n:
+            empty = np.zeros((0, self.feat_dim), np.float32)
+            return jnp.asarray(empty) if as_device else empty
+        n_t = len(MULTIPLE_TEMPLATES)
         prompts = [t.format(x) for x in texts for t in MULTIPLE_TEMPLATES]
-        feats = self.get_text_feats(prompts, as_device=as_device)
-        feats = feats.reshape(len(texts), len(MULTIPLE_TEMPLATES), -1)
-        return feats.mean(axis=1)
+        tokens = self.tokenizer(prompts, self.cfg.context_length)
+        n_pad = 1 << max(n - 1, 0).bit_length()
+        if n_pad > n:
+            tokens = np.concatenate(
+                [tokens, np.tile(tokens[-n_t:], (n_pad - n, 1))])
+        dev = self._template_encoder()(self.params, jnp.asarray(tokens))[:n]
+        return dev if as_device else \
+            np.asarray(jax.device_get(dev), np.float32)
 
     # -- image -------------------------------------------------------------
 

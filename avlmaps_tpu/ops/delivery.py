@@ -26,7 +26,7 @@ host).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -133,6 +133,54 @@ def _object_query_program(feats, text, coords, dims, r,
     return out
 
 
+def make_text_object_query(clip_encoder, grid_shape,
+                           cell_size: float = 0.05,
+                           decay_rate: float = 0.01, k: int = 64,
+                           with_u8: bool = False, with_topk: bool = True):
+    """The whole serving query as ONE device program, text encode included:
+    CLIP-encode the query's template ensemble -> prepend to the resident
+    category matrix -> fused score+argmax -> banded dense EDT heat ->
+    goal/top-k (/u8) delivery heads.
+
+    One dispatch per query (the ~3 ms-per-dispatch floor and the dispatch-
+    to-dispatch gaps of the staged path are paid once), tokenisation stays
+    on host (~0.8 ms).  Returns ``query(text, map_feats, grid_pos,
+    other_text_feats) -> dict`` of device arrays; ``other_text_feats`` is
+    the (C-1, D) pre-encoded category matrix the query competes against
+    (reference init_categories semantics, vlmap.py:92-125 — the query
+    replaces category 0).
+    """
+    from avlmaps_tpu.models.clip.features import MULTIPLE_TEMPLATES
+    from avlmaps_tpu.models.clip.model import Clip
+
+    n_t = len(MULTIPLE_TEMPLATES)
+    model = clip_encoder.model
+    decay_per_cell = float(decay_rate) / float(cell_size)
+    r = int(np.ceil(1.0 / decay_per_cell)) + 1
+    dims = tuple(int(-(-int(s) // 32) * 32) for s in grid_shape)
+
+    @jax.jit
+    def program(params, tokens, feats, coords, other_text):
+        tf = model.apply(params, tokens, method=Clip.encode_text)
+        tf = tf.astype(jnp.float32)
+        tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
+        query_feat = tf.reshape(-1, n_t, tf.shape[-1]).mean(axis=1)
+        text = jnp.concatenate([query_feat, other_text], axis=0)
+        return _object_query_program(feats, text, coords, dims, r,
+                                     decay_per_cell, k, with_u8, with_topk)
+
+    def query(text: str, map_feats, grid_pos, other_text_feats):
+        prompts = [t.format(text) for t in MULTIPLE_TEMPLATES]
+        tokens = clip_encoder.tokenizer(prompts,
+                                        clip_encoder.cfg.context_length)
+        return program(clip_encoder.params, jnp.asarray(tokens),
+                       jnp.asarray(map_feats),
+                       jnp.asarray(grid_pos, jnp.int32),
+                       jnp.asarray(other_text_feats))
+
+    return query
+
+
 def make_object_query(grid_shape, cell_size: float = 0.05,
                       decay_rate: float = 0.01, k: int = 64,
                       with_u8: bool = True, with_topk: bool = True):
@@ -156,6 +204,6 @@ def make_object_query(grid_shape, cell_size: float = 0.05,
         coords = jnp.asarray(grid_pos, jnp.int32)
         return _object_query_program(
             jnp.asarray(map_feats), jnp.asarray(text_feats), coords,
-            coords, dims, r, decay_per_cell, k, with_u8, with_topk)
+            dims, r, decay_per_cell, k, with_u8, with_topk)
 
     return query

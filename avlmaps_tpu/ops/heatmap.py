@@ -366,25 +366,33 @@ def _banded_heat_2d(zero_mask: jnp.ndarray, r: int,
 
 
 def heatmap_from_mask_2d(mask, cell_size: float = 0.05,
-                         decay_rate: float = 0.01) -> np.ndarray:
+                         decay_rate: float = 0.01,
+                         as_device: bool = False):
     """2D heatmap via EDT decay (reference get_heatmap_from_mask_2d,
     visualize_utils.py:97-102).
 
     The decay zeroes beyond ``cell_size / decay_rate`` pixels, so the EDT
     only needs that radius: the banded two-pass form (measured 212 ms ->
     ~4 ms at gs=1000) replaces the exact full-width lower envelope whenever
-    the band fits; output is identical either way."""
+    the band fits; output is identical either way.
+
+    ``as_device=True`` leaves the result in HBM — the D2H fetch of a
+    gs=1000 f32 grid is 4 MB and dominates the leg on tunnelled hosts
+    (BENCH_r04 ``edt2d_ms``); lean consumers quantise
+    (ops.delivery.quantize_heat_u8) or compose on device instead."""
     mask = jnp.asarray(mask)
     decay_per_cell = decay_rate / cell_size
     if decay_rate > 0:
         r = int(np.ceil(1.0 / decay_per_cell)) + 1
         if r <= _DENSE_MAX_BAND:
             heat = _banded_heat_2d(mask != 0, r, float(decay_per_cell))
-            return np.asarray(jax.device_get(heat), np.float32)
+            return heat if as_device else \
+                np.asarray(jax.device_get(heat), np.float32)
     dists = distance_transform_edt_jax(mask != 0) / cell_size
     heat = jnp.clip(1.0 - dists * decay_rate, 0.0, jnp.inf)
     heat = jnp.where(heat < 0, 0.0, heat)
-    return np.asarray(jax.device_get(heat), np.float32)
+    return heat if as_device else \
+        np.asarray(jax.device_get(heat), np.float32)
 
 
 @jax.jit
@@ -399,10 +407,12 @@ def radial_decay_heatmap(grid_pos: jnp.ndarray, center: jnp.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("h", "w", "combine", "decay_rate"))
+                   static_argnames=("h", "w", "combine", "decay_rate",
+                                    "normalize"))
 def _stacked_decay_scan(seeds_rc: jnp.ndarray, confidences: jnp.ndarray,
                         h: int, w: int, decay_rate: float,
-                        combine: str) -> jnp.ndarray:
+                        combine: str, normalize: bool = False
+                        ) -> jnp.ndarray:
     """One ``lax.scan`` step per event: min radial distance over the event's
     (padded) seed track, decay layer, max/sum composite.  The per-seed
     distance fields are folded by an inner scan with an (h, w) carry —
@@ -429,17 +439,25 @@ def _stacked_decay_scan(seeds_rc: jnp.ndarray, confidences: jnp.ndarray,
 
     out0 = jnp.zeros((h, w), jnp.float32)
     out, _ = jax.lax.scan(step, out0, (seeds_rc, confidences))
+    if normalize:
+        lo, hi = jnp.min(out), jnp.max(out)
+        out = (out - lo) / jnp.where(hi - lo > 0, hi - lo, 1.0)
     return out
 
 
 def decayed_point_heatmap_2d(shape, points_rc, confidences,
-                             decay_rate: float, combine: str = "max"):
+                             decay_rate: float, combine: str = "max",
+                             normalize: bool = False,
+                             as_device: bool = False):
     """Stack per-event radial-decay maps (references AVLMap.index_area_2d
     avlmaps/map/avlmap.py:78-108 / index_sound_2d :110-144).
 
     ``points_rc``: per-event seed tracks — either a flat (E, 2) array (one
     seed per event, the area case) or a list of (T_i, 2) arrays (pose tracks,
     the sound case); tracks are padded to the longest with a far sentinel.
+    ``normalize`` min-max-normalises INSIDE the device program (the callers
+    AVLMap.index_{area,sound}_2d all do it — on host it forces an extra
+    4 MB round-trip); ``as_device`` skips the D2H fetch for lean delivery.
     For each event with confidence c the per-event map is
     ``clip(c - dist·decay, 0, 1)`` (max composite, area) or
     ``max(c - c·dist·decay, 0)`` (sum composite, sound), where ``dist`` is
@@ -450,7 +468,8 @@ def decayed_point_heatmap_2d(shape, points_rc, confidences,
     h, w = int(shape[0]), int(shape[1])
     tracks = [np.atleast_2d(np.asarray(p, np.float32)) for p in points_rc]
     if not tracks:
-        return np.zeros((h, w), np.float32)
+        zero = np.zeros((h, w), np.float32)
+        return jnp.asarray(zero) if as_device else zero
     t_max = max(max(t.shape[0] for t in tracks), 1)
     # bucket the track axis to a power of two as well — otherwise every
     # distinct longest-track length forces a fresh compile of the scan
@@ -469,5 +488,6 @@ def decayed_point_heatmap_2d(shape, points_rc, confidences,
             [seeds, np.full((e_pad - e, t_max, 2), far, np.float32)])
         conf = np.concatenate([conf, np.zeros(e_pad - e, np.float32)])
     out = _stacked_decay_scan(jnp.asarray(seeds), jnp.asarray(conf),
-                              h, w, float(decay_rate), combine)
-    return np.asarray(jax.device_get(out), np.float32)
+                              h, w, float(decay_rate), combine, normalize)
+    return out if as_device else \
+        np.asarray(jax.device_get(out), np.float32)

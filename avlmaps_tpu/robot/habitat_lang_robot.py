@@ -426,3 +426,16 @@ class HabitatLanguageRobot(LangRobot):
 
     def get_max_pos_3d(self, heat: np.ndarray) -> Tuple[float, float, float]:
         return self.map.grid_pos[int(np.argmax(heat))]
+
+    def get_max_pos_3d_fused(self, *heats) -> Tuple[int, int, int]:
+        """Cross-modal fusion + goal pick ON DEVICE: elementwise product of
+        the per-modality heats, argmax, voxel-position gather — the host
+        fetches 12 bytes instead of len(heats) x 4 MB (the reference
+        composes get_map_3d x get_major_map_3d on host numpy then
+        get_max_pos_3d, habitat_lang_robot.py:357-430).  Accepts device
+        heats straight from the ``delivery="device"`` query paths; matches
+        the host product-argmax exactly (ties break to the first voxel)."""
+        from avlmaps_tpu.ops.delivery import fetch_np, fused_goal_pick
+
+        pos, _ = fused_goal_pick(list(heats), self.map.grid_pos)
+        return tuple(int(v) for v in fetch_np(pos))

@@ -28,11 +28,43 @@ class ResidualAttentionBlock(nn.Module):
         self.mlp.add_module("gelu", QuickGELU())
         self.mlp.add_module("c_proj", nn.Linear(4 * width, width))
 
-    def forward(self, x):  # (T, B, W)
+    def forward(self, x, attn_mask=None):  # (T, B, W)
         h = self.ln_1(x)
-        a, _ = self.attn(h, h, h, need_weights=False)
+        a, _ = self.attn(h, h, h, need_weights=False, attn_mask=attn_mask)
         x = x + a
         return x + self.mlp(self.ln_2(x))
+
+
+class TorchClipText(nn.Module):
+    """OpenAI CLIP text transformer (causal mask, EOT-argmax pooling +
+    projection) — the tower the reference's get_text_feats runs per query
+    (avlmaps/utils/clip_utils.py:133-149 via the pip ``clip`` package).
+    Used as the measured CPU cost model for the reference-style query
+    baseline (bench.py); from-spec weights."""
+
+    def __init__(self, width: int = 512, layers: int = 12, heads: int = 8,
+                 vocab: int = 49408, ctx: int = 77, embed_dim: int = 512):
+        super().__init__()
+        self.token_embedding = nn.Embedding(vocab, width)
+        self.positional_embedding = nn.Parameter(torch.empty(ctx, width)
+                                                 .normal_(std=0.01))
+        self.resblocks = nn.ModuleList(
+            [ResidualAttentionBlock(width, heads) for _ in range(layers)])
+        self.ln_final = nn.LayerNorm(width, eps=1e-5)
+        self.text_projection = nn.Parameter(torch.empty(width, embed_dim)
+                                            .normal_(std=width ** -0.5))
+        mask = torch.full((ctx, ctx), float("-inf")).triu_(1)
+        self.register_buffer("attn_mask", mask, persistent=False)
+
+    def forward(self, tokens):  # (B, ctx) int64
+        x = self.token_embedding(tokens) + self.positional_embedding
+        x = x.permute(1, 0, 2)  # (T, B, W)
+        for blk in self.resblocks:
+            x = blk(x, attn_mask=self.attn_mask)
+        x = self.ln_final(x.permute(1, 0, 2))
+        eot = tokens.argmax(dim=-1)  # highest id = EOT, as in clip/model.py
+        pooled = x[torch.arange(x.shape[0]), eot]
+        return pooled @ self.text_projection
 
 
 class TorchClipVision(nn.Module):
