@@ -99,6 +99,37 @@ class OpenVocabIndexMixin:
             add_other=True)
         return np.argmax(scores, axis=1) == 0
 
+    def make_serving_query(self, other_categories: List[str] = ("other",),
+                           decay_rate: float = 0.01, k: int = 64,
+                           **delivery_kw):
+        """Bind the one-dispatch serving query to this loaded map
+        (ops/delivery.make_text_object_query): CLIP template encode ->
+        score vs the pre-encoded ``other_categories`` matrix -> dense EDT
+        heat -> goal/top-k delivery heads, all in one device program.
+
+        Returns ``query(name) -> dict`` of device arrays (``goal_pos``,
+        ``topk_vals``/``topk_pos``, ``heat``); fetch with
+        ops.delivery.fetch_np.  The map features ride the encoder's HBM
+        cache, so repeat queries upload nothing."""
+        import jax.numpy as jnp
+
+        from avlmaps_tpu.ops.delivery import make_text_object_query
+
+        enc = self._init_clip()
+        other = enc.get_text_feats_multiple_templates(
+            list(other_categories), as_device=True)
+        fused = make_text_object_query(
+            enc, self.occupied_ids.shape, cell_size=self.cs,
+            decay_rate=decay_rate, k=k, **delivery_kw)
+        feats_dev = enc._map_feats_device(
+            self.grid_feat.reshape(-1, self.grid_feat.shape[-1]))
+        pos_dev = jnp.asarray(self.grid_pos, jnp.int32)
+
+        def query(name: str):
+            return fused(name, feats_dev, pos_dev, other)
+
+        return query
+
     def index_map_sharded(self, mesh, language_desc: str) -> np.ndarray:
         """Multi-chip open-vocabulary indexing: ``grid_feat`` row-sharded
         over the mesh, each device runs the fused score+argmax kernel on

@@ -106,6 +106,26 @@ class TestAVLMapIntegration:
         assert heat.shape == (n,)
         assert heat.min() >= 0 and heat.max() <= 1
 
+    def test_serving_query_matches_index_map(self, avlmap):
+        """VLMap.make_serving_query (one-dispatch text->goal program) must
+        agree with the staged index_map + heatmap path on the real map."""
+        from avlmaps_tpu.ops.delivery import fetch_np
+        from avlmaps_tpu.ops.heatmap import heatmap_from_mask_3d
+
+        vm = avlmap.vlmap
+        query = vm.make_serving_query(k=8)
+        out = query("chair")
+        heat, goal = fetch_np(out["heat"], out["goal_pos"])
+
+        mask = vm.index_map("chair", with_init_cat=False)
+        ref = heatmap_from_mask_3d(vm.grid_pos, mask, cell_size=vm.cs,
+                                   decay_rate=0.01, method="dense",
+                                   lattice_unit=1.0,
+                                   grid_shape=vm.occupied_ids.shape)
+        np.testing.assert_allclose(heat, ref, atol=1e-5)
+        np.testing.assert_array_equal(goal,
+                                      vm.grid_pos[int(np.argmax(ref))])
+
     def test_index_area(self, avlmap):
         heat2d = avlmap.index_area_2d("kitchen")
         assert heat2d.shape == (GS, GS)
