@@ -116,15 +116,93 @@ def _kernel(word_ref, upd_ref, acc_in, acc_out,
     jax.lax.fori_loop(0, n_seg, drain, 0)
 
 
+def _kernel_rle(word_ref, upd_ref, acc_in, acc_out,
+                acc_tile, run_sum, landing, sem_r, sem_w, *, rows: int):
+    """Run-length variant of :func:`_kernel`: rows are sorted by SLOT, so
+    same-slot rows are adjacent — accumulate each slot's run into a
+    (1, W) vector sum (one VPU add per row) and pay the (8, W) one-hot
+    placement once per UNIQUE slot instead of once per row.  At the
+    production batch's ~9x slot collisions that cuts the kernel's VPU work
+    ~4x (the one-hot expand was 8*W ops/row).
+
+    word packing here: ``win * 32 + r8 * 4 + slot_end * 2 + win_end``
+    (a window boundary is always also a slot boundary).
+    """
+    i = pl.program_id(0)
+    base = i * rows
+
+    @pl.when(i == 0)
+    def _init():
+        acc_tile[...] = jnp.zeros_like(acc_tile)
+        run_sum[...] = jnp.zeros_like(run_sum)
+
+    def issue(r, u):
+        word = word_ref[base + r]
+
+        def go(u):
+            pltpu.make_async_copy(
+                acc_out.at[pl.ds((word // 32) * 8, 8)],
+                landing.at[u], sem_r.at[u]).start()
+            return u + 1
+
+        return jax.lax.cond(word % 2 != 0, go, lambda u: u, u)
+
+    n_seg = jax.lax.fori_loop(0, rows, issue, 0)
+
+    def step(r, u):
+        word = word_ref[base + r]
+        run_sum[...] += upd_ref[pl.ds(r, 1), :]
+
+        def slot_close(u):
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+                      == (word // 4) % 8).astype(jnp.float32)
+            acc_tile[...] += onehot * run_sum[...]
+            run_sum[...] = jnp.zeros_like(run_sum)
+
+            def win_close(u):
+                pltpu.make_async_copy(
+                    acc_out.at[pl.ds((word // 32) * 8, 8)],
+                    landing.at[u], sem_r.at[u]).wait()
+                landing[u] += acc_tile[...]
+                acc_tile[...] = jnp.zeros_like(acc_tile)
+                pltpu.make_async_copy(
+                    landing.at[u],
+                    acc_out.at[pl.ds((word // 32) * 8, 8)],
+                    sem_w.at[u]).start()
+                return u + 1
+
+            return jax.lax.cond(word % 2 != 0, win_close, lambda u: u, u)
+
+        return jax.lax.cond((word // 2) % 2 != 0, slot_close,
+                            lambda u: u, u)
+
+    jax.lax.fori_loop(0, rows, step, 0)
+
+    def drain(u, _):
+        pltpu.make_async_copy(landing.at[u],
+                              acc_out.at[pl.ds(0, 8)],  # shape-only
+                              sem_w.at[u]).wait()
+        return 0
+
+    jax.lax.fori_loop(0, n_seg, drain, 0)
+
+
 def sorted_segment_scatter_add(accum: jnp.ndarray, slots: jnp.ndarray,
                                updates: jnp.ndarray, *,
                                block_rows: int = 64,
+                               rle: bool = True,
                                interpret: bool = False) -> jnp.ndarray:
     """``accum[slots[k]] += updates[k]`` for ascending ``slots``.
 
     accum: (S, W) f32, donated/aliased; slots: (B,) int32 sorted ascending;
     updates: (B, W) f32 in the same order.  W should be a 128-lane multiple
     for full VPU/DMA efficiency (the production fusion width D+128 is).
+
+    ``rle=True`` (default) uses the run-length kernel: one (1, W) VPU add
+    per row plus one (8, W) one-hot placement per UNIQUE slot — bitwise
+    identical to the per-row one-hot form (run sums start from exact 0, so
+    the pairwise f32 add sequence is the same) and ~4x less VPU work at
+    the production batch's ~9x slot collisions.
 
     The RMW granule is the aligned 8-row window, so rows past the last
     8-aligned boundary are unreachable: with ``S % 8 == 1`` (voxel fusion:
@@ -162,23 +240,34 @@ def sorted_segment_scatter_add(accum: jnp.ndarray, slots: jnp.ndarray,
     nb = n // rows
 
     win = slots // 8
-    end = jnp.concatenate(
+    win_end = jnp.concatenate(
         [(win[1:] != win[:-1]).astype(jnp.int32),
          jnp.ones((1,), jnp.int32)])
-    word = win * 16 + (slots % 8) * 2 + end
+    if rle:
+        slot_end = jnp.concatenate(
+            [(slots[1:] != slots[:-1]).astype(jnp.int32),
+             jnp.ones((1,), jnp.int32)])
+        word = win * 32 + (slots % 8) * 4 + slot_end * 2 + win_end
+        kernel = functools.partial(_kernel_rle, rows=rows)
+        scratch = [pltpu.VMEM((8, w), jnp.float32),
+                   pltpu.VMEM((1, w), jnp.float32)]
+    else:
+        word = win * 16 + (slots % 8) * 2 + win_end
+        kernel = functools.partial(_kernel, rows=rows)
+        scratch = [pltpu.VMEM((8, w), jnp.float32)]
 
     return pl.pallas_call(
-        functools.partial(_kernel, rows=rows),
+        kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
             in_specs=[pl.BlockSpec((rows, w), lambda i, *_: (i, 0)),
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[pltpu.VMEM((8, w), jnp.float32),
-                            pltpu.VMEM((rows, 8, w), jnp.float32),
-                            pltpu.SemaphoreType.DMA((rows,)),
-                            pltpu.SemaphoreType.DMA((rows,))],
+            scratch_shapes=scratch + [
+                pltpu.VMEM((rows, 8, w), jnp.float32),
+                pltpu.SemaphoreType.DMA((rows,)),
+                pltpu.SemaphoreType.DMA((rows,))],
         ),
         out_shape=jax.ShapeDtypeStruct((s, w), jnp.float32),
         input_output_aliases={2: 0},

@@ -108,7 +108,8 @@ def concept_fusion_alpha(points_local: jnp.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("gs", "vh", "n_rows", "dedup_scatter"),
+                   static_argnames=("gs", "vh", "n_rows", "dedup_scatter",
+                                    "scatter_block_rows", "scatter_rle"),
                    donate_argnums=(0,))
 def fuse_points(state: VoxelFusionState,
                 vids: jnp.ndarray,  # (B,) int32 flat voxel ids
@@ -118,7 +119,9 @@ def fuse_points(state: VoxelFusionState,
                 valid: jnp.ndarray,  # (B,) bool
                 *, gs: int, vh: int,
                 n_rows: Optional[int] = None,
-                dedup_scatter: bool = False) -> VoxelFusionState:
+                dedup_scatter: bool = False,
+                scatter_block_rows: int = 64,
+                scatter_rle: bool = True) -> VoxelFusionState:
     """Fuse one batch of weighted point features into the voxel accumulators.
 
     Semantics per valid point (row, col, h) with weight α (matches the
@@ -210,7 +213,9 @@ def fuse_points(state: VoxelFusionState,
         from avlmaps_tpu.ops.segment_scatter import \
             sorted_segment_scatter_add
 
-        accum = sorted_segment_scatter_add(state.accum, slot_s, update)
+        accum = sorted_segment_scatter_add(
+            state.accum, slot_s, update, block_rows=scatter_block_rows,
+            rle=scatter_rle)
     else:
         accum = state.accum.at[slot_s].add(update)
 

@@ -19,16 +19,18 @@ def _oracle(accum, slots, updates):
     return out.astype(np.float32)
 
 
-def run(accum, slots, updates, block_rows):
+def run(accum, slots, updates, block_rows, rle=True):
     return np.asarray(sorted_segment_scatter_add(
         jnp.asarray(accum), jnp.asarray(slots, jnp.int32),
-        jnp.asarray(updates), block_rows=block_rows, interpret=True))
+        jnp.asarray(updates), block_rows=block_rows, rle=rle,
+        interpret=True))
 
 
+@pytest.mark.parametrize("rle", [False, True])
 @pytest.mark.parametrize("block_rows", [8, 16])
 @pytest.mark.parametrize("pattern", ["collisions", "unique", "one_slot",
                                      "spanning"])
-def test_matches_oracle(rng, pattern, block_rows):
+def test_matches_oracle(rng, pattern, block_rows, rle):
     b = 50  # deliberately not a block multiple -> exercises padding
     accum = rng.normal(size=(S, W)).astype(np.float32)
     if pattern == "collisions":
@@ -42,9 +44,21 @@ def test_matches_oracle(rng, pattern, block_rows):
             rng.integers(0, 10, 10), np.full(30, 23),
             rng.integers(40, S - 1, 10)])).astype(np.int32)
     updates = rng.normal(size=(b, W)).astype(np.float32)
-    got = run(accum, slots, updates, block_rows)
+    got = run(accum, slots, updates, block_rows, rle=rle)
     want = _oracle(accum, slots, updates)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_rle_bitwise_equals_onehot(rng):
+    """The run-length accumulate performs the same pairwise f32 adds as the
+    per-row one-hot form (run sums start from exact 0), so the two kernel
+    variants must agree BITWISE."""
+    accum = rng.normal(size=(S, W)).astype(np.float32)
+    slots = np.sort(rng.integers(0, S - 1, 50)).astype(np.int32)
+    updates = rng.normal(size=(50, W)).astype(np.float32)
+    a = run(accum, slots, updates, 16, rle=False)
+    b = run(accum, slots, updates, 16, rle=True)
+    np.testing.assert_array_equal(a, b)
 
 
 def test_trash_row_absorbs_padding(rng):
