@@ -241,7 +241,8 @@ def test_fetch_checkpoints_offline(tmp_path, monkeypatch, capsys):
     fetch.main()
     out = capsys.readouterr().out
     assert "offline procedure" in out
-    assert "0/6" in out
+    n_assets = len(fetch.HTTP_ASSETS) + len(fetch.GDRIVE_ASSETS)
+    assert f"0/{n_assets}" in out
 
     # pre-placed checkpoints flow through to port_checkpoints flags
     (tmp_path / "superpoint_v1.pth").write_bytes(b"x")
