@@ -187,6 +187,165 @@ def _kernel_rle(word_ref, upd_ref, acc_in, acc_out,
     jax.lax.fori_loop(0, n_seg, drain, 0)
 
 
+def _kernel_rle_split(word_ref, w_ref, feat_ref, aux_ref, acc_in, acc_out,
+                      acc_tile, run_sum, landing, sem_r, sem_w, *,
+                      rows: int, d: int):
+    """Split-payload run-length kernel: the update row is BUILT IN VMEM
+    from the raw sorted inputs — (rows, d) bf16/f32 features, per-row f32
+    weight in SMEM, (rows, W-d) f32 aux columns (w-scaled rgb/w/pos) —
+    instead of a pre-assembled (rows, W) f32 update.  Deletes the XLA-side
+    f32 cast+multiply+concatenate passes over the 640-wide payload and
+    halves the kernel's feature stream when the encoder emits bf16.
+    Arithmetic is unchanged: w (f32) x feat (cast to f32) is the same
+    multiply the XLA assembly did, in the same add order."""
+    i = pl.program_id(0)
+    base = i * rows
+
+    @pl.when(i == 0)
+    def _init():
+        acc_tile[...] = jnp.zeros_like(acc_tile)
+        run_sum[...] = jnp.zeros_like(run_sum)
+
+    def issue(r, u):
+        word = word_ref[base + r]
+
+        def go(u):
+            pltpu.make_async_copy(
+                acc_out.at[pl.ds((word // 32) * 8, 8)],
+                landing.at[u], sem_r.at[u]).start()
+            return u + 1
+
+        return jax.lax.cond(word % 2 != 0, go, lambda u: u, u)
+
+    n_seg = jax.lax.fori_loop(0, rows, issue, 0)
+
+    def step(r, u):
+        word = word_ref[base + r]
+        w = w_ref[base + r]
+        run_sum[0:1, :d] += w * feat_ref[pl.ds(r, 1), :].astype(jnp.float32)
+        run_sum[0:1, d:] += aux_ref[pl.ds(r, 1), :]
+
+        def slot_close(u):
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+                      == (word // 4) % 8).astype(jnp.float32)
+            acc_tile[...] += onehot * run_sum[...]
+            run_sum[...] = jnp.zeros_like(run_sum)
+
+            def win_close(u):
+                pltpu.make_async_copy(
+                    acc_out.at[pl.ds((word // 32) * 8, 8)],
+                    landing.at[u], sem_r.at[u]).wait()
+                landing[u] += acc_tile[...]
+                acc_tile[...] = jnp.zeros_like(acc_tile)
+                pltpu.make_async_copy(
+                    landing.at[u],
+                    acc_out.at[pl.ds((word // 32) * 8, 8)],
+                    sem_w.at[u]).start()
+                return u + 1
+
+            return jax.lax.cond(word % 2 != 0, win_close, lambda u: u, u)
+
+        return jax.lax.cond((word // 2) % 2 != 0, slot_close,
+                            lambda u: u, u)
+
+    jax.lax.fori_loop(0, rows, step, 0)
+
+    def drain(u, _):
+        pltpu.make_async_copy(landing.at[u],
+                              acc_out.at[pl.ds(0, 8)],  # shape-only
+                              sem_w.at[u]).wait()
+        return 0
+
+    jax.lax.fori_loop(0, n_seg, drain, 0)
+
+
+# SMEM holds the whole prefetch arrays (word + w = 8 bytes/row); stay
+# well under the ~1 MB budget (three arrays overflowed it at batch 16)
+_SPLIT_MAX_ROWS = 100_000
+
+
+def sorted_segment_scatter_add_split(accum: jnp.ndarray,
+                                     slots: jnp.ndarray,
+                                     feats: jnp.ndarray,
+                                     w: jnp.ndarray,
+                                     aux: jnp.ndarray, *,
+                                     block_rows: int = 64,
+                                     interpret: bool = False
+                                     ) -> jnp.ndarray:
+    """``accum[slots[k]] += concat(w[k]*feats[k], aux[k])`` for ascending
+    ``slots`` — the fusion update built inside the kernel.
+
+    feats: (B, d) bf16/f32 (RAW encoder features, sorted); w: (B,) f32;
+    aux: (B, W-d) f32 (already w-scaled rgb/weight/pos columns).  Falls
+    back to assembling the update and the standard kernel when shapes
+    miss the compiled path's constraints (lane-multiple d and aux width,
+    8-aligned accumulator, SMEM row budget).
+    """
+    s, wd = accum.shape
+    b, d = feats.shape
+    interp = interpret or FORCE_INTERPRET
+    ok = (s % 8 in (0, 1) and s - s % 8 > 0 and d % 128 == 0
+          and (wd - d) % 128 == 0 and aux.shape[1] == wd - d
+          and b <= _SPLIT_MAX_ROWS)
+    if not ok:
+        update = jnp.concatenate(
+            [w[:, None] * feats.astype(jnp.float32), aux], axis=1)
+        return sorted_segment_scatter_add(accum, slots, update,
+                                          block_rows=block_rows,
+                                          interpret=interpret)
+    tail = s % 8
+    s8 = s - tail
+    if tail == 1:
+        oob = slots >= s8
+        slots = jnp.where(oob, s8 - 1, slots)
+        feats = jnp.where(oob[:, None], 0, feats)
+        aux = jnp.where(oob[:, None], 0.0, aux)
+        w = jnp.where(oob, 0.0, w)
+
+    rows = min(block_rows, b)
+    pad = (-b) % rows
+    if pad:
+        slots = jnp.concatenate(
+            [slots, jnp.full((pad,), s8 - 1, jnp.int32)])
+        feats = jnp.concatenate(
+            [feats, jnp.zeros((pad, d), feats.dtype)])
+        aux = jnp.concatenate([aux, jnp.zeros((pad, wd - d), aux.dtype)])
+        w = jnp.concatenate([w, jnp.zeros((pad,), w.dtype)])
+    n = b + pad
+    nb = n // rows
+
+    win = slots // 8
+    win_end = jnp.concatenate(
+        [(win[1:] != win[:-1]).astype(jnp.int32),
+         jnp.ones((1,), jnp.int32)])
+    slot_end = jnp.concatenate(
+        [(slots[1:] != slots[:-1]).astype(jnp.int32),
+         jnp.ones((1,), jnp.int32)])
+    word = win * 32 + (slots % 8) * 4 + slot_end * 2 + win_end
+
+    return pl.pallas_call(
+        functools.partial(_kernel_rle_split, rows=rows, d=d),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((rows, d), lambda i, *_: (i, 0)),
+                      pl.BlockSpec((rows, wd - d), lambda i, *_: (i, 0)),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[pltpu.VMEM((8, wd), jnp.float32),
+                            pltpu.VMEM((1, wd), jnp.float32),
+                            pltpu.VMEM((rows, 8, wd), jnp.float32),
+                            pltpu.SemaphoreType.DMA((rows,)),
+                            pltpu.SemaphoreType.DMA((rows,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct((s, wd), jnp.float32),
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interp,
+    )(word, w.astype(jnp.float32), feats, aux, accum)
+
+
 def sorted_segment_scatter_add(accum: jnp.ndarray, slots: jnp.ndarray,
                                updates: jnp.ndarray, *,
                                block_rows: int = 64,

@@ -121,7 +121,8 @@ def fuse_points(state: VoxelFusionState,
                 n_rows: Optional[int] = None,
                 dedup_scatter: bool = False,
                 scatter_block_rows: int = 64,
-                scatter_rle: bool = True) -> VoxelFusionState:
+                scatter_rle: bool = True,
+                scatter_split: bool = True) -> VoxelFusionState:
     """Fuse one batch of weighted point features into the voxel accumulators.
 
     Semantics per valid point (row, col, h) with weight α (matches the
@@ -202,21 +203,36 @@ def fuse_points(state: VoxelFusionState,
     vhh = vid_s % vh
     pos_add = (jnp.stack([vrow, vcol, vhh], axis=1).astype(jnp.float32)
                * designated[:, None])
-    update = jnp.concatenate([
-        w[:, None] * feats[perm].astype(jnp.float32),
+    aux = jnp.concatenate([
         w[:, None] * rgbs[perm],
         w[:, None],
         pos_add,
         jnp.zeros((b, ACCUM_PAD - 7), jnp.float32),
     ], axis=1)
-    if dedup_scatter:
+    if dedup_scatter and scatter_rle and scatter_split:
+        # split payload: the kernel builds w*feat in VMEM from the RAW
+        # sorted features (bf16 straight from the encoder) — no f32
+        # cast/multiply/concatenate pass over the 640-wide update and
+        # half the feature stream into the kernel.  Same multiplies, same
+        # add order: bitwise-identical to the assembled form.
+        from avlmaps_tpu.ops.segment_scatter import \
+            sorted_segment_scatter_add_split
+
+        accum = sorted_segment_scatter_add_split(
+            state.accum, slot_s, feats[perm], w, aux,
+            block_rows=scatter_block_rows)
+    elif dedup_scatter:
         from avlmaps_tpu.ops.segment_scatter import \
             sorted_segment_scatter_add
 
+        update = jnp.concatenate(
+            [w[:, None] * feats[perm].astype(jnp.float32), aux], axis=1)
         accum = sorted_segment_scatter_add(
             state.accum, slot_s, update, block_rows=scatter_block_rows,
             rle=scatter_rle)
     else:
+        update = jnp.concatenate(
+            [w[:, None] * feats[perm].astype(jnp.float32), aux], axis=1)
         accum = state.accum.at[slot_s].add(update)
 
     n_slots = jnp.minimum(state.n_slots + n_unique, capacity)

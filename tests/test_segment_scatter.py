@@ -61,6 +61,65 @@ def test_rle_bitwise_equals_onehot(rng):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("feat_dtype", [np.float32, jnp.bfloat16])
+def test_split_payload_matches_assembled(rng, feat_dtype):
+    """sorted_segment_scatter_add_split (in-kernel w*feat + aux concat)
+    vs assembling the update first: same multiplies in the same add
+    order.  On backends that contract ``acc += w*f`` to an FMA (XLA CPU)
+    the in-kernel product keeps extra precision the assembled path
+    rounds away — a <=1-ulp difference on multi-row slots (the split
+    result is the more accurate one); on the TPU backend the two match
+    bitwise."""
+    from avlmaps_tpu.ops.segment_scatter import (
+        sorted_segment_scatter_add_split,
+    )
+
+    d, aux_w = 128, 128
+    accum = rng.normal(size=(S, d + aux_w)).astype(np.float32)
+    slots = np.sort(rng.integers(0, S - 1, 50)).astype(np.int32)
+    feats = jnp.asarray(rng.normal(size=(50, d)).astype(np.float32),
+                        feat_dtype)
+    w = rng.uniform(0.1, 1.0, 50).astype(np.float32)
+    aux = rng.normal(size=(50, aux_w)).astype(np.float32)
+
+    got = np.asarray(sorted_segment_scatter_add_split(
+        jnp.asarray(accum), jnp.asarray(slots), feats, jnp.asarray(w),
+        jnp.asarray(aux), block_rows=16, interpret=True))
+    update = np.concatenate(
+        [w[:, None] * np.asarray(feats, np.float32), aux], axis=1)
+    want = np.asarray(sorted_segment_scatter_add(
+        jnp.asarray(accum), jnp.asarray(slots), jnp.asarray(update),
+        block_rows=16, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+    # and against the exact f64 oracle
+    out = np.array(accum, np.float64)
+    for k in range(slots.shape[0]):
+        out[slots[k]] += np.asarray(update[k], np.float64)
+    np.testing.assert_allclose(got, out.astype(np.float32),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_split_payload_fallback_on_odd_width(rng):
+    """Non-lane-multiple d falls back to the assembled path and still
+    matches the oracle."""
+    from avlmaps_tpu.ops.segment_scatter import (
+        sorted_segment_scatter_add_split,
+    )
+
+    d, aux_w = 24, W - 24
+    accum = rng.normal(size=(S, W)).astype(np.float32)
+    slots = np.sort(rng.integers(0, S - 1, 30)).astype(np.int32)
+    feats = rng.normal(size=(30, d)).astype(np.float32)
+    w = rng.uniform(0.1, 1.0, 30).astype(np.float32)
+    aux = rng.normal(size=(30, aux_w)).astype(np.float32)
+    got = np.asarray(sorted_segment_scatter_add_split(
+        jnp.asarray(accum), jnp.asarray(slots), jnp.asarray(feats),
+        jnp.asarray(w), jnp.asarray(aux), block_rows=8, interpret=True))
+    update = np.concatenate([w[:, None] * feats, aux], axis=1)
+    want = _oracle(accum, slots, update)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_trash_row_absorbs_padding(rng):
     """Padding rows add exactly zero to the trash row S-1."""
     accum = rng.normal(size=(S, W)).astype(np.float32)

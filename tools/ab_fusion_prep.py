@@ -94,10 +94,18 @@ def main() -> None:
         ms = timed(mk, fuse(dedup, rle), args.reps)
         print(f"fuse_points {name:18s} {ms:7.2f} ms/step", flush=True)
 
-    for br in (128, 256):
-        ms = timed(mk, fuse(True, True, block_rows=br), args.reps)
-        print(f"fuse_points rle block_rows={br:3d} {ms:7.2f} ms/step",
-              flush=True)
+    for br in (128, 192):
+        # block_rows > ~192 is uncompilable on v5e: the kernel's two
+        # (rows,) DMA semaphore arrays live in sflag scoped memory (2 KB
+        # capacity) — 2 x 256 x 4 B overflows it (measured: "Exceeded
+        # sflag capacity by 88B")
+        try:
+            ms = timed(mk, fuse(True, True, block_rows=br), args.reps)
+            print(f"fuse_points rle block_rows={br:3d} {ms:7.2f} ms/step",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 - report and continue
+            print(f"fuse_points rle block_rows={br:3d} FAILED: "
+                  f"{str(e).splitlines()[0][:100]}", flush=True)
 
     # ---- isolated chain stages ----------------------------------------
     st = mk()
