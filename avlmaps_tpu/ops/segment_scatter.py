@@ -188,7 +188,7 @@ def _kernel_rle(word_ref, upd_ref, acc_in, acc_out,
 
 
 def _kernel_rle_split(word_ref, w_ref, feat_ref, aux_ref, acc_in, acc_out,
-                      acc_tile, run_sum, landing, sem_r, sem_w, *,
+                      acc_tile, run_sum, fbuf, landing, sem_r, sem_w, *,
                       rows: int, d: int):
     """Split-payload run-length kernel: the update row is BUILT IN VMEM
     from the raw sorted inputs — (rows, d) bf16/f32 features, per-row f32
@@ -219,10 +219,16 @@ def _kernel_rle_split(word_ref, w_ref, feat_ref, aux_ref, acc_in, acc_out,
 
     n_seg = jax.lax.fori_loop(0, rows, issue, 0)
 
+    # one vectorised widen per block: Mosaic cannot prove dynamic 1-row
+    # loads 8-aligned on a bf16 (2-sublane-packed) block, so the dynamic
+    # per-row reads go through this f32 scratch (the HBM stream stays
+    # bf16 — the widening never round-trips to HBM)
+    fbuf[...] = feat_ref[...].astype(jnp.float32)
+
     def step(r, u):
         word = word_ref[base + r]
         w = w_ref[base + r]
-        run_sum[0:1, :d] += w * feat_ref[pl.ds(r, 1), :].astype(jnp.float32)
+        run_sum[0:1, :d] += w * fbuf[pl.ds(r, 1), :]
         run_sum[0:1, d:] += aux_ref[pl.ds(r, 1), :]
 
         def slot_close(u):
@@ -334,6 +340,7 @@ def sorted_segment_scatter_add_split(accum: jnp.ndarray,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[pltpu.VMEM((8, wd), jnp.float32),
                             pltpu.VMEM((1, wd), jnp.float32),
+                            pltpu.VMEM((rows, d), jnp.float32),
                             pltpu.VMEM((rows, 8, wd), jnp.float32),
                             pltpu.SemaphoreType.DMA((rows,)),
                             pltpu.SemaphoreType.DMA((rows,))],

@@ -109,7 +109,8 @@ def concept_fusion_alpha(points_local: jnp.ndarray,
 
 @functools.partial(jax.jit,
                    static_argnames=("gs", "vh", "n_rows", "dedup_scatter",
-                                    "scatter_block_rows", "scatter_rle"),
+                                    "scatter_block_rows", "scatter_rle",
+                                    "scatter_split"),
                    donate_argnums=(0,))
 def fuse_points(state: VoxelFusionState,
                 vids: jnp.ndarray,  # (B,) int32 flat voxel ids

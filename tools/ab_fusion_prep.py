@@ -55,6 +55,8 @@ def main() -> None:
     pick = rng.integers(0, n_vox_seen, B)
     vids = (centers[pick, 0] * GS * VH + centers[pick, 1] * VH
             + centers[pick, 2]).astype(np.int32)
+    # bf16, as the production encoder emits (the split kernel streams it
+    # raw; the assembled path casts to f32 first)
     feats = rng.normal(size=(B, D)).astype(np.float32)
     rgbs = rng.uniform(0, 255, (B, 3)).astype(np.float32)
     alphas = rng.uniform(0.1, 1.0, B).astype(np.float32)
@@ -63,6 +65,7 @@ def main() -> None:
     dv = {k: jnp.asarray(v) for k, v in
           dict(vids=vids, feats=feats, rgbs=rgbs, alphas=alphas,
                valid=valid).items()}
+    dv["feats"] = dv["feats"].astype(jnp.bfloat16)
     np.asarray(dv["vids"][:1])  # prime D2H
 
     def timed(make_state, fn, reps):
@@ -79,20 +82,23 @@ def main() -> None:
 
     mk = lambda: init_fusion_state(GS, VH, D, CAP)  # noqa: E731
 
-    def fuse(dedup, rle=True, block_rows=64):
+    def fuse(dedup, rle=True, block_rows=64, split=False):
         def fn(st):
             return fuse_points(st, dv["vids"], dv["feats"], dv["rgbs"],
                                dv["alphas"], dv["valid"], gs=GS, vh=VH,
                                dedup_scatter=dedup, scatter_rle=rle,
-                               scatter_block_rows=block_rows)
+                               scatter_block_rows=block_rows,
+                               scatter_split=split)
         return fn
 
     print(f"rows={B}  unique_voxels~{n_vox_seen}  D={D}", flush=True)
-    for name, dedup, rle in [("xla_scatter", False, True),
-                             ("dedup_onehot(r3)", True, False),
-                             ("dedup_rle(r5)", True, True)]:
-        ms = timed(mk, fuse(dedup, rle), args.reps)
-        print(f"fuse_points {name:18s} {ms:7.2f} ms/step", flush=True)
+    for name, dedup, rle, split in [("xla_scatter", False, True, False),
+                                    ("dedup_onehot(r3)", True, False, False),
+                                    ("dedup_rle(r5)", True, True, False),
+                                    ("dedup_rle_split(r5)", True, True,
+                                     True)]:
+        ms = timed(mk, fuse(dedup, rle, split=split), args.reps)
+        print(f"fuse_points {name:20s} {ms:7.2f} ms/step", flush=True)
 
     for br in (128, 192):
         # block_rows > ~192 is uncompilable on v5e: the kernel's two
