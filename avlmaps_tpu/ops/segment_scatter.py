@@ -289,6 +289,8 @@ def sorted_segment_scatter_add_split(accum: jnp.ndarray,
     """
     s, wd = accum.shape
     b, d = feats.shape
+    if b == 0:
+        return accum
     interp = interpret or FORCE_INTERPRET
     ok = (s % 8 in (0, 1) and s - s % 8 > 0 and d % 128 == 0
           and (wd - d) % 128 == 0 and aux.shape[1] == wd - d
