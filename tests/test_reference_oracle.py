@@ -4,10 +4,14 @@ Strictly stronger than the hand-written tools/torch_reference oracles: the
 reference's own code is imported (file-spec import, skip-if-deps-missing)
 and our implementations are checked against it directly (VERDICT r2 next #4).
 
-Live here: avlmaps/utils/mapping_utils.py (geometry + HDF5 schema) and
-esc50_utils.  The model towers (LSeg, AudioCLIP) need clip/timm/torchvision,
-which this sandbox does not ship — those tests skip cleanly and run wherever
-the deps exist.
+Live here: avlmaps/utils/mapping_utils.py (geometry + HDF5 schema),
+esc50_utils, and the AudioCLIP audio tower (ESResNeXt-FBSP) — the latter
+runs the reference's OWN model code via minimal import shims
+(_install_audioclip_import_shims: the blocked imports are trainer-side and
+never touch the audio path).  The LSeg tower oracle needs clip+timm, whose
+model CONSTRUCTION downloads weights (lseg_vit.py:230-231) — network-blocked
+in this sandbox; it skips cleanly and runs wherever the deps exist, with
+tools/torch_reference/lseg_torch.py as the from-spec stand-in here.
 """
 
 import importlib.util
@@ -275,6 +279,83 @@ class TestEsc50VsReference:
 # ---------------------------------------------------------------------------
 
 
+def _install_audioclip_import_shims():
+    """Make the reference's OWN AudioCLIP tower importable offline.
+
+    ``AudioCLIP(pretrained=False)`` is asset-free, and its audio tower
+    (ESResNeXt-FBSP — the code this oracle exists to check) needs only
+    torch/numpy/scipy/termcolor.  Three imports block it in this sandbox,
+    none of them on the audio path:
+
+    * ``torchvision`` — referenced only as ``tv.models.resnet50`` /
+      ``resnext50_32x4d`` loading_funcs (called only when pretrained) and
+      as the ``tv.transforms.ToTensor`` base class of a dataset transform;
+    * ``ignite_trainer`` — the package ``__init__`` pulls pytorch-ignite +
+      visdom, but the model only uses ``AbstractNet``/``AbstractTransform``
+      from its dependency-light ``_interfaces.py``, which we load from the
+      reference tree itself;
+    * ``model.clip.clip`` — builds a BPE tokenizer at import time from an
+      asset the tree does not ship; only ``tokenize`` is imported and the
+      audio path never calls it.
+
+    Returns the list of sys.modules keys installed (for cleanup).  Real
+    installations of these packages are left untouched.
+    """
+    import types
+
+    installed = []
+
+    if "torchvision" not in sys.modules:
+        def _no_pretrained(*a, **k):
+            raise RuntimeError("pretrained tower loading disabled in tests")
+
+        class _PlaceholderTransform:  # base class only, never invoked
+            def __init__(self, *a, **k):
+                pass
+
+        tv = types.ModuleType("torchvision")
+        tv.models = types.SimpleNamespace(resnet50=_no_pretrained,
+                                          resnext50_32x4d=_no_pretrained)
+        tv.transforms = types.SimpleNamespace(
+            ToTensor=_PlaceholderTransform, Compose=_PlaceholderTransform,
+            Resize=_PlaceholderTransform, CenterCrop=_PlaceholderTransform,
+            Normalize=_PlaceholderTransform)
+        sys.modules["torchvision"] = tv
+        installed.append("torchvision")
+
+    if "ignite_trainer" not in sys.modules:
+        ifc = _import_reference(
+            "avlmaps/audioclip/ignite_trainer/_interfaces.py",
+            "ref_ignite_interfaces")
+        it = types.ModuleType("ignite_trainer")
+        it.AbstractNet = ifc.AbstractNet
+        it.AbstractTransform = ifc.AbstractTransform
+        sys.modules["ignite_trainer"] = it
+        installed.append("ignite_trainer")
+
+    if "avlmaps.audioclip.utils.datasets" not in sys.modules:
+        # avlmaps.audioclip.utils/__init__ does ``from . import datasets``,
+        # pulling the vestigial ESC-50/US8K torch Datasets and their whole
+        # dependency tail (librosa, soundfile, sklearn) — trainer-only code
+        # the model towers never touch.  Pre-seeding the subpackage makes
+        # that import a no-op.
+        sys.modules["avlmaps.audioclip.utils.datasets"] = types.ModuleType(
+            "avlmaps.audioclip.utils.datasets")
+        installed.append("avlmaps.audioclip.utils.datasets")
+
+    if "model.clip.clip" not in sys.modules:
+        def _no_tokenize(*a, **k):
+            raise RuntimeError("bundled-clip tokenize unavailable offline "
+                               "(BPE asset not shipped in the tree)")
+
+        clip_clip = types.ModuleType("model.clip.clip")
+        clip_clip.tokenize = _no_tokenize
+        sys.modules["model.clip.clip"] = clip_clip
+        installed.append("model.clip.clip")
+
+    return installed
+
+
 class TestModelTowersVsReference:
     def test_lseg_forward_parity(self):
         pytest.importorskip("clip")
@@ -309,21 +390,33 @@ class TestModelTowersVsReference:
             ours.transpose(0, 3, 1, 2), ref_out.numpy(), atol=5e-3)
 
     def test_audioclip_audio_tower_parity(self):
-        pytest.importorskip("torchvision")
         pytest.importorskip("termcolor")
-        pytest.importorskip("ignite")
+        shims = _install_audioclip_import_shims()
         sys.path.insert(0, str(REFERENCE / "avlmaps" / "audioclip"))
+        sys.path.insert(0, str(REFERENCE))
         try:
             ref_ac = _import_reference(
                 "avlmaps/audioclip/model/audioclip.py", "ref_audioclip")
+            self._check_audio_tower(ref_ac)
         finally:
-            sys.path.pop(0)
+            sys.path.remove(str(REFERENCE))
+            sys.path.remove(str(REFERENCE / "avlmaps" / "audioclip"))
+            for key in [k for k in sys.modules
+                        if k == "model" or k.startswith("model.")
+                        or k.startswith("avlmaps.")
+                        or k == "avlmaps"] + shims:
+                sys.modules.pop(key, None)
+
+    @staticmethod
+    def _check_audio_tower(ref_ac):
         import torch
 
         from avlmaps_tpu.models.audioclip import AudioClip, AudioClipConfig
         from avlmaps_tpu.models.audioclip.port import port_audioclip_state_dict
 
         model = ref_ac.AudioCLIP(pretrained=False)
+        model.eval()  # frozen BN running stats — the inference-only
+        # configuration the mapping path uses (sound_map.py:37-47)
         sd = model.state_dict()
         cfg = AudioClipConfig()
         variables = port_audioclip_state_dict(sd)
