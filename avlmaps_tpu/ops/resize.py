@@ -50,9 +50,33 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int,
     return jnp.einsum("ow,bhwc->bhoc", ww, x)
 
 
+@functools.lru_cache(maxsize=128)
+def _interp_matrix_half_pixel(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bilinear weights, half-pixel-centre convention with NO
+    antialiasing — torch F.interpolate(mode="bilinear", align_corners=False,
+    antialias=False).  jax.image.resize is NOT equivalent when downscaling
+    (it widens the kernel to antialias); the reference's pos-embed resize
+    (lseg_vit.py:156) downsamples 24x24 -> gh x gw for crops under 384, so
+    the convention matters (caught by the reference-tree LSeg oracle)."""
+    w = np.zeros((n_out, n_in), np.float32)
+    # torch clamps the source coordinate at 0 (aten upsample
+    # area_pixel_compute_source_index); the top side clamps via hi index
+    coords = np.maximum((np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5, 0.0)
+    lo = np.clip(np.floor(coords), 0, n_in - 1).astype(int)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = (coords - lo).astype(np.float32)
+    rows = np.arange(n_out)
+    w[rows, lo] += 1.0 - frac
+    w[rows, hi] += frac
+    return w
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
 def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """NHWC bilinear resize, half-pixel centres (torch align_corners=False,
     used for the ViT pos-embed resize, lseg_vit.py:149-163)."""
-    b, _, _, c = x.shape
-    return jax.image.resize(x, (b, out_h, out_w, c), method="bilinear")
+    _, in_h, in_w, _ = x.shape
+    wh = jnp.asarray(_interp_matrix_half_pixel(in_h, out_h), x.dtype)
+    ww = jnp.asarray(_interp_matrix_half_pixel(in_w, out_w), x.dtype)
+    x = jnp.einsum("oh,bhwc->bowc", wh, x)
+    return jnp.einsum("ow,bhwc->bhoc", ww, x)

@@ -74,6 +74,52 @@ class TestSlidingWindowMerge:
                                        np.asarray(canvas[0, y, x]), rtol=1e-6)
 
 
+class TestResizeConventions:
+    """Both bilinear resize conventions pinned against torch's
+    F.interpolate directly — including DOWNSCALING, where jax.image.resize
+    silently antialiases but torch (and therefore the reference's pos-embed
+    resize, lseg_vit.py:156) does not.  The 24->23x34 case is the
+    whole-canvas production geometry (368x544 / 16)."""
+
+    @pytest.mark.parametrize("shape", [(24, 24, 6, 6), (24, 24, 30, 30),
+                                       (24, 24, 23, 34), (12, 16, 5, 7),
+                                       (7, 7, 1, 1), (24, 24, 24, 24)])
+    def test_half_pixel_matches_torch(self, shape):
+        import torch
+        import torch.nn.functional as F
+
+        from avlmaps_tpu.ops.resize import resize_bilinear
+
+        ih, iw, oh, ow = shape
+        x = np.random.default_rng(0).normal(size=(2, ih, iw, 3)) \
+            .astype(np.float32)
+        ref = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                            size=(oh, ow), mode="bilinear",
+                            align_corners=False)
+        got = np.asarray(resize_bilinear(jnp.asarray(x), oh, ow))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref.numpy(),
+                                   atol=1e-5)
+
+    @pytest.mark.parametrize("shape", [(24, 24, 6, 6), (24, 24, 30, 30),
+                                       (12, 16, 5, 7)])
+    def test_align_corners_matches_torch(self, shape):
+        import torch
+        import torch.nn.functional as F
+
+        from avlmaps_tpu.ops.resize import resize_bilinear_align_corners
+
+        ih, iw, oh, ow = shape
+        x = np.random.default_rng(1).normal(size=(2, ih, iw, 3)) \
+            .astype(np.float32)
+        ref = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                            size=(oh, ow), mode="bilinear",
+                            align_corners=True)
+        got = np.asarray(resize_bilinear_align_corners(
+            jnp.asarray(x), oh, ow))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), ref.numpy(),
+                                   atol=1e-5)
+
+
 class TestTinyForward:
     def test_shapes_and_norm(self):
         cfg = LSegConfig.tiny()

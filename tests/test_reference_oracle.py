@@ -5,17 +5,24 @@ reference's own code is imported (file-spec import, skip-if-deps-missing)
 and our implementations are checked against it directly (VERDICT r2 next #4).
 
 Live here: avlmaps/utils/mapping_utils.py (geometry + HDF5 schema),
-esc50_utils, and the AudioCLIP audio tower (ESResNeXt-FBSP) — the latter
-runs the reference's OWN model code via minimal import shims
-(_install_audioclip_import_shims: the blocked imports are trainer-side and
-never touch the audio path).  The LSeg tower oracle needs clip+timm, whose
-model CONSTRUCTION downloads weights (lseg_vit.py:230-231) — network-blocked
-in this sandbox; it skips cleanly and runs wherever the deps exist, with
-tools/torch_reference/lseg_torch.py as the from-spec stand-in here.
+esc50_utils, the AudioCLIP audio tower (ESResNeXt-FBSP), and the full LSeg
+net — both towers run the reference's OWN model code via minimal import
+shims.  AudioCLIP's blocked imports are trainer-side and never touch the
+audio path (_install_audioclip_import_shims); LSeg's blocked imports are
+``timm`` and ``clip`` (lseg_vit.py:1-7), whose only uses on the
+pixel-encoding path are model CONSTRUCTION (timm.create_model at
+lseg_vit.py:231 — shimmed with the from-spec, seeded-random
+tools/torch_reference/timm_vit.py) and a text branch whose VALUES never
+reach the compared output (_install_lseg_import_shims).  Weight parity
+against the real downloaded checkpoints is the porters' job
+(tools/port_checkpoints.py + tools/ckpt_manifests); these oracles pin CODE
+parity under identical random weights.
 """
 
+import importlib
 import importlib.util
 import sys
+import types
 from pathlib import Path
 
 import numpy as np
@@ -356,38 +363,146 @@ def _install_audioclip_import_shims():
     return installed
 
 
+def _install_lseg_import_shims():
+    """Make the reference's OWN LSeg net importable and runnable offline.
+
+    Two imports block lseg_net.py in this sandbox, neither of which
+    contributes VALUES to the compared output (``pixel_encoding``):
+
+    * ``timm`` — used only as ``timm.create_model("vit_large_patch16_384",
+      pretrained=True)`` (lseg_vit.py:231); shimmed with the from-spec,
+      structurally-identical, seeded-random-init ViT in
+      tools/torch_reference/timm_vit.py.  ``pretrained`` weights are
+      network-blocked here; the oracle pins code parity under identical
+      random weights (the porter tools own real-weight parity).
+    * ``clip`` — used as ``clip.load("ViT-B/32")`` (lseg_vit.py:230, the
+      returned model's only call on this path is ``encode_text``, feeding
+      the ``logits_per_image`` output we do not compare) and
+      ``clip.tokenize`` (token ids only ever reach encode_text).  The shim
+      returns deterministic tensors of the right shapes/dtypes; half dtype
+      for encode_text because the reference matmuls it against the
+      half-cast pixel encoding (lseg_net.py:194-196).
+
+    Returns sys.modules keys installed (for cleanup).  Installed
+    unconditionally (shadowing any real install for the test's duration)
+    so the oracle is hermetic and seed-deterministic everywhere.
+    """
+    import torch
+
+    installed, shadowed = [], {}
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    try:
+        from tools.torch_reference import timm_vit
+    finally:
+        sys.path.pop(0)
+
+    for name in ("timm", "clip"):
+        if name in sys.modules:
+            shadowed[name] = sys.modules[name]
+
+    timm = types.ModuleType("timm")
+    timm.create_model = timm_vit.create_model
+    sys.modules["timm"] = timm
+    installed.append("timm")
+
+    class _ClipTextStub:
+        @staticmethod
+        def encode_text(tokens):
+            g = torch.Generator().manual_seed(11)
+            return torch.randn(tokens.shape[0], 512, generator=g).half()
+
+    def _tokenize(texts, context_length=77):
+        if isinstance(texts, str):
+            texts = [texts]
+        return torch.zeros(len(texts), context_length, dtype=torch.long)
+
+    clip = types.ModuleType("clip")
+    clip.load = lambda name, device="cpu", jit=False: (_ClipTextStub(), None)
+    clip.tokenize = _tokenize
+    sys.modules["clip"] = clip
+    installed.append("clip")
+    return installed, shadowed
+
+
+def _import_reference_lseg_net():
+    """Import the reference's lseg_net.py WITH package context, so its
+    relative import chain (lseg_net -> .lseg_blocks -> .lseg_vit) resolves
+    against the reference tree itself."""
+    pkg_dir = REFERENCE / "avlmaps" / "lseg" / "modules" / "models"
+    if not pkg_dir.exists():
+        pytest.skip(f"reference tree not present: {pkg_dir}")
+    pkg = types.ModuleType("ref_lseg_models")
+    pkg.__path__ = [str(pkg_dir)]
+    sys.modules["ref_lseg_models"] = pkg
+    try:
+        return importlib.import_module("ref_lseg_models.lseg_net")
+    except ImportError as e:
+        pytest.skip(f"reference lseg_net needs {e.name}")
+
+
 class TestModelTowersVsReference:
     def test_lseg_forward_parity(self):
-        pytest.importorskip("clip")
-        pytest.importorskip("timm")
-        sys.path.insert(0, str(REFERENCE / "avlmaps" / "lseg"))
-        try:
-            ref_net = _import_reference(
-                "avlmaps/lseg/modules/models/lseg_net.py", "ref_lseg_net")
-        finally:
-            sys.path.pop(0)
+        """The reference's OWN LSegEncNet (ViT-L/16 surgery + DPT scratch +
+        head, lseg_net.py:231-336) vs our flax port, identical random
+        weights.  96x96 input: exercises the pos-embed resize (24x24 -> 6x6)
+        and every decoder stage at ~25x less compute than a 480 crop."""
         import torch
 
-        from avlmaps_tpu.models.lseg import LSegConfig, LSegNet
-        from avlmaps_tpu.models.lseg.port import port_lseg_state_dict
+        shims, shadowed = _install_lseg_import_shims()
+        try:
+            ref_net = _import_reference_lseg_net()
 
-        model = ref_net.LSegEncNet("", features=256, arch_option=0,
-                                   block_depth=0, activation="lrelu",
-                                   crop_size=480)
-        sd = model.state_dict()
-        cfg = LSegConfig.vitl16()
-        variables = {"params": port_lseg_state_dict(sd)["params"]} \
-            if "params" in port_lseg_state_dict(sd) else port_lseg_state_dict(sd)
-        x = np.random.default_rng(0).normal(
-            size=(1, 3, 480, 480)).astype(np.float32)
-        with torch.no_grad():
-            ref_out, _ = model(torch.from_numpy(x), "")
-        import jax.numpy as jnp
+            from avlmaps_tpu.models.lseg import LSegConfig, LSegNet
+            from avlmaps_tpu.models.lseg.port import port_lseg_state_dict
 
-        ours = np.asarray(LSegNet(cfg).apply(
-            variables, jnp.asarray(x.transpose(0, 2, 3, 1))))
-        np.testing.assert_allclose(
-            ours.transpose(0, 3, 1, 2), ref_out.numpy(), atol=5e-3)
+            model = ref_net.LSegEncNet("", features=256, arch_option=0,
+                                       block_depth=0, activation="lrelu",
+                                       crop_size=480)
+            model.eval()  # frozen BN running stats, as the mapping path
+            # runs it (vlmap_builder.py:254: model.eval())
+
+            # randomise what torch's default init leaves at identity so a
+            # mis-ported LN/BN affine or BN running stat cannot hide
+            g = torch.Generator().manual_seed(3)
+            with torch.no_grad():
+                for _, p in model.named_parameters():
+                    p.add_(torch.randn(p.shape, generator=g) * 0.05)
+                for name, buf in model.named_buffers():
+                    if not buf.dtype.is_floating_point:
+                        continue
+                    if "running_var" in name:
+                        buf.copy_(torch.rand(buf.shape, generator=g)
+                                  * 1.5 + 0.25)
+                    elif "running_mean" in name:
+                        buf.copy_(torch.randn(buf.shape, generator=g) * 0.1)
+
+            variables = port_lseg_state_dict(model.state_dict())
+            x = np.random.default_rng(0).normal(
+                size=(1, 3, 96, 96)).astype(np.float32)
+            with torch.no_grad():
+                ref_out, _ = model(torch.from_numpy(x), "")
+
+            import jax.numpy as jnp
+
+            ours = np.asarray(LSegNet(LSegConfig.vitl16()).apply(
+                variables, jnp.asarray(x.transpose(0, 2, 3, 1))))
+        finally:
+            for key in [k for k in sys.modules
+                        if k.startswith("ref_lseg_models")] + shims:
+                sys.modules.pop(key, None)
+            sys.modules.update(shadowed)
+        # the reference half-casts the scaled unit-norm encoding (values in
+        # [-14.3, 14.3]) before its final upsample (lseg_net.py:194); ours
+        # stays f32, so the half rounding (~4e-3) IS the expected noise
+        # floor.  Per-pixel normalisation also amplifies f32 op-order
+        # differences where the head output norm is small, so a handful of
+        # elements (observed: ~30 of 4.7M) land a few half-ULPs out — bound
+        # the bulk at the half-cast scale and the tail separately.
+        diff = np.abs(ours.transpose(0, 3, 1, 2) - ref_out.numpy())
+        assert np.mean(diff) < 2e-3, f"bulk mean err {np.mean(diff):.2e}"
+        assert np.percentile(diff, 99.99) < 2e-2, \
+            f"99.99% quantile {np.percentile(diff, 99.99):.2e}"
+        assert diff.max() < 5e-2, f"tail max err {diff.max():.2e}"
 
     def test_audioclip_audio_tower_parity(self):
         pytest.importorskip("termcolor")
