@@ -74,9 +74,15 @@ def _interp_matrix_half_pixel(n_in: int, n_out: int) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
 def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """NHWC bilinear resize, half-pixel centres (torch align_corners=False,
-    used for the ViT pos-embed resize, lseg_vit.py:149-163)."""
+    used for the ViT pos-embed resize, lseg_vit.py:149-163).
+
+    precision=HIGHEST: this is one tiny op per forward (the pos-embed is
+    (1, 577, D)) so the exact-f32 MXU pass is free, and the pos embeds
+    feed all 24 blocks — unlike the align-corners feature upsample above,
+    which is bandwidth-bound on bf16 features and keeps the default."""
     _, in_h, in_w, _ = x.shape
     wh = jnp.asarray(_interp_matrix_half_pixel(in_h, out_h), x.dtype)
     ww = jnp.asarray(_interp_matrix_half_pixel(in_w, out_w), x.dtype)
-    x = jnp.einsum("oh,bhwc->bowc", wh, x)
-    return jnp.einsum("ow,bhwc->bhoc", ww, x)
+    x = jnp.einsum("oh,bhwc->bowc", wh, x, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("ow,bhwc->bhoc", ww, x,
+                      precision=jax.lax.Precision.HIGHEST)
