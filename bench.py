@@ -52,6 +52,11 @@ CAPACITY = 1_000_000
 # bench measured 56 fps (B=4) -> 62 fps parity and 80 -> 120 fps
 # whole-canvas; B=16 adds ~2% more for 2x the step latency (r3 A/B)
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+# whole-canvas is the throughput mode: its step is prep/dispatch-heavier
+# per FLOP, so larger batches keep paying (r5 sweep: 144.7 @ B=8 ->
+# 153.4 @ B=16 -> 154.9 @ B=32, saturating); B=16 takes most of the win
+# at half the latency/HBM of B=32.  Parity mode stays at BATCH.
+WHOLE_BATCH = int(os.environ.get("BENCH_WHOLE_BATCH", "16"))
 WARMUP_STEPS = 2
 TIMED_STEPS = 6
 E2E_FRAMES = int(os.environ.get("BENCH_E2E_FRAMES", "64"))
@@ -125,18 +130,23 @@ def _build_step_and_inputs():
     return step, step_whole, step_whole_ds, state, params, (ch, cw)
 
 
-def measure_device(step, state, params, canvas_hw) -> dict:
+def measure_device(step, state, params, canvas_hw, batch=None) -> dict:
     """Compiled-step fps with inputs resident in HBM, plus model FLOPs ->
     MFU.  FLOPs = XLA's compiled cost analysis (which counts Pallas custom
     calls as ZERO) + the kernels' own trace-time FLOP log
     (ops/fused_vit.FLOP_LOG) — r3: counted flops collapsed 6.69e12 ->
     1.74e12 when the fused-block kernels landed while the step got FASTER,
-    so the custom-call share must be added back explicitly."""
+    so the custom-call share must be added back explicitly.
+
+    ``batch`` overrides the global BATCH for this leg (the whole-canvas
+    throughput mode amortises prep/dispatch further at larger batches —
+    r5 sweep in docs/PROFILE.md — while parity mode saturates at 8)."""
     import jax
     import jax.numpy as jnp
 
     from avlmaps_tpu.map.vlmap_builder import sample_pixels
 
+    BATCH = batch or globals()["BATCH"]  # noqa: N806 - local shadow
     rng = np.random.default_rng(0)
     ch, cw = canvas_hw
     canvas = jnp.asarray(rng.integers(0, 255, (BATCH, ch, cw, 3)), jnp.uint8)
@@ -239,6 +249,7 @@ def measure_device(step, state, params, canvas_hw) -> dict:
 
         for c in range(warm_chains):
             state = one_chain(state, c)
+        np.asarray(jax.device_get(state.n_slots))  # prime D2H (see below)
         jax.block_until_ready(jax.tree.leaves(state))
         t0 = time.perf_counter()
         for c in range(warm_chains, n_chain):
@@ -258,6 +269,13 @@ def measure_device(step, state, params, canvas_hw) -> dict:
 
     for k in range(WARMUP_STEPS):
         state = one_step(state, k)
+    # prime the tunnel's D2H channel with a real scalar fetch: before the
+    # first device_get of a process, block_until_ready can return at
+    # DISPATCH (docs/PROFILE.md "Measurement hygiene" #1) — observed r5:
+    # an unprimed standalone measure_device read 52k fps.  main()'s
+    # earlier phases used to prime this implicitly; do it explicitly so
+    # standalone A/B calls measure truthfully too.
+    np.asarray(jax.device_get(state.n_slots))
     jax.block_until_ready(jax.tree.leaves(state))  # full-state sync
 
     t0 = time.perf_counter()
@@ -1110,9 +1128,11 @@ def main():
         from avlmaps_tpu.ops.voxel_fusion import init_fusion_state
 
         wstate = init_fusion_state(GS, VH, 512, CAPACITY)
-        whole = measure_device(step_whole, wstate, params, canvas_hw)
+        whole = measure_device(step_whole, wstate, params, canvas_hw,
+                               batch=WHOLE_BATCH)
         whole.pop("state", None)
         out["device_fps_whole_canvas"] = round(whole["device_fps"], 3)
+        out["whole_canvas_batch"] = WHOLE_BATCH
     except Exception as e:  # noqa: BLE001 - secondary metric only
         print(f"whole-canvas measurement failed: {e}", file=sys.stderr)
     _phase("device whole-canvas")
